@@ -1,0 +1,402 @@
+"""The flagship pipeline: CDC replay into a copy-on-write Parquet lake.
+
+Dataflow per tick (all one lazy Dataset plan; the streaming executor
+pipelines the stages with backpressure):
+
+    read_parquet(event files, filter: lo < lsn <= hi, pruned columns)
+      → map_batches(premerge)          stateless, zero-copy Arrow:
+            drop already-applied lsns, stamp partition_id,
+            batch-local LWW collapse (the skew absorber)
+      → groupby(partition_id)          the ONE all-to-all exchange
+      → map_groups(apply_partition)    pure task: read base partition
+            file, vectorized LWW merge, write new part file with a
+            DETERMINISTIC name (idempotent under Ray task retry),
+            return a single stats row
+      → take_all()                     tiny (one row per partition)
+    driver merges stats into the manifest and commits atomically.
+
+Exactly-once: part files are phase 1 of the two-phase commit; the
+manifest rename is phase 2. A task retried after writing its file just
+overwrites the same bytes; a crash before commit leaves orphans that
+readers never see (SURVEY.md §7.5). NiFi analogs cited in
+state/manifest.py and stages/lww.py.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any, Iterable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+
+from ..schema import BASE_SCHEMA, base_fields_of
+from ..stages.evolve import conform, unify
+from ..stages.lww import collapse_last_writer, merge_into_base
+from ..state.manifest import (
+    Manifest,
+    commit_manifest,
+    load_manifest,
+    manifest_path,
+    part_file,
+    partition_dir,
+)
+from ..util.hashing import add_partition_column, state_checksum
+
+_EVENT_META_COLS = ("lsn", "op", "doc_id")
+
+
+def _premerge_fn(num_partitions: int, applied_through: int):
+    """Stateless map_batches body for the pre-shuffle stage."""
+
+    def premerge(batch: pa.Table) -> pa.Table:
+        if applied_through > 0:
+            batch = batch.filter(pc.greater(batch["lsn"], applied_through))
+        batch = add_partition_column(batch, num_partitions)
+        return collapse_last_writer(batch, count_col="ev_count")
+
+    return premerge
+
+
+def _apply_partition_fn(
+    lake_dir: str,
+    base_files: dict[int, str],
+    target_schema_b64: bytes,
+    next_version: int,
+    applied_through: int,
+):
+    """map_groups body: apply one partition's collapsed events.
+
+    Pure function of (inputs, lake files) — retried tasks rewrite the
+    same deterministic output file, so retries are idempotent.
+    """
+    target_schema = pa.ipc.read_schema(pa.BufferReader(target_schema_b64))
+
+    def apply_partition(group: pa.Table) -> pa.Table:
+        k = int(group["partition_id"][0].as_py())
+        if "ev_count" not in group.schema.names:  # direct-apply path
+            group = group.append_column(
+                "ev_count", pa.array(np.ones(group.num_rows, dtype=np.int64))
+            )
+        events_in = int(pc.sum(group["ev_count"]).as_py() or 0)
+        # guard against replayed rows that slipped past the read filter
+        group = group.filter(pc.greater(group["lsn"], applied_through))
+        events_live = int(pc.sum(group["ev_count"]).as_py() or 0)
+        dups_dropped = events_in - events_live
+        # collapse across batches (associative with the batch-local one)
+        group = collapse_last_writer(group, count_col="ev_count")
+        max_lsn = int(pc.max(group["lsn"]).as_py()) if group.num_rows else 0
+
+        base_rel = base_files.get(k)
+        if base_rel is not None:
+            base = pq.read_table(os.path.join(lake_dir, base_rel))
+        else:
+            base = target_schema.empty_table()
+        if not base.schema.equals(target_schema):
+            base = conform(base, target_schema)
+
+        ev_payload_names = [n for n in group.schema.names if n != "partition_id"]
+        events = conform(group.select(ev_payload_names), _event_target(target_schema))
+        n_deletes = int(pc.sum(pc.equal(events["op"], "D")).as_py() or 0)
+        merged = merge_into_base(base, events).sort_by("doc_id")
+        merged = conform(merged, target_schema)
+
+        rel = part_file(k, next_version)
+        out = os.path.join(lake_dir, rel)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        tmp = out + f".tmp.{os.getpid()}"
+        pq.write_table(merged, tmp, compression="zstd")
+        os.replace(tmp, out)
+
+        return pa.table(
+            {
+                "partition_id": pa.array([k], pa.int32()),
+                "file": pa.array([rel]),
+                "rows": pa.array([merged.num_rows], pa.int64()),
+                "max_lsn": pa.array([max_lsn], pa.int64()),
+                "token_hash": pa.array([state_checksum(merged)], pa.uint64()),
+                "events_applied": pa.array([events_live], pa.int64()),
+                "events_in": pa.array([events_in], pa.int64()),
+                "dups_dropped": pa.array([dups_dropped], pa.int64()),
+                "deletes": pa.array([n_deletes], pa.int64()),
+                "bytes_written": pa.array([os.path.getsize(out)], pa.int64()),
+            }
+        )
+
+    return apply_partition
+
+
+def _event_target(target_schema: pa.Schema) -> pa.Schema:
+    """Event-side target schema: CDC bookkeeping + evolved payload."""
+    fields = [pa.field("lsn", pa.int64()), pa.field("op", pa.string())]
+    fields.extend(f for f in target_schema)
+    return pa.schema(fields)
+
+
+@dataclass
+class TickStats:
+    version: int
+    lo: int
+    hi: int
+    partitions_touched: int
+    events_applied: int
+    dups_dropped: int
+    rows_total: int
+    wall_sec: float
+
+
+class CDCLake:
+    """A hash-partitioned, manifest-committed, copy-on-write Parquet lake."""
+
+    def __init__(self, lake_dir: str):
+        self.lake_dir = lake_dir
+
+    # ------------------------------------------------------------- init
+    def init_from(
+        self,
+        base: pa.Table | str | list[str] | "ray.data.Dataset",
+        num_partitions: int = 16,
+    ) -> Manifest:
+        """Bootstrap the lake (manifest v1) from a base table.
+
+        Distributed: the base Dataset is partition-stamped in
+        map_batches, shuffled once by partition_id, and each partition
+        written by its own task.
+        """
+        import ray.data as rd
+
+        if isinstance(base, pa.Table):
+            ds = rd.from_arrow(base)
+        elif isinstance(base, (str, list)):
+            ds = rd.read_parquet(base)
+        else:
+            ds = base
+
+        schema = pa.schema(
+            [f for f in ds.schema().base_schema if f.name not in ("lsn", "op")]
+        )
+        schema_b64 = schema.serialize().to_pybytes()
+        lake_dir = self.lake_dir
+        os.makedirs(lake_dir, exist_ok=True)
+
+        def write_partition(group: pa.Table) -> pa.Table:
+            k = int(group["partition_id"][0].as_py())
+            tbl = group.drop_columns(["partition_id"]).sort_by("doc_id")
+            tbl = conform(tbl, pa.ipc.read_schema(pa.BufferReader(schema_b64)))
+            rel = part_file(k, 1)
+            out = os.path.join(lake_dir, rel)
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            tmp = out + f".tmp.{os.getpid()}"
+            pq.write_table(tbl, tmp, compression="zstd")
+            os.replace(tmp, out)
+            return pa.table(
+                {
+                    "partition_id": pa.array([k], pa.int32()),
+                    "file": pa.array([rel]),
+                    "rows": pa.array([tbl.num_rows], pa.int64()),
+                    "token_hash": pa.array([state_checksum(tbl)], pa.uint64()),
+                }
+            )
+
+        stats = (
+            ds.map_batches(
+                lambda b: add_partition_column(b, num_partitions),
+                batch_format="pyarrow",
+            )
+            .groupby("partition_id")
+            .map_groups(write_partition, batch_format="pyarrow")
+            .take_all()
+        )
+
+        partitions = {
+            int(r["partition_id"]): {
+                "file": r["file"],
+                "rows": int(r["rows"]),
+                "max_lsn": 0,
+                "token_hash": int(r["token_hash"]),
+            }
+            for r in stats
+        }
+        m = Manifest(
+            version=1,
+            num_partitions=num_partitions,
+            schema_version=1,
+            schema=schema,
+            applied_through=0,
+            partitions=partitions,
+            lineage=[
+                {
+                    "kind": "INIT",
+                    "rows": sum(p["rows"] for p in partitions.values()),
+                    "partitions": len(partitions),
+                }
+            ],
+        )
+        commit_manifest(self.lake_dir, m)
+        return m
+
+    # ------------------------------------------------------------ read
+    def manifest(self) -> Manifest | None:
+        return load_manifest(self.lake_dir)
+
+    def read(self, columns: list[str] | None = None) -> "ray.data.Dataset":
+        """Dataset over the lake's current committed state."""
+        import ray.data as rd
+
+        m = self.manifest()
+        if m is None or not m.partitions:
+            raise FileNotFoundError(f"no committed manifest in {self.lake_dir}")
+        return rd.read_parquet(m.data_files(self.lake_dir), columns=columns)
+
+    def read_table(self) -> pa.Table:
+        """Driver-side full materialization — TESTS ONLY (small lakes)."""
+        m = self.manifest()
+        if m is None:
+            raise FileNotFoundError(f"no committed manifest in {self.lake_dir}")
+        tables = [
+            conform(pq.read_table(os.path.join(self.lake_dir, e["file"])), m.schema)
+            for _, e in sorted(m.partitions.items())
+        ]
+        if not tables:
+            return m.schema.empty_table()
+        return pa.concat_tables(tables).sort_by("doc_id")
+
+    # ----------------------------------------------------------- apply
+    def replay(
+        self,
+        event_paths: str | list[str],
+        lsn_hi: int | None = None,
+        batch_size: int = 65536,
+    ) -> TickStats | None:
+        """Apply all events with ``applied_through < lsn <= lsn_hi``.
+
+        One tick = one manifest version. Returns None if there was
+        nothing to apply (watermark already covers the range).
+        """
+        import time as _time
+
+        import ray.data as rd
+
+        t0 = _time.perf_counter()
+        m = self.manifest()
+        if m is None:
+            raise FileNotFoundError("lake not initialized (no manifest)")
+        lo = m.applied_through
+
+        pred = pc.field("lsn") > pa.scalar(lo, pa.int64())
+        if lsn_hi is not None:
+            pred = pred & (pc.field("lsn") <= pa.scalar(lsn_hi, pa.int64()))
+        ds = rd.read_parquet(event_paths, filter=pred)
+
+        # Schema evolution check happens BEFORE the shuffle: peek the
+        # event schema, unify with the lake schema, bump if changed.
+        ev_schema = pa.schema(
+            [f for f in ds.schema().base_schema if f.name not in ("lsn", "op")]
+        )
+        target = unify(m.schema, ev_schema)
+        schema_version = m.schema_version + (0 if target.equals(m.schema) else 1)
+
+        base_files = {k: e["file"] for k, e in m.partitions.items()}
+        next_version = m.version + 1
+
+        stats_rows = (
+            ds.map_batches(
+                _premerge_fn(m.num_partitions, lo),
+                batch_format="pyarrow",
+                batch_size=batch_size,
+            )
+            .groupby("partition_id")
+            .map_groups(
+                _apply_partition_fn(
+                    self.lake_dir,
+                    base_files,
+                    target.serialize().to_pybytes(),
+                    next_version,
+                    lo,
+                ),
+                batch_format="pyarrow",
+            )
+            .take_all()
+        )
+
+        if not stats_rows:
+            return None
+
+        max_lsn_seen = max(int(r["max_lsn"]) for r in stats_rows)
+        hi = lsn_hi if lsn_hi is not None else max_lsn_seen
+
+        partitions = dict(m.partitions)
+        for r in stats_rows:
+            partitions[int(r["partition_id"])] = {
+                "file": r["file"],
+                "rows": int(r["rows"]),
+                "max_lsn": int(r["max_lsn"]),
+                "token_hash": int(r["token_hash"]),
+            }
+        events_applied = sum(int(r["events_applied"]) for r in stats_rows)
+        dups = sum(int(r["dups_dropped"]) for r in stats_rows)
+        wall = _time.perf_counter() - t0
+        lineage = {
+            "kind": "APPLY",
+            "lsn_range": [lo, hi],
+            "events_applied": events_applied,
+            "dups_dropped": dups,
+            "partitions_touched": len(stats_rows),
+            "deletes": sum(int(r["deletes"]) for r in stats_rows),
+            "bytes_written": sum(int(r["bytes_written"]) for r in stats_rows),
+            "wall_sec": round(wall, 3),
+            "files_out": [r["file"] for r in stats_rows],
+        }
+        m2 = Manifest(
+            version=next_version,
+            num_partitions=m.num_partitions,
+            schema_version=schema_version,
+            schema=target,
+            applied_through=hi,
+            partitions=partitions,
+            lineage=m.lineage + [lineage],
+        )
+        commit_manifest(self.lake_dir, m2)
+        return TickStats(
+            version=next_version,
+            lo=lo,
+            hi=hi,
+            partitions_touched=len(stats_rows),
+            events_applied=events_applied,
+            dups_dropped=dups,
+            rows_total=sum(p["rows"] for p in partitions.values()),
+            wall_sec=wall,
+        )
+
+    def replay_ticks(
+        self, event_paths: str | list[str], tick_size: int, lsn_end: int
+    ) -> list[TickStats]:
+        """Batch-replay loop: chunks of LSN ranges as ticks, one commit
+        each — the 'continuous' mode (SURVEY.md §7.3 step 8)."""
+        out = []
+        while True:
+            m = self.manifest()
+            lo = m.applied_through
+            if lo >= lsn_end:
+                break
+            hi = min(lo + tick_size, lsn_end)
+            st = self.replay(event_paths, lsn_hi=hi)
+            if st is not None:
+                out.append(st)
+            elif hi >= lsn_end:
+                break
+            else:
+                # empty range: advance watermark with a metadata-only commit
+                m2 = load_manifest(self.lake_dir)
+                m2.version += 1
+                m2.applied_through = hi
+                m2.lineage = m2.lineage + [
+                    {"kind": "APPLY", "lsn_range": [lo, hi], "events_applied": 0}
+                ]
+                commit_manifest(self.lake_dir, m2)
+        return out

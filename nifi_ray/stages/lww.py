@@ -1,0 +1,102 @@
+"""Last-writer-wins kernels — the heart of the upsert/merge apply.
+
+All vectorized Arrow/numpy; no Python row loops. Two layers:
+
+- ``collapse_last_writer``: within one table, keep only the highest-LSN
+  row per key (tombstone ``D`` rows survive as full rows). This is
+  ASSOCIATIVE — collapsing per batch and then collapsing the collapsed
+  rows gives the same result as one global collapse — which is what
+  makes the batch-local pre-merge before the shuffle correct. That
+  pre-merge is this engine's answer to hot-key skew (SURVEY.md §7.5):
+  a doc_id carrying 10% of the stream is reduced to ≤1 row per batch
+  BEFORE the all-to-all exchange, so the keyed apply never sees the
+  skew. (NiFi analog: MergeContent bin-packing as local fan-in before
+  the transactional sink, reference
+  nifi-standard-processors/.../standard/MergeContent.java:140-147.)
+
+- ``merge_into_base``: outer-merge a collapsed event set into a base
+  partition table — deletes drop base rows, upserts replace/insert
+  full-row images. NiFi 1.1.2 has no join operator (SURVEY.md §2.7);
+  this is the explicit key-partitioned merge the reference delegates
+  to external databases via PutSQL (reference
+  nifi-standard-processors/.../standard/PutSQL.java:294-371).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def last_per_key_indices(sorted_keys: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Indices of the last row of each run of equal keys (input must be
+    sorted by key). Vectorized via adjacent-inequality."""
+    n = len(sorted_keys)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    if isinstance(sorted_keys, pa.ChunkedArray):
+        sorted_keys = sorted_keys.combine_chunks()
+    neq = pc.not_equal(sorted_keys.slice(0, n - 1), sorted_keys.slice(1, n)).to_numpy(
+        zero_copy_only=False
+    )
+    # neq[i] True → row i is the last of its run; row n-1 always is
+    return np.append(np.flatnonzero(neq), n - 1)
+
+
+def collapse_last_writer(
+    table: pa.Table,
+    key: str = "doc_id",
+    order: str = "lsn",
+    count_col: str | None = None,
+) -> pa.Table:
+    """Keep only each key's highest-``order`` row. Stable for duplicate
+    (key, order) pairs (replayed event files carry identical images, so
+    either copy is correct).
+
+    ``count_col``: when set, the output carries how many ORIGINAL rows
+    each surviving row absorbed (created as ones if absent, summed per
+    run if present) — this keeps raw-event accounting exact across the
+    associative two-level collapse (lineage needs true event counts,
+    not post-merge row counts).
+    """
+    if count_col is not None and count_col not in table.schema.names:
+        table = table.append_column(
+            count_col, pa.array(np.ones(table.num_rows, dtype=np.int64))
+        )
+    if table.num_rows <= 1:
+        return table
+    s = table.sort_by([(key, "ascending"), (order, "ascending")])
+    idx = last_per_key_indices(s[key])
+    out = s.take(pa.array(idx))
+    if count_col is not None:
+        counts = s[count_col].to_numpy(zero_copy_only=False)
+        seg_starts = np.concatenate([[0], idx[:-1] + 1])
+        sums = np.add.reduceat(counts, seg_starts)
+        out = out.set_column(
+            out.schema.get_field_index(count_col), count_col, pa.array(sums)
+        )
+    return out
+
+
+def merge_into_base(
+    base: pa.Table, collapsed_events: pa.Table, key: str = "doc_id"
+) -> pa.Table:
+    """Apply a collapsed (≤1 row per key) event set to a base table.
+
+    Returns the new base rows (unsorted): base rows untouched by any
+    event + full-row images of I/U events. ``D`` events remove; a delete
+    of an absent key is a no-op (but its LSN still advances the
+    watermark — the caller tracks that).
+    """
+    base_cols = base.schema.names
+    ev_keys = collapsed_events[key]
+    if base.num_rows:
+        untouched = base.filter(
+            pc.invert(pc.is_in(base[key], value_set=ev_keys.combine_chunks()))
+        )
+    else:
+        untouched = base
+    upserts = collapsed_events.filter(pc.not_equal(collapsed_events["op"], "D"))
+    upserts = upserts.select(base_cols)
+    return pa.concat_tables([untouched, upserts], promote_options="permissive")

@@ -1,0 +1,198 @@
+"""Versioned commit manifest — the lake's single source of truth.
+
+Layout (all paths relative to the lake root):
+
+    _manifest/v{N:06d}.json     committed manifest versions
+    p={k:05d}/part-v{N:06d}.parquet   partition data files (COW)
+
+Two-phase commit: apply tasks write partition part files (phase 1,
+deterministic names — a retried task overwrites its own file), then the
+driver writes ``v{N}.json.tmp`` and ``os.replace``s it into place
+(phase 2, atomic on POSIX). Readers only ever trust the highest
+committed ``v*.json``; part files not referenced by it are invisible
+orphans, ignored on read and removed by ``gc()``.
+
+This collapses three NiFi mechanisms into one structure (SURVEY.md §3.2):
+- session-commit atomicity: StandardProcessSession.commit orders
+  provenance → claims → WAL → queues (reference
+  nifi-framework-core/.../repository/StandardProcessSession.java:303-427);
+  here, data files are worthless until the manifest rename publishes them;
+- PutHDFS's tmp-write-then-atomic-rename sink (reference
+  nifi-hdfs-processors/.../PutHDFS.java:233-356);
+- component state / watermarks (StateManager Scope.CLUSTER, reference
+  nifi-api/.../components/state/StateManager.java): ``applied_through``
+  is the per-lake resume point, per-partition ``max_lsn`` the fine-grained
+  watermark.
+
+``lineage`` entries stand in for NiFi's provenance repository (reference
+nifi-api/.../provenance/ProvenanceEventType.java:25-135): one record per
+commit with input event ranges, per-partition row/byte counts and
+content hashes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow as pa
+
+_MANIFEST_DIR = "_manifest"
+_V_RE = re.compile(r"^v(\d{6})\.json$")
+
+
+def _schema_to_b64(schema: pa.Schema) -> str:
+    import base64
+
+    return base64.b64encode(schema.serialize().to_pybytes()).decode()
+
+
+def _schema_from_b64(s: str) -> pa.Schema:
+    import base64
+
+    return pa.ipc.read_schema(pa.BufferReader(base64.b64decode(s)))
+
+
+@dataclass
+class Manifest:
+    version: int
+    num_partitions: int
+    schema_version: int
+    schema: pa.Schema
+    applied_through: int  # resume watermark: all events with lsn <= this are applied
+    partitions: dict[int, dict[str, Any]] = field(default_factory=dict)
+    # partitions[k] = {file, rows, max_lsn, token_hash}
+    lineage: list[dict[str, Any]] = field(default_factory=list)
+    created_unix: float = 0.0
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "num_partitions": self.num_partitions,
+                "schema_version": self.schema_version,
+                "schema_b64": _schema_to_b64(self.schema),
+                "schema_repr": str(self.schema).splitlines(),
+                "applied_through": self.applied_through,
+                "partitions": {str(k): v for k, v in self.partitions.items()},
+                "lineage": self.lineage,
+                "created_unix": self.created_unix,
+            },
+            indent=1,
+        )
+
+    @staticmethod
+    def from_json(text: str) -> "Manifest":
+        d = json.loads(text)
+        return Manifest(
+            version=d["version"],
+            num_partitions=d["num_partitions"],
+            schema_version=d["schema_version"],
+            schema=_schema_from_b64(d["schema_b64"]),
+            applied_through=d["applied_through"],
+            partitions={int(k): v for k, v in d["partitions"].items()},
+            lineage=d["lineage"],
+            created_unix=d.get("created_unix", 0.0),
+        )
+
+    def data_files(self, lake_dir: str) -> list[str]:
+        return [os.path.join(lake_dir, e["file"]) for e in self.partitions.values()]
+
+
+def partition_dir(k: int) -> str:
+    return f"p={k:05d}"
+
+
+def part_file(k: int, version: int) -> str:
+    return os.path.join(partition_dir(k), f"part-v{version:06d}.parquet")
+
+
+def manifest_path(lake_dir: str, version: int) -> str:
+    return os.path.join(lake_dir, _MANIFEST_DIR, f"v{version:06d}.json")
+
+
+def latest_version(lake_dir: str) -> int | None:
+    mdir = os.path.join(lake_dir, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return None
+    versions = [int(m.group(1)) for f in os.listdir(mdir) if (m := _V_RE.match(f))]
+    return max(versions) if versions else None
+
+
+def load_manifest(lake_dir: str, version: int | None = None) -> Manifest | None:
+    if version is None:
+        version = latest_version(lake_dir)
+        if version is None:
+            return None
+    with open(manifest_path(lake_dir, version)) as f:
+        return Manifest.from_json(f.read())
+
+
+def commit_manifest(lake_dir: str, manifest: Manifest) -> str:
+    """Phase-2 atomic publish. Refuses to go backwards in version."""
+    cur = latest_version(lake_dir)
+    if cur is not None and manifest.version <= cur:
+        raise ValueError(
+            f"manifest v{manifest.version} not newer than committed v{cur}"
+        )
+    manifest.created_unix = time.time()
+    mdir = os.path.join(lake_dir, _MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    path = manifest_path(lake_dir, manifest.version)
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(manifest.to_json())
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    return path
+
+
+def expire_versions(lake_dir: str, keep_last: int = 2) -> list[int]:
+    """Delete manifest versions older than the newest ``keep_last``.
+    Run before ``gc_orphans`` to release their exclusive part files.
+    The latest manifest is never expired."""
+    mdir = os.path.join(lake_dir, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    versions = sorted(
+        int(m.group(1)) for f in os.listdir(mdir) if (m := _V_RE.match(f))
+    )
+    expired = versions[: -max(keep_last, 1)]
+    for v in expired:
+        os.remove(manifest_path(lake_dir, v))
+    return expired
+
+
+def gc_orphans(lake_dir: str) -> list[str]:
+    """Remove part files not referenced by ANY committed manifest
+    (crash leftovers; part files of expired versions). Files of every
+    retained manifest are kept so rollback/resume to an older committed
+    version never dangles — call ``expire_versions`` first to shrink
+    the retained set. NiFi analog: orphaned content-claim cleanup on
+    restart (reference nifi-docs/src/main/asciidoc/nifi-in-depth.adoc:52)."""
+    mdir = os.path.join(lake_dir, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    versions = [int(m.group(1)) for f in os.listdir(mdir) if (m := _V_RE.match(f))]
+    if not versions:
+        return []
+    live: set[str] = set()
+    for v in versions:
+        m = load_manifest(lake_dir, v)
+        live |= {os.path.normpath(e["file"]) for e in m.partitions.values()}
+    removed = []
+    for root, _dirs, files in os.walk(lake_dir):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            full = os.path.join(root, f)
+            rel = os.path.normpath(os.path.relpath(full, lake_dir))
+            if rel not in live:
+                os.remove(full)
+                removed.append(rel)
+    return removed

@@ -1,0 +1,153 @@
+"""Stable, vectorized hashing for partitioning and dedup keys.
+
+The lake's on-disk layout is keyed by ``hash(doc_id) % num_partitions``,
+so the hash MUST be stable across processes, Python versions and library
+upgrades (Python's builtin ``hash`` is salted; polars' hash is not
+version-stable). We use CRC32 (the zlib polynomial), implemented as a
+table-driven kernel vectorized ACROSS rows with numpy: the padded byte
+matrix is walked column-by-column, so cost is O(max_len) vectorized
+passes — doc_ids are short (~11 bytes), so this is ~11 numpy ops per
+batch regardless of row count.
+
+NiFi analog: HashAttribute/HashContent (reference
+nifi-standard-processors/.../standard/HashAttribute.java,
+HashContent.java) provide the digest-of-record used for dedup keys;
+NiFi has no partitioner (queues are shared) — the partition hash is our
+design (SURVEY.md §4 "Data partitioning: to design").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_CRC_POLY = np.uint32(0xEDB88320)
+
+
+def _make_crc_table() -> np.ndarray:
+    table = np.zeros(256, dtype=np.uint32)
+    for i in range(256):
+        c = np.uint32(i)
+        for _ in range(8):
+            c = (c >> np.uint32(1)) ^ (_CRC_POLY if (c & np.uint32(1)) else np.uint32(0))
+        table[i] = c
+    return table
+
+
+_CRC_TABLE = _make_crc_table()
+
+
+def _string_array_bytes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy view of a string/binary array's (offsets, data) buffers."""
+    if pa.types.is_string(arr.type) or pa.types.is_binary(arr.type):
+        arr = arr.cast(pa.large_binary())
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    data_buf = arr.buffers()[2]
+    data = (
+        np.frombuffer(data_buf, dtype=np.uint8)
+        if data_buf is not None and len(data_buf) > 0
+        else np.zeros(1, dtype=np.uint8)
+    )
+    return offsets, data
+
+
+def crc32_of_strings(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """CRC32 (zlib-compatible) of each utf8 value, vectorized. Returns uint32."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint32)
+    offsets, data = _string_array_bytes(col)
+    lens = np.diff(offsets)
+    max_len = int(lens.max()) if n else 0
+    crc = np.full(n, 0xFFFFFFFF, dtype=np.uint32)
+    if max_len:
+        idx = offsets[:-1, None] + np.arange(max_len)[None, :]
+        valid = np.arange(max_len)[None, :] < lens[:, None]
+        padded = data[np.clip(idx, 0, len(data) - 1)]
+        for j in range(max_len):
+            m = valid[:, j]
+            nxt = (crc >> np.uint32(8)) ^ _CRC_TABLE[(crc ^ padded[:, j]) & np.uint32(0xFF)]
+            crc = np.where(m, nxt, crc)
+    return crc ^ np.uint32(0xFFFFFFFF)
+
+
+def partition_of(doc_ids: pa.Array | pa.ChunkedArray, num_partitions: int) -> np.ndarray:
+    """Stable partition id in [0, num_partitions) for each doc_id."""
+    return (crc32_of_strings(doc_ids) % np.uint32(num_partitions)).astype(np.int32)
+
+
+def add_partition_column(
+    batch: pa.Table, num_partitions: int, key: str = "doc_id", out: str = "partition_id"
+) -> pa.Table:
+    """Stateless map_batches body: stamp the partition id column."""
+    pid = partition_of(batch[key], num_partitions)
+    return batch.append_column(out, pa.array(pid, type=pa.int32()))
+
+
+def state_checksum(table: pa.Table) -> int:
+    """Order-insensitive checksum of a partition's (doc_id, tokens, n_tok)
+    state — XOR-reduced so it is independent of row order and cheaply
+    recomputable for verification (NiFi analog: site-to-site CRC32
+    transaction confirmation, reference
+    nifi-site-to-site-client/.../remote/AbstractTransaction.java:177-210).
+    Vectorized: per-row token sums via reduceat, no Python row loop."""
+    if table.num_rows == 0:
+        return 0
+    doc_crc = crc32_of_strings(table["doc_id"]).astype(np.uint64)
+    toks = table["tokens"].combine_chunks()
+    if isinstance(toks, pa.ChunkedArray):  # empty chunked edge
+        toks = toks.combine_chunks()
+    flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    lens = (
+        pc.coalesce(pc.list_value_length(toks), pa.scalar(0, pa.int32()))
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    tok_sum = np.zeros(len(lens), dtype=np.uint64)
+    nz = lens > 0
+    if flat.size:
+        sums = np.add.reduceat(flat, np.clip(starts, 0, flat.size - 1))
+        tok_sum[nz] = sums[nz]
+    null_mask = np.asarray(toks.is_null())
+    tok_sum[null_mask] = _U64_NULL
+    row = mix_u64(
+        doc_crc * np.uint64(0x9E3779B97F4A7C15)
+        ^ tok_sum * np.uint64(0xBF58476D1CE4E5B9)
+        ^ lens.astype(np.uint64) * np.uint64(0x94D049BB133111EB)
+    )
+    return int(np.bitwise_xor.reduce(row))
+
+
+_U64_NULL = np.uint64(0xDEADBEEFDEADBEEF)
+
+
+def mix_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64."""
+    x = x.astype(np.uint64, copy=True)
+    x += np.uint64(0x9E3779B97F4A7C15)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def token_state_hash(doc_ids: list[str], tokens: list[list[int] | None]) -> int:
+    """Order-insensitive content hash of a {doc_id: tokens} state — used
+    in manifests/lineage as the verification checksum (NiFi analog:
+    site-to-site CRC32 confirmation, reference
+    nifi-site-to-site-client/.../AbstractTransaction.java:177-210)."""
+    import zlib
+
+    acc = 0
+    for d, t in zip(doc_ids, tokens):
+        row = d.encode() + b"|" + (np.asarray(t or [], dtype=np.int32).tobytes())
+        acc ^= zlib.crc32(row)
+    return acc
