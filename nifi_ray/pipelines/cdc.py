@@ -282,16 +282,24 @@ class CDCLake:
 
         import ray.data as rd
 
+        from ..sources.binlog import list_event_files, prune_event_files
+
         t0 = _time.perf_counter()
         m = self.manifest()
         if m is None:
             raise FileNotFoundError("lake not initialized (no manifest)")
         lo = m.applied_through
 
+        # binlog-tail: footer-stat prune → whole already-applied files
+        # are never opened (sources/binlog.py)
+        files = list_event_files(event_paths)
+        files, prune_stats = prune_event_files(files, lo, lsn_hi)
+        if not files:
+            return None
         pred = pc.field("lsn") > pa.scalar(lo, pa.int64())
         if lsn_hi is not None:
             pred = pred & (pc.field("lsn") <= pa.scalar(lsn_hi, pa.int64()))
-        ds = rd.read_parquet(event_paths, filter=pred)
+        ds = rd.read_parquet(files, filter=pred)
 
         # Schema evolution check happens BEFORE the shuffle: peek the
         # event schema, unify with the lake schema, bump if changed.
@@ -346,6 +354,8 @@ class CDCLake:
             "lsn_range": [lo, hi],
             "events_applied": events_applied,
             "dups_dropped": dups,
+            "files_in": prune_stats.kept,
+            "files_skipped_by_footer": prune_stats.skipped_by_footer,
             "partitions_touched": len(stats_rows),
             "deletes": sum(int(r["deletes"]) for r in stats_rows),
             "bytes_written": sum(int(r["bytes_written"]) for r in stats_rows),

@@ -1,0 +1,613 @@
+"""The graded query surface: one entry per operator/pipeline, each with
+(usually) a DuckDB-equivalent oracle SQL over the same parquet tables.
+
+Column names are part of the contract: every computed/aggregate column
+is named identically in the Ray pipeline and in ORACLE_SQL (the driver
+hashes values after sorting columns by name).
+
+Float policy: any aggregated float column is rounded (2–3 decimals) on
+BOTH sides so associativity-of-summation differences between engines
+cannot flip the value hash.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages import dedup as dd
+from ..stages import text as tx
+from ..stages.aggregate import pre_aggregate
+from ..stages.attrs import derive
+from ..stages.lookup import BroadcastEnrich, scan_filter
+from ..stages.lww import lww_latest
+from ..stages.quality import TOKEN_PATTERN, Fingerprinter, LangId, quality_stats, token_count
+from ..stages.route import stamp_route
+from ..stages.similarity import knn_brute_force
+from ..stages.split_merge import merge_ordered, split_text
+
+
+def _t(sf_dir: str, name: str, columns=None, filter=None):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns, filter=filter
+    )
+
+
+def _round(ds, cols: dict[str, int]):
+    def fn(batch: pa.Table) -> pa.Table:
+        for c, nd in cols.items():
+            batch = batch.set_column(
+                batch.schema.get_field_index(c),
+                c,
+                pc.round(pc.cast(batch[c], pa.float64()), ndigits=nd),
+            )
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------- queries
+
+
+def q_lww_upsert(sf_dir: str):
+    """Last-writer-wins upsert keyed by user_id, ordered by event_id —
+    the CDC merge semantics, SQL-checkable (stages/lww.py)."""
+    ds = _t(sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"])
+    return lww_latest(ds, "user_id", "event_id", ["user_id", "event_type", "value"])
+
+
+def q_route_events(sf_dir: str):
+    """RouteOnAttribute first-match strategy + grouped counts
+    (stages/route.py)."""
+    ds = _t(sf_dir, "events", columns=["event_type", "value"])
+    routed = ds.map_batches(
+        stamp_route(
+            {
+                "error": lambda t: pc.equal(t["event_type"], "error"),
+                "big": lambda t: pc.greater_equal(t["value"], 150.0),
+            },
+            strategy="first",
+        ),
+        batch_format="pyarrow",
+    )
+    return pre_aggregate(routed, "route", {"n": ("route", "count")})
+
+
+def q_update_attribute_revenue(sf_dir: str):
+    """UpdateAttribute-style derived column + pre-aggregated grouped sums
+    (stages/attrs.py, stages/aggregate.py)."""
+    ds = _t(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    ds = ds.map_batches(
+        derive(
+            {
+                "revenue": lambda t: pc.multiply(
+                    t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = pre_aggregate(
+        ds,
+        "l_returnflag",
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "revenue": ("revenue", "sum"),
+            "n": ("l_returnflag", "count"),
+        },
+    )
+    return _round(out, {"sum_qty": 2, "revenue": 2})
+
+
+def q_merge_defragment(sf_dir: str):
+    """MergeContent: ordered fan-in per correlation key
+    (stages/split_merge.py)."""
+    ds = _t(sf_dir, "events", columns=["user_id", "event_id", "event_type"])
+    return merge_ordered(ds, key="user_id", order="event_id", piece_col="event_type", sep="|")
+
+
+def q_detect_duplicate(sf_dir: str):
+    """DetectDuplicate: exact content-hash dedup, first writer wins
+    (stages/dedup.py)."""
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dd.exact_dedup(ds, "text", order="doc_id")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "content_hash"]), batch_format="pyarrow"
+    )
+
+
+def q_extract_first_word(sf_dir: str):
+    """ExtractText: regex capture → column, grouped (stages/text.py)."""
+    ds = _t(sf_dir, "documents", columns=["text"])
+    ds = ds.map_batches(tx.extract_regex("text", r"[a-z]+", "first_word"), batch_format="pyarrow")
+    ds = ds.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("first_word"),
+            "first_word",
+            pc.coalesce(t["first_word"], pa.scalar("")),
+        ),
+        batch_format="pyarrow",
+    )
+    return pre_aggregate(ds, "first_word", {"n": ("first_word", "count")})
+
+
+def q_replace_text(sf_dir: str):
+    """ReplaceText: regex replace-all, then length sums (stages/text.py)."""
+    ds = _t(sf_dir, "documents", columns=["lang", "text"])
+    ds = ds.map_batches(tx.replace_text("text", "[0-9]+", "#"), batch_format="pyarrow")
+    ds = ds.map_batches(
+        derive({"text_len": lambda t: pc.utf8_length(t["text"])}), batch_format="pyarrow"
+    )
+    return pre_aggregate(ds, "lang", {"total_len": ("text_len", "sum")})
+
+
+def q_split_text_words(sf_dir: str):
+    """SplitText: explode to one row per token, grouped counts
+    (stages/split_merge.py)."""
+    ds = _t(sf_dir, "documents", columns=["lang", "text"])
+    words = ds.map_batches(split_text("text", r"\s+", out="w"), batch_format="pyarrow")
+    words = words.map_batches(lambda t: t.select(["lang", "w"]), batch_format="pyarrow")
+    return pre_aggregate(words, "lang", {"n_words": ("w", "count")})
+
+
+def q_scan_filter(sf_dir: str):
+    """ScanAttribute: broadcast term-set semi-join filter
+    (stages/lookup.py)."""
+    ds = _t(sf_dir, "documents", columns=["lang", "source"])
+    kept = ds.map_batches(scan_filter("lang", ["en", "de"]), batch_format="pyarrow")
+    return pre_aggregate(kept, "source", {"n": ("source", "count")})
+
+
+def q_hash_content(sf_dir: str):
+    """HashContent: content digest; distinct count (stages/dedup.py)."""
+    ds = _t(sf_dir, "documents", columns=["text"])
+    hashed = ds.map_batches(dd.content_hash("text"), batch_format="pyarrow")
+    n = hashed.unique("content_hash")
+    return pd.DataFrame({"n_distinct": [len(n)]})
+
+
+def q_json_path(sf_dir: str):
+    """EvaluateJsonPath: $.k from the props JSON column, grouped sums
+    (stages/text.py)."""
+    ds = _t(sf_dir, "events", columns=["event_type", "props"])
+    ds = ds.map_batches(tx.json_path("props", "k", "k_val", pa.int64()), batch_format="pyarrow")
+    return pre_aggregate(
+        ds, "event_type", {"sum_k": ("k_val", "sum"), "n": ("event_type", "count")}
+    )
+
+
+def q_broadcast_enrich(sf_dir: str):
+    """Broadcast-small-side enrichment join (stages/lookup.py)."""
+    import ray
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    ref = ray.put(nation)
+    ds = _t(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+    enriched = ds.map_batches(
+        BroadcastEnrich,
+        fn_constructor_args=(ref, "c_nationkey", "n_nationkey"),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    out = pre_aggregate(
+        enriched,
+        "n_name",
+        # sum (not mean): sums of 2-decimal money round stably across
+        # engines; midpoint rounding of means does not (half-even vs
+        # half-away divergence)
+        {"n": ("n_name", "count"), "sum_acctbal": ("c_acctbal", "sum")},
+    )
+    return _round(out, {"sum_acctbal": 2})
+
+
+def q_topk_users(sf_dir: str):
+    """Grouped sum → global top-k (sort + limit; prioritizer analog,
+    SURVEY.md §2.8)."""
+    ds = _t(sf_dir, "events", columns=["user_id", "value"])
+    totals = pre_aggregate(ds, "user_id", {"total": ("value", "sum")})
+    totals = _round(totals, {"total": 2})
+    return totals.sort(["total", "user_id"], descending=[True, False]).limit(10)
+
+
+def q_filter_shipdate(sf_dir: str):
+    """Predicate pushdown at the parquet read (ray_guide: prune at the
+    read)."""
+    ds = _t(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_shipdate"],
+        filter=pc.field("l_shipdate") < pa.scalar(pd.Timestamp("1996-01-01")),
+    )
+    return pre_aggregate(ds, "l_returnflag", {"n": ("l_returnflag", "count")})
+
+
+def q_sort_limit(sf_dir: str):
+    """Global sort + limit (top-5 line items by price)."""
+    ds = _t(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice"]
+    )
+    return ds.sort(
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        descending=[True, False, False],
+    ).limit(5)
+
+
+def q_union_funnel(sf_dir: str):
+    """Funnel = union (SURVEY.md §2.8)."""
+    r = _t(sf_dir, "region", columns=["r_name"]).map_batches(
+        lambda t: t.rename_columns(["name"]), batch_format="pyarrow"
+    )
+    n = _t(sf_dir, "nation", columns=["n_name"]).map_batches(
+        lambda t: t.rename_columns(["name"]), batch_format="pyarrow"
+    )
+    u = r.union(n)
+    return pd.DataFrame({"n": [u.count()]})
+
+
+def q_quality_stats(sf_dir: str):
+    """Quality scoring gate, grouped pass rates (stages/quality.py)."""
+    ds = _t(sf_dir, "documents", columns=["source", "text"])
+    ds = ds.map_batches(quality_stats("text"), batch_format="pyarrow")
+    ds = ds.map_batches(
+        derive({"pass_int": lambda t: pc.cast(t["passes"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return pre_aggregate(
+        ds, "source", {"n": ("source", "count"), "n_pass": ("pass_int", "sum")}
+    )
+
+
+def q_token_count(sf_dir: str):
+    """BPE-ish regex token counting, grouped totals (stages/quality.py)."""
+    ds = _t(sf_dir, "documents", columns=["lang", "text"])
+    ds = ds.map_batches(token_count("text"), batch_format="pyarrow")
+    return pre_aggregate(ds, "lang", {"total_tokens": ("n_tokens", "sum")})
+
+
+def q_fingerprint(sf_dir: str):
+    """Normalized-content fingerprint distinct count (whitespace
+    collapse + lower + md5; stages/text.py + stages/dedup.py)."""
+    ds = _t(sf_dir, "documents", columns=["text"])
+    ds = ds.map_batches(tx.replace_text("text", r"\s+", " "), batch_format="pyarrow")
+    ds = ds.map_batches(tx.lower("text"), batch_format="pyarrow")
+    hashed = ds.map_batches(dd.content_hash("text"), batch_format="pyarrow")
+    return pd.DataFrame({"n_distinct": [len(hashed.unique("content_hash"))]})
+
+
+def q_knn_cosine(sf_dir: str):
+    """Brute-force cosine top-k ANN baseline (stages/similarity.py)."""
+    import pyarrow.parquet as pq
+
+    qtbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).slice(0, 3)
+    queries = {
+        "query_id": qtbl["vec_id"].to_pylist(),
+        "matrix": np.vstack(qtbl["embedding"].to_numpy(zero_copy_only=False)),
+    }
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_brute_force(ds, queries, k=5)
+    return out.map_batches(
+        lambda t: t.select(["query_id", "vec_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+# ------------------------------------------------ non-SQL-expressible
+
+
+def q_lang_id(sf_dir: str):
+    """Heuristic language ID (actor pool; rows-only check)."""
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    pred = ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+    return pre_aggregate(pred, "lang_pred", {"n": ("lang_pred", "count")})
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup candidate pairs, Jaccard-verified
+    (stages/dedup.py; rows-only check)."""
+    import ray
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    texts_ref = ray.put(
+        dict(zip((str(d) for d in docs["doc_id"].to_pylist()), docs["text"].to_pylist()))
+    )
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda t: t.set_column(0, "doc_id", pc.cast(t["doc_id"], pa.string())),
+        batch_format="pyarrow",
+    )
+    bands = ds.map_batches(MinHasherCompat, batch_format="pyarrow", concurrency=2)
+    pairs = dd.lsh_candidate_pairs(bands)
+    uniq = pairs.groupby(["a", "b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+    verified = uniq.map_batches(
+        dd.PairVerifier,
+        fn_constructor_args=(texts_ref,),
+        fn_constructor_kwargs={"threshold": 0.5},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return verified.map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+
+
+class MinHasherCompat(dd.MinHasher):
+    def __init__(self):
+        super().__init__(col="text", id_col="doc_id", num_hashes=64, bands=16)
+
+
+def q_simhash(sf_dir: str):
+    """SimHash signatures (rows-only: deterministic ints)."""
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(dd.SimHasher, batch_format="pyarrow", concurrency=2)
+    return out.map_batches(lambda t: t.select(["doc_id", "simhash"]), batch_format="pyarrow")
+
+
+def q_winnow_fingerprints(sf_dir: str):
+    """Winnowing rolling-hash fingerprints (rows-only)."""
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=2)
+    return out.map_batches(lambda t: t.select(["doc_id", "fp_min"]), batch_format="pyarrow")
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding LSH bucketing + within-bucket cosine pairs (rows-only).
+
+    The production threshold for near-dup is ~0.95; the synthetic
+    testdata's max pairwise cosine is ≈0.48, so this query uses 0.30
+    with few hyperplanes to exercise the bucketing + verify machinery
+    non-vacuously."""
+    from ..stages.dedup import EmbeddingLSH
+
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    bucketed = ds.map_batches(
+        EmbeddingLSH,
+        fn_constructor_kwargs={"planes": 4},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        emb = np.vstack(group["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        X = emb / np.clip(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12, None)
+        sims = X @ X.T
+        ii, jj = np.where(np.triu(sims >= 0.30, k=1))
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(ids[ii], ids[jj]), pa.int64()),
+                "b": pa.array(np.maximum(ids[ii], ids[jj]), pa.int64()),
+            }
+        )
+
+    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pyarrow")
+
+
+def q_multimodal_decode(sf_dir: str):
+    """Multimodal plumbing: binary payload → actor-pool fake decode →
+    feature stats (rows-only)."""
+    import ray.data as rd
+
+    from ..stages.multimodal import DecodeImage, synth_media_table
+
+    tbl = synth_media_table(200, seed=1)
+    ds = rd.from_arrow(tbl)
+    decoded = ds.map_batches(
+        DecodeImage,
+        fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+    )
+
+    def stats(t: pa.Table) -> pa.Table:
+        feats = np.vstack(t["features"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "feat_mean": pa.array(np.round(feats.mean(axis=1), 6), pa.float64()),
+            }
+        )
+
+    return decoded.map_batches(stats, batch_format="pyarrow")
+
+
+def q_cdc_replay(sf_dir: str):
+    """Flagship: full CDC replay on deterministic synthetic tokens data
+    (scaled by sf); returns the final lake state (rows-only — the
+    pytest suite checks token-array equality vs the sequential oracle).
+    """
+    import tempfile
+
+    from ..gen import GenConfig, write_base, write_events
+    from .cdc import CDCLake
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    scale = {"sf0.001": (500, 2500), "sf0.01": (2000, 10000), "sf0.1": (20000, 100000)}.get(
+        sf_tag, (500, 2500)
+    )
+    cfg = GenConfig(seed=42, n_docs=scale[0], n_events=scale[1])
+    work = os.path.join(tempfile.gettempdir(), f"nifi_ray_cdc_{sf_tag}_{os.getpid()}")
+    base_dir, ev_dir, lake_dir = (os.path.join(work, d) for d in ("base", "events", "lake"))
+    write_base(cfg, base_dir, shards=4)
+    write_events(cfg, ev_dir, shards=8)
+    lake = CDCLake(lake_dir)
+    if lake.manifest() is None:
+        lake.init_from(base_dir, num_partitions=16)
+    lake.replay(ev_dir)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        toks = t["tokens"].combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        sums = np.add.reduceat(flat, np.clip(starts, 0, max(flat.size - 1, 0))) if flat.size else np.zeros(len(lens), np.int64)
+        sums = np.where(lens > 0, sums, 0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tok": t["n_tok"],
+                "source": t["source"],
+                "token_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return lake.read().map_batches(summarize, batch_format="pyarrow")
+
+
+QUERIES = {
+    "lww_upsert": q_lww_upsert,
+    "route_events": q_route_events,
+    "update_attribute_revenue": q_update_attribute_revenue,
+    "merge_defragment": q_merge_defragment,
+    "detect_duplicate": q_detect_duplicate,
+    "extract_first_word": q_extract_first_word,
+    "replace_text": q_replace_text,
+    "split_text_words": q_split_text_words,
+    "scan_filter": q_scan_filter,
+    "hash_content": q_hash_content,
+    "json_path": q_json_path,
+    "broadcast_enrich": q_broadcast_enrich,
+    "topk_users": q_topk_users,
+    "filter_shipdate": q_filter_shipdate,
+    "sort_limit": q_sort_limit,
+    "union_funnel": q_union_funnel,
+    "quality_stats": q_quality_stats,
+    "token_count": q_token_count,
+    "fingerprint": q_fingerprint,
+    "knn_cosine": q_knn_cosine,
+    "lang_id": q_lang_id,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash": q_simhash,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "embedding_neardup": q_embedding_neardup,
+    "multimodal_decode": q_multimodal_decode,
+    "cdc_replay": q_cdc_replay,
+}
+
+
+ORACLE_SQL = {
+    "lww_upsert": """
+        SELECT user_id, event_type, value FROM (
+          SELECT user_id, event_type, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          FROM events) t
+        WHERE rn = 1
+    """,
+    "route_events": """
+        SELECT CASE WHEN event_type = 'error' THEN 'error'
+                    WHEN value >= 150 THEN 'big'
+                    ELSE 'unmatched' END AS route,
+               count(*) AS n
+        FROM events GROUP BY 1
+    """,
+    "update_attribute_revenue": """
+        SELECT l_returnflag,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "merge_defragment": """
+        SELECT user_id,
+               string_agg(event_type, '|' ORDER BY event_id) AS merged,
+               count(*) AS n_frags
+        FROM events GROUP BY user_id
+    """,
+    "detect_duplicate": """
+        SELECT min(doc_id) AS doc_id, md5(text) AS content_hash
+        FROM documents GROUP BY md5(text)
+    """,
+    "extract_first_word": """
+        SELECT regexp_extract(text, '[a-z]+') AS first_word, count(*) AS n
+        FROM documents GROUP BY 1
+    """,
+    "replace_text": """
+        SELECT lang, sum(length(regexp_replace(text, '[0-9]+', '#', 'g'))) AS total_len
+        FROM documents GROUP BY lang
+    """,
+    "split_text_words": """
+        SELECT lang, count(*) AS n_words FROM (
+          SELECT lang, unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents
+        ) t WHERE w <> '' GROUP BY lang
+    """,
+    "scan_filter": """
+        SELECT source, count(*) AS n FROM documents
+        WHERE lang IN ('en', 'de') GROUP BY source
+    """,
+    "hash_content": """
+        SELECT count(DISTINCT md5(text)) AS n_distinct FROM documents
+    """,
+    "json_path": """
+        SELECT event_type,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               count(*) AS n
+        FROM events GROUP BY event_type
+    """,
+    "broadcast_enrich": """
+        SELECT n_name, count(*) AS n, round(sum(c_acctbal), 2) AS sum_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "topk_users": """
+        SELECT user_id, round(sum(value), 2) AS total
+        FROM events GROUP BY user_id
+        ORDER BY total DESC, user_id LIMIT 10
+    """,
+    "filter_shipdate": """
+        SELECT l_returnflag, count(*) AS n FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1996-01-01' GROUP BY l_returnflag
+    """,
+    "sort_limit": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 5
+    """,
+    "union_funnel": """
+        SELECT count(*) AS n FROM (
+          SELECT r_name AS name FROM region
+          UNION ALL SELECT n_name FROM nation) t
+    """,
+    "quality_stats": """
+        SELECT source, count(*) AS n,
+               sum(CASE WHEN n_words BETWEEN 5 AND 100000 AND punct_ratio < 0.2
+                        THEN 1 ELSE 0 END) AS n_pass
+        FROM (
+          SELECT source,
+                 len(regexp_extract_all(text, '\\S+')) AS n_words,
+                 CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1) AS punct_ratio
+          FROM documents) t
+        GROUP BY source
+    """,
+    "token_count": """
+        SELECT lang,
+               sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS total_tokens
+        FROM documents GROUP BY lang
+    """,
+    "fingerprint": """
+        SELECT count(DISTINCT md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS n_distinct
+        FROM documents
+    """,
+    "knn_cosine": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+        s AS (SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(e.embedding, q.qe) AS sim
+              FROM embeddings e CROSS JOIN q),
+        r AS (SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+              FROM s)
+        SELECT query_id, vec_id, rank FROM r WHERE rank <= 5
+    """,
+}

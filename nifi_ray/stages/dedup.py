@@ -1,0 +1,269 @@
+"""Deduplication family: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+NiFi's DetectDuplicate is an exact keyed cache lookup (reference
+nifi-standard-processors/.../standard/DetectDuplicate.java:76-118); a
+training-data pipeline additionally needs near-dup at corpus scale.
+Shapes (all shuffle-lean, per ray_guide "Aggregation at scale"):
+
+- exact:    content-hash column (vectorized) → groupby(hash) →
+            keep first by an order column. One shuffle of (hash, id)-
+            sized rows, not full documents, when ``project=True``.
+- minhash:  per-batch vectorized shingling + H-permutation signatures →
+            explode to (band_id, band_hash, doc_id) rows (b bands of r
+            rows each, P[collide] ≈ 1-(1-J^r)^b) → groupby bands →
+            candidate pairs → exact-Jaccard verify on the pair set.
+- simhash:  64-bit sign-of-weighted-sum signature; near-dup via banding
+            on 16-bit chunks + Hamming verify.
+- embedding: normalized-vector LSH bucketing (random hyperplanes) +
+            within-bucket cosine.
+
+All per-batch math is numpy/Arrow; Python loops only over *candidate
+pairs* (already reduced by LSH).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..util.hashing import crc32_of_strings, mix_u64
+
+# ------------------------------------------------------------ exact
+
+
+def content_hash(col: str, out: str = "content_hash"):
+    """md5 hex of a string column (matches DuckDB's md5() for oracles)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = batch[col].to_pandas()
+        hashes = s.map(
+            lambda v: None if v is None else hashlib.md5(v.encode()).hexdigest()
+        )
+        return batch.append_column(out, pa.array(hashes, pa.string()))
+
+    return fn
+
+
+def first_per_key(ds, key: str, order: str):
+    """groupby(key) → keep the row with the smallest ``order`` value
+    (DetectDuplicate: first writer is 'non-duplicate', rest route to
+    'duplicate' and are dropped)."""
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        return group.sort_by(order).slice(0, 1)
+
+    return ds.groupby(key).map_groups(keep_first, batch_format="pyarrow")
+
+
+def exact_dedup(ds, col: str, order: str, out_hash: str = "content_hash"):
+    """Full exact-dedup pipeline: hash → groupby → first."""
+    hashed = ds.map_batches(content_hash(col, out_hash), batch_format="pyarrow")
+    return first_per_key(hashed, out_hash, order)
+
+
+# ------------------------------------------------------------ shingles
+
+
+def _shingle_hashes(words: list[str], k: int) -> np.ndarray:
+    """CRC32 of each k-word shingle (vectorized over shingles)."""
+    if len(words) < k:
+        joined = [" ".join(words)] if words else []
+    else:
+        joined = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    if not joined:
+        return np.zeros(0, dtype=np.uint64)
+    return np.unique(crc32_of_strings(pa.array(joined)).astype(np.uint64))
+
+
+def _split_words(texts) -> list[list[str]]:
+    return [t.lower().split() if t else [] for t in texts]
+
+
+# ------------------------------------------------------------ minhash
+
+
+class MinHasher:
+    """Actor-pool stage: MinHash signatures + LSH band keys per doc.
+
+    __init__ builds the permutation parameters once per actor (seeded,
+    so every actor agrees). __call__ emits, per doc, ``bands`` rows of
+    (band_id, band_hash, <id_col>) — ready for the LSH groupby.
+    """
+
+    MERSENNE = np.uint64((1 << 61) - 1)
+
+    def __init__(
+        self,
+        col: str = "text",
+        id_col: str = "doc_id",
+        num_hashes: int = 128,
+        bands: int = 32,
+        shingle_k: int = 3,
+        seed: int = 1234,
+    ):
+        assert num_hashes % bands == 0
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, self.MERSENNE, size=num_hashes, dtype=np.uint64)
+        self.b = rng.integers(0, self.MERSENNE, size=num_hashes, dtype=np.uint64)
+        self.col, self.id_col = col, id_col
+        self.H, self.bands, self.k = num_hashes, bands, shingle_k
+        self.rows_per_band = num_hashes // bands
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        """(H,) minhash signature of one doc's shingle-hash set."""
+        if shingles.size == 0:
+            return np.full(self.H, self.MERSENNE, dtype=np.uint64)
+        # (H, S) universal hashes — modular mult in python ints avoided
+        # by float-free uint64 wraparound then mod mersenne prime
+        prod = (self.a[:, None] * shingles[None, :] + self.b[:, None]) % self.MERSENNE
+        return prod.min(axis=1)
+
+    def band_keys(self, sig: np.ndarray) -> np.ndarray:
+        """(bands,) uint64 band hashes of one signature."""
+        chunks = sig.reshape(self.bands, self.rows_per_band)
+        acc = np.zeros(self.bands, dtype=np.uint64)
+        for j in range(self.rows_per_band):
+            acc = mix_u64(acc ^ chunks[:, j])
+        return acc
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.col].to_pandas()
+        ids = batch[self.id_col]
+        out_band_id: list[np.ndarray] = []
+        out_band_hash: list[np.ndarray] = []
+        take_idx: list[int] = []
+        for i, words in enumerate(_split_words(texts)):
+            sig = self.signature(_shingle_hashes(words, self.k))
+            keys = self.band_keys(sig)
+            out_band_id.append(np.arange(self.bands, dtype=np.int32))
+            out_band_hash.append(keys)
+            take_idx.extend([i] * self.bands)
+        return pa.table(
+            {
+                "band_id": pa.array(np.concatenate(out_band_id) if out_band_id else np.zeros(0, np.int32)),
+                "band_hash": pa.array(
+                    np.concatenate(out_band_hash) if out_band_hash else np.zeros(0, np.uint64)
+                ),
+                self.id_col: ids.take(pa.array(take_idx, pa.int32())) if take_idx else ids.slice(0, 0),
+            }
+        )
+
+
+def lsh_candidate_pairs(band_rows) -> "pa.Table":
+    """groupby (band_id, band_hash) → all within-bucket pairs (a < b).
+    Returns a Dataset of {a, b} id pairs (deduplicated downstream)."""
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group.column(2).to_pylist()))
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
+        left, right = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                left.append(ids[i])
+                right.append(ids[j])
+        return pa.table({"a": pa.array(left, pa.string()), "b": pa.array(right, pa.string())})
+
+    return band_rows.groupby(["band_id", "band_hash"]).map_groups(
+        pairs, batch_format="pyarrow"
+    )
+
+
+def jaccard_of_texts(ta: str, tb: str, k: int = 3) -> float:
+    sa = _shingle_hashes(ta.lower().split(), k)
+    sb = _shingle_hashes(tb.lower().split(), k)
+    if sa.size == 0 and sb.size == 0:
+        return 1.0
+    inter = np.intersect1d(sa, sb).size
+    union = sa.size + sb.size - inter
+    return inter / union if union else 0.0
+
+
+class PairVerifier:
+    """Actor-pool stage: exact n-gram Jaccard verification of candidate
+    pairs. Holds a broadcast {id → text} dict, fetched once per actor."""
+
+    def __init__(self, texts_ref, shingle_k: int = 3, threshold: float = 0.7):
+        import ray
+
+        self.texts = (
+            ray.get(texts_ref) if isinstance(texts_ref, ray.ObjectRef) else texts_ref
+        )
+        self.k, self.threshold = shingle_k, threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_pylist()
+        b = batch["b"].to_pylist()
+        jac = [
+            jaccard_of_texts(self.texts.get(x, ""), self.texts.get(y, ""), self.k)
+            for x, y in zip(a, b)
+        ]
+        out = batch.append_column("jaccard", pa.array(jac, pa.float64()))
+        return out.filter(pc.greater_equal(out["jaccard"], self.threshold))
+
+
+# ------------------------------------------------------------ simhash
+
+
+class SimHasher:
+    """Actor-pool stage: 64-bit SimHash of word tokens, vectorized
+    (bit-matrix accumulation, no per-bit Python loops beyond the fixed
+    64)."""
+
+    def __init__(self, col: str = "text", out: str = "simhash"):
+        self.col, self.out = col, out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.col].to_pandas()
+        sims = np.zeros(len(texts), dtype=np.uint64)
+        for i, words in enumerate(_split_words(texts)):
+            if not words:
+                continue
+            h = mix_u64(crc32_of_strings(pa.array(words)).astype(np.uint64))
+            # accumulate ±1 per bit: counts[j] = sum(2*bit_j - 1)
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+                np.int64
+            )
+            counts = (2 * bits - 1).sum(axis=0)
+            sims[i] = np.uint64(
+                int("".join("1" if c > 0 else "0" for c in counts[::-1]), 2)
+            )
+        return batch.append_column(self.out, pa.array(sims, pa.uint64()))
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = a ^ b
+    cnt = np.zeros(x.shape, dtype=np.int64)
+    while True:
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        nz = x.any()
+        x = x >> np.uint64(1)
+        if not nz:
+            break
+    return cnt
+
+
+# --------------------------------------------------- embedding near-dup
+
+
+class EmbeddingLSH:
+    """Actor-pool stage: random-hyperplane bucket id for each embedding
+    (sign bits of S seeded projections). Near-identical vectors land in
+    the same bucket; within-bucket cosine verifies."""
+
+    def __init__(self, col: str = "embedding", out: str = "bucket", planes: int = 12, seed: int = 7, dim: int = 64):
+        rng = np.random.default_rng(seed)
+        self.R = rng.standard_normal((dim, planes))
+        self.col, self.out = col, out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = np.vstack(batch[self.col].to_numpy(zero_copy_only=False))
+        signs = (emb @ self.R) > 0
+        bucket = np.zeros(len(emb), dtype=np.int64)
+        for j in range(signs.shape[1]):
+            bucket = (bucket << 1) | signs[:, j]
+        return batch.append_column(self.out, pa.array(bucket, pa.int64()))

@@ -79,6 +79,28 @@ def collapse_last_writer(
     return out
 
 
+def lww_latest(ds, key: str, order: str, payload_cols: list[str] | None = None):
+    """Dataset-level last-writer-wins: latest row per key by ``order``.
+
+    Two-level: batch-local collapse (map_batches, cuts the shuffle and
+    absorbs hot keys) then per-key collapse (groupby.map_groups). The
+    shuffle carries ≤ one row per (key, batch), not the full stream.
+    """
+
+    def local(batch: pa.Table) -> pa.Table:
+        return collapse_last_writer(batch, key=key, order=order)
+
+    def final(group: pa.Table) -> pa.Table:
+        out = collapse_last_writer(group, key=key, order=order)
+        return out.select(payload_cols) if payload_cols else out
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def merge_into_base(
     base: pa.Table, collapsed_events: pa.Table, key: str = "doc_id"
 ) -> pa.Table:

@@ -1,0 +1,154 @@
+"""Text analysis for training-data pipelines: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+These extend the reference's surface (NiFi has per-record parsers and
+routers but no corpus analytics) with the operations a 100 TB
+training-data pipeline needs. All are stateful actor-pool stages where
+setup matters (compiled regexes, stopword tables built once per actor —
+NiFi analog: load-once resources like ScanContent's compiled search trie,
+reference nifi-standard-processors/.../standard/ScanContent.java) or
+stateless vectorized map_batches bodies where not.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Tiny built-in stopword tables (public common-word lists, truncated).
+STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset("the of and to in a is that it for on with as are was be at by an".split()),
+    "de": frozenset("der die das und ist in den von zu mit sich des auf für nicht ein eine".split()),
+    "fr": frozenset("le la les de des et est un une dans que pour qui sur au avec ne se".split()),
+    "es": frozenset("el la los las de y que en un una es por con para su al lo como".split()),
+}
+
+
+class LangId:
+    """Actor-pool stage: n-gram/stopword-heuristic language ID.
+
+    Scores each doc per language as the fraction of its words found in
+    that language's stopword table (+ a CJK-codepoint check for zh);
+    argmax wins, 'und' (undetermined) if no evidence. Tables and the
+    tokenizer regex are built ONCE per actor.
+    """
+
+    def __init__(self, col: str = "text", out: str = "lang_pred"):
+        import re
+
+        self.col, self.out = col, out
+        self.word_re = re.compile(r"[a-zA-Zà-ÿÀ-ß']+")
+        self.cjk_re = re.compile(r"[一-鿿]")
+        self.tables = {k: v for k, v in STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.col].to_pandas()
+        lowered = texts.str.lower()
+        words_per_doc = lowered.str.findall(self.word_re)
+        cjk_counts = texts.str.count(self.cjk_re)
+        preds = []
+        for words, cjk in zip(words_per_doc, cjk_counts):
+            if cjk and cjk > 0:
+                preds.append("zh")
+                continue
+            if not words:
+                preds.append("und")
+                continue
+            best, best_score = "und", 0.0
+            for lang, table in self.tables.items():
+                score = sum(1 for w in words if w in table) / len(words)
+                if score > best_score:
+                    best, best_score = lang, score
+            preds.append(best if best_score > 0 else "und")
+        return batch.append_column(self.out, pa.array(preds, pa.string()))
+
+
+def quality_stats(col: str = "text"):
+    """Stateless map_batches body: per-doc quality features, all
+    vectorized (pandas str kernels): n_words (whitespace tokens),
+    n_chars, punct_ratio, upper_ratio, mean_word_len, plus a boolean
+    ``passes`` gate (5 ≤ n_words ≤ 100000 and punct_ratio < 0.2)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = batch[col].to_pandas()
+        n_chars = s.str.len().fillna(0).astype("int64")
+        n_words = s.str.count(r"\S+").fillna(0).astype("int64")
+        n_punct = s.str.count(r"[.,!?;:]").fillna(0).astype("int64")
+        n_upper = s.str.count(r"[A-Z]").fillna(0).astype("int64")
+        n_word_chars = s.str.count(r"\S").fillna(0).astype("int64")
+        punct_ratio = (n_punct / n_chars.clip(lower=1)).astype("float64")
+        upper_ratio = (n_upper / n_chars.clip(lower=1)).astype("float64")
+        mean_word_len = (n_word_chars / n_words.clip(lower=1)).astype("float64")
+        passes = (n_words >= 5) & (n_words <= 100000) & (punct_ratio < 0.2)
+        for name, vals in [
+            ("n_chars_q", n_chars),
+            ("n_words", n_words),
+            ("punct_ratio", punct_ratio),
+            ("upper_ratio", upper_ratio),
+            ("mean_word_len", mean_word_len),
+            ("passes", passes),
+        ]:
+            batch = batch.append_column(name, pa.array(vals))
+        return batch
+
+    return fn
+
+
+# Word-ish tokenizer: letter runs, digit runs, or single non-space symbol
+# (a BPE-ish pre-tokenization split, expressible identically in DuckDB's
+# regexp_extract_all for the oracle).
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count(col: str = "text", out: str = "n_tokens", pattern: str = TOKEN_PATTERN):
+    """Stateless map_batches body: per-doc token count via one vectorized
+    regex count."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = batch[col].to_pandas()
+        counts = s.str.count(pattern).fillna(0).astype("int64")
+        return batch.append_column(out, pa.array(counts))
+
+    return fn
+
+
+class Fingerprinter:
+    """Actor-pool stage: winnowing document fingerprints (rolling-hash
+    k-grams, local-minimum selection per window — the standard winnowing
+    construction from the plagiarism-detection literature).
+
+    Output: ``fp`` list<uint64> of selected k-gram hashes, plus
+    ``fp_min`` uint64 (cheap whole-doc fingerprint = min hash).
+    """
+
+    def __init__(self, col: str = "text", k: int = 5, window: int = 4):
+        self.col, self.k, self.window = col, k, window
+
+    def _doc_fp(self, b: np.ndarray) -> np.ndarray:
+        k = self.k
+        if len(b) < k:
+            return np.zeros(0, dtype=np.uint64)
+        # polynomial rolling hash over byte k-grams, fully vectorized:
+        # h[i] = sum_j b[i+j] * P^(k-1-j), computed via sliding windows
+        P = np.uint64(1099511628211)
+        weights = P ** np.arange(self.k - 1, -1, -1, dtype=np.uint64)
+        windows = np.lib.stride_tricks.sliding_window_view(b.astype(np.uint64), k)
+        hashes = (windows * weights).sum(axis=1, dtype=np.uint64)
+        if len(hashes) <= self.window:
+            return np.array([hashes.min()], dtype=np.uint64)
+        wins = np.lib.stride_tricks.sliding_window_view(hashes, self.window)
+        return np.unique(wins.min(axis=1))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.col].to_pandas().fillna("")
+        fps = [self._doc_fp(np.frombuffer(t.lower().encode(), dtype=np.uint8)) for t in texts]
+        offsets = np.zeros(len(fps) + 1, dtype=np.int32)
+        np.cumsum([len(f) for f in fps], out=offsets[1:])
+        flat = np.concatenate(fps) if fps else np.zeros(0, dtype=np.uint64)
+        fp_col = pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat, pa.uint64()))
+        fp_min = pa.array(
+            [int(f.min()) if len(f) else 0 for f in fps], pa.uint64()
+        )
+        batch = batch.append_column("fp", fp_col)
+        return batch.append_column("fp_min", fp_min)

@@ -1,0 +1,108 @@
+"""Fan-out / fan-in of content — SplitText and MergeContent semantics.
+
+- ``split_column`` explodes one row into many (SplitText / SplitJson /
+  SegmentContent analogs: reference
+  nifi-standard-processors/.../standard/SplitText.java, SplitJson.java),
+  stamping the same ``fragment.*`` bookkeeping NiFi uses as the
+  split→merge contract (reference MergeContent.java:97-132):
+  fragment_id (parent key), fragment_index, fragment_count.
+
+- ``defragment`` reassembles exactly fragment_count pieces per
+  fragment_id in fragment_index order — MergeContent's Defragment
+  strategy (reference MergeContent.java:140-147; bin logic
+  nifi-processor-utilities/.../bin/BinManager.java:119-205). Incomplete
+  groups route to 'failure' like NiFi's expired bins.
+
+Implemented as vectorized explode (no Python row loop: Arrow list
+flatten + numpy repeat) and ``groupby(fragment_id).map_groups``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def split_text(
+    col: str,
+    pattern: str = r"\s+",
+    out: str = "token",
+    keep_empty: bool = False,
+    fragments: bool = False,
+):
+    """map_batches body: explode a string column by regex into one row
+    per piece, repeating the other columns (vectorized)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pieces = pc.split_pattern_regex(batch[col], pattern=pattern)
+        lens = pc.list_value_length(pieces).to_numpy(zero_copy_only=False)
+        flat = pieces.combine_chunks().flatten() if isinstance(
+            pieces, pa.ChunkedArray
+        ) else pieces.flatten()
+        parent_idx = np.repeat(np.arange(batch.num_rows), lens)
+        others = batch.take(pa.array(parent_idx))
+        out_tbl = others.append_column(out, flat)
+        if fragments:
+            frag_index = np.arange(len(parent_idx)) - np.repeat(
+                np.cumsum(lens) - lens, lens
+            )
+            out_tbl = out_tbl.append_column(
+                "fragment_index", pa.array(frag_index.astype(np.int32))
+            )
+            out_tbl = out_tbl.append_column(
+                "fragment_count",
+                pa.array(np.repeat(lens, lens).astype(np.int32)),
+            )
+        if not keep_empty:
+            out_tbl = out_tbl.filter(pc.not_equal(out_tbl[out], ""))
+        return out_tbl
+
+    return fn
+
+
+def defragment_fn(
+    piece_col: str,
+    id_col: str = "fragment_id",
+    index_col: str = "fragment_index",
+    count_col: str = "fragment_count",
+    sep: str = "",
+    out: str = "merged",
+):
+    """map_groups body (group = all pieces of one fragment_id): emit one
+    merged row, or route to failure if pieces are missing/extra."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        g = group.sort_by(index_col)
+        expected = g[count_col][0].as_py()
+        idx = g[index_col].to_pylist()
+        complete = len(g) == expected and idx == list(range(expected))
+        merged = sep.join(v.as_py() for v in g[piece_col]) if complete else None
+        return pa.table(
+            {
+                id_col: [g[id_col][0].as_py()],
+                out: pa.array([merged], pa.string()),
+                "n_frags": pa.array([len(g)], pa.int64()),
+                "relationship": ["merged" if complete else "failure"],
+            }
+        )
+
+    return fn
+
+
+def merge_ordered(ds, key: str, order: str, piece_col: str, sep: str, out: str = "merged"):
+    """Bin-packing-lite: concatenate ``piece_col`` per ``key`` in
+    ``order`` order (MergeContent with Correlation Attribute; ordering
+    via per-group sort replaces queue prioritizers, SURVEY.md §2.8)."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        g = group.sort_by(order)
+        return pa.table(
+            {
+                key: [g[key][0].as_py()],
+                out: [sep.join("" if v is None else str(v) for v in g[piece_col].to_pylist())],
+                "n_frags": pa.array([len(g)], pa.int64()),
+            }
+        )
+
+    return ds.groupby(key).map_groups(fn, batch_format="pyarrow")

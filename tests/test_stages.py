@@ -1,0 +1,162 @@
+"""Unit tests for the operator stages — batch bodies are pure functions
+over pa.Table (NiFi TestRunner analog: build batch → run transform →
+assert rows per output), so most need no Ray."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from nifi_ray.stages.attrs import derive, when
+from nifi_ray.stages.dedup import SimHasher, content_hash, jaccard_of_texts
+from nifi_ray.stages.multimodal import DecodeImage, ResizeImage, synth_media_table
+from nifi_ray.stages.quality import Fingerprinter, LangId, quality_stats, token_count
+from nifi_ray.stages.route import stamp_route
+from nifi_ray.stages.split_merge import defragment_fn, split_text
+from nifi_ray.stages.text import (
+    attributes_to_json,
+    count_matches,
+    extract_regex,
+    json_path,
+    replace_text,
+)
+
+
+def test_derive_and_when():
+    t = pa.table({"a": [1.0, 2.0, 3.0], "b": [10.0, 20.0, 30.0]})
+    out = derive({"c": lambda t: pc.add(t["a"], t["b"])})(t)
+    assert out["c"].to_pylist() == [11.0, 22.0, 33.0]
+    out2 = when(
+        [(lambda t: pc.greater(t["a"], 2.5), "hi"), (lambda t: pc.greater(t["a"], 1.5), "mid")],
+        default="lo",
+        out="bucket",
+    )(t)
+    assert out2["bucket"].to_pylist() == ["lo", "mid", "hi"]
+
+
+def test_stamp_route_first_and_all():
+    t = pa.table({"x": [1, 5, 10]})
+    first = stamp_route(
+        {"big": lambda t: pc.greater(t["x"], 7), "mid": lambda t: pc.greater(t["x"], 3)},
+        strategy="first",
+    )(t)
+    assert first["route"].to_pylist() == ["unmatched", "mid", "big"]
+    allm = stamp_route(
+        {"a": lambda t: pc.greater(t["x"], 0), "b": lambda t: pc.greater(t["x"], 3)},
+        strategy="all",
+    )(t)
+    assert allm["route"].to_pylist() == ["unmatched", "matched", "matched"]
+
+
+def test_text_ops():
+    t = pa.table({"s": ["abc 123 def", "no digits", None]})
+    rep = replace_text("s", "[0-9]+", "#")(t)
+    assert rep["s"].to_pylist() == ["abc # def", "no digits", None]
+    ext = extract_regex("s", "[0-9]+", "num")(t)
+    assert ext["num"].to_pylist() == ["123", None, None]
+    cnt = count_matches("s", "[a-z]+", "n")(t)
+    assert cnt["n"].to_pylist() == [2, 2, 0]
+
+
+def test_json_and_attrs_to_json():
+    t = pa.table({"p": ['{"k": 5}', '{"k": null}', None], "id": [1, 2, 3]})
+    jp = json_path("p", "k", "kv", pa.int64())(t)
+    assert jp["kv"].to_pylist() == [5, None, None]
+    aj = attributes_to_json(["id"])(t)
+    assert aj["json"].to_pylist()[0] == '{"id":1}'
+
+
+def test_split_text_fragments():
+    t = pa.table({"id": ["x", "y"], "s": ["a b  c", "d"]})
+    out = split_text("s", r"\s+", out="w", fragments=True)(t)
+    assert out["w"].to_pylist() == ["a", "b", "c", "d"]
+    assert out["fragment_index"].to_pylist() == [0, 1, 2, 0]
+    assert out["fragment_count"].to_pylist() == [3, 3, 3, 1]
+    assert out["id"].to_pylist() == ["x", "x", "x", "y"]
+
+
+def test_defragment():
+    g = pa.table(
+        {
+            "fragment_id": ["f"] * 3,
+            "fragment_index": pa.array([2, 0, 1], pa.int32()),
+            "fragment_count": pa.array([3, 3, 3], pa.int32()),
+            "piece": ["c", "a", "b"],
+        }
+    )
+    out = defragment_fn("piece")(g)
+    assert out["merged"].to_pylist() == ["abc"]
+    assert out["relationship"].to_pylist() == ["merged"]
+    incomplete = g.slice(0, 2)
+    out2 = defragment_fn("piece")(incomplete)
+    assert out2["relationship"].to_pylist() == ["failure"]
+
+
+def test_content_hash_matches_duckdb():
+    import duckdb
+
+    t = pa.table({"s": ["hello", "wörld"]})
+    got = content_hash("s")(t)["content_hash"].to_pylist()
+    want = [r[0] for r in duckdb.sql("SELECT md5(x) FROM (VALUES ('hello'), ('wörld')) v(x)").fetchall()]
+    assert got == want
+
+
+def test_jaccard_and_simhash():
+    assert jaccard_of_texts("a b c d", "a b c d") == 1.0
+    assert jaccard_of_texts("a b c", "x y z") == 0.0
+    t = pa.table({"text": ["the quick brown fox jumps", "the quick brown fox jumped", "totally different words here"]})
+    out = SimHasher()(t)
+    s = out["simhash"].to_pylist()
+    from nifi_ray.stages.dedup import hamming64
+
+    d_sim = hamming64(np.array([s[0]], np.uint64), np.array([s[1]], np.uint64))[0]
+    d_diff = hamming64(np.array([s[0]], np.uint64), np.array([s[2]], np.uint64))[0]
+    assert d_sim < d_diff
+
+
+def test_quality_and_tokens():
+    t = pa.table({"text": ["Hello, world! This is a test sentence.", "x", ",,,,,"]})
+    q = quality_stats()(t)
+    assert q["n_words"].to_pylist() == [7, 1, 1]
+    assert q["passes"].to_pylist() == [True, False, False]
+    tc = token_count()(t)
+    # Hello , world ! This is a test sentence .  → 10
+    assert tc["n_tokens"].to_pylist()[0] == 10
+
+
+def test_langid():
+    t = pa.table(
+        {
+            "text": [
+                "the cat sat on the mat and it was good",
+                "der Hund ist in den Garten gelaufen und das war gut",
+                "这是一个中文句子",
+                "zzz qqq www",
+            ]
+        }
+    )
+    out = LangId()(t)
+    assert out["lang_pred"].to_pylist() == ["en", "de", "zh", "und"]
+
+
+def test_fingerprinter_stability():
+    t = pa.table({"text": ["the quick brown fox", "the quick brown fox", "other doc"]})
+    out = Fingerprinter()(t)
+    fps = out["fp"].to_pylist()
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+    assert out["fp_min"].to_pylist()[0] == min(fps[0])
+
+
+def test_multimodal_stub_and_fake():
+    t = synth_media_table(4)
+    with pytest.raises(NotImplementedError):
+        DecodeImage(fake=False)(t)
+    out = DecodeImage(fake=True)(t)
+    feats = out["features"].to_pylist()
+    assert len(feats) == 4 and all(len(f) == 16 for f in feats)
+    # deterministic
+    again = DecodeImage(fake=True)(t)["features"].to_pylist()
+    assert feats == again
+    rz = ResizeImage(8, 6, fake=True)(t)
+    assert rz["width"].to_pylist() == [8] * 4
