@@ -1,0 +1,189 @@
+"""Benchmark harness — prints ONE JSON line per run.
+
+Headline: the flagship CDC replay (synthetic tokenized-sequence base +
+Zipf-skewed change events, scaled off the sf of $GRAFT_SF_DIR) —
+value = replay wall seconds, events_per_sec included. ``queries``
+carries per-pipeline wall seconds for the heavier operators over the
+real $GRAFT_SF_DIR tables.
+
+    python bench.py                 # one run at $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling       # fresh subprocesses at 8 and 32 CPUs,
+                                    # reports both + scaling efficiency
+
+Bench data generation is parallelized with Ray tasks (chunk-independent
+generator) and cached under /tmp keyed by config, so repeat runs skip it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# flagship scale per sf tag: (n_docs, n_events, partitions)
+SCALES = {
+    "sf0.001": (2_000, 10_000, 8),
+    "sf0.01": (20_000, 100_000, 16),
+    "sf0.1": (200_000, 1_000_000, 32),
+}
+
+BENCH_QUERIES = [
+    "lww_upsert",
+    "update_attribute_revenue",
+    "split_text_words",
+    "token_count",
+    "detect_duplicate",
+    "minhash_pairs",
+    "knn_cosine",
+    "merge_defragment",
+]
+
+
+def gen_bench_data(cfg, base_dir: str, ev_dir: str, shards: int = 32):
+    """Parallel deterministic generation via Ray tasks (skip if present)."""
+    import numpy as np
+    import ray
+
+    from nifi_ray.gen import base_table, events_table, write_parquet_sharded
+
+    done_marker = os.path.join(ev_dir, "_DONE")
+    if os.path.exists(done_marker):
+        return
+
+    @ray.remote
+    def gen_shard(kind: str, out_dir: str, s: int, lo: int, hi: int):
+        import pyarrow.parquet as pq
+
+        os.makedirs(out_dir, exist_ok=True)
+        fn = base_table if kind == "base" else events_table
+        path = os.path.join(out_dir, f"{kind}-{s:05d}.parquet")
+        if os.path.exists(path):
+            return path
+        tmp = path + f".tmp.{os.getpid()}"
+        pq.write_table(fn(cfg, lo, hi), tmp)
+        os.replace(tmp, path)
+        return path
+
+    tasks = []
+    for kind, n, out in (("base", cfg.n_docs, base_dir), ("events", cfg.n_events, ev_dir)):
+        bounds = np.linspace(0, n, shards + 1).astype(int)
+        for s in range(shards):
+            tasks.append(gen_shard.remote(kind, out, s, int(bounds[s]), int(bounds[s + 1])))
+    ray.get(tasks)
+    with open(done_marker, "w") as f:
+        f.write("ok")
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NCPU,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from nifi_ray.gen import GenConfig
+    from nifi_ray.pipelines.cdc import CDCLake
+    from nifi_ray.pipelines.queries import QUERIES
+
+    sf_tag = os.path.basename(os.path.normpath(SF_DIR))
+    n_docs, n_events, parts = SCALES.get(sf_tag, SCALES["sf0.1"])
+    cfg = GenConfig(seed=42, n_docs=n_docs, n_events=n_events)
+    work = f"/tmp/nifi_ray_bench_{sf_tag}"
+    base_dir, ev_dir = f"{work}/base", f"{work}/events"
+    gen_bench_data(cfg, base_dir, ev_dir)
+
+    # fresh lake per run (timed work = init + replay; report replay alone
+    # as headline, init separately)
+    import shutil
+
+    lake_dir = f"{work}/lake_{NCPU}_{os.getpid()}"
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    lake = CDCLake(lake_dir)
+    t0 = time.perf_counter()
+    lake.init_from(base_dir, num_partitions=parts)
+    t_init = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    st = lake.replay(ev_dir, batch_size=131072)
+    t_replay = time.perf_counter() - t0
+    assert st is not None and st.events_applied == n_events, st
+    shutil.rmtree(lake_dir, ignore_errors=True)
+
+    queries: dict[str, float] = {"cdc_init": round(t_init, 3)}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        res = fn(SF_DIR)
+        # consume: Datasets are lazy — materialize to a small table
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "cdc_replay_wall_sec",
+        "value": round(t_replay, 3),
+        "unit": "sec",
+        "events": n_events,
+        "events_per_sec": round(n_events / t_replay, 1),
+        "queries": queries,
+        "sf": float(sf_tag.replace("sf", "")) if sf_tag.startswith("sf") else sf_tag,
+        "num_cpus": NCPU,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_at(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def main():
+    if "--scaling" in sys.argv:
+        lo_cpus, hi_cpus = 8, 32
+        lo = run_at(lo_cpus)
+        hi = run_at(hi_cpus)
+        t_lo, t_hi = lo["value"], hi["value"]
+        eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    f"sec_{lo_cpus}": t_lo,
+                    f"sec_{hi_cpus}": t_hi,
+                    f"events_per_sec_{lo_cpus}": lo["events_per_sec"],
+                    f"events_per_sec_{hi_cpus}": hi["events_per_sec"],
+                    "num_cpus": [lo_cpus, hi_cpus],
+                    "sf": lo["sf"],
+                }
+            )
+        )
+    else:
+        print(json.dumps(run_bench()))
+
+
+if __name__ == "__main__":
+    main()
