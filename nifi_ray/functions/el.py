@@ -1,0 +1,258 @@
+"""NiFi Expression Language → vectorized Arrow equivalents.
+
+NiFi's EL (reference nifi-commons/nifi-expression-language — ANTLR
+grammar + 62 function evaluators under
+.../evaluation/functions/, SURVEY.md §2.9) gives string attributes
+typed operations. Per the survey's design decision, NO interpreter is
+built: the public API is Python functions over Arrow arrays. This
+module is the parity map — every EL function with its vectorized
+equivalent — so a NiFi user can translate an expression 1:1.
+
+Each entry takes/returns ``pa.Array``-likes (pyarrow.compute kernels
+underneath, pandas str ops where Arrow lacks the kernel). Usage inside
+``map_batches``:
+
+    from nifi_ray.functions import el
+    batch = batch.append_column("u", el.to_upper(batch["name"]))
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---- string -------------------------------------------------- (EL name)
+
+
+def append(col, suffix: str):  # append
+    return pc.binary_join_element_wise(col, pa.scalar(suffix), "")
+
+
+def prepend(col, prefix: str):  # prepend
+    return pc.binary_join_element_wise(pa.scalar(prefix), col, "")
+
+
+def substring(col, start: int, end: int | None = None):  # substring
+    return pc.utf8_slice_codeunits(col, start, stop=end)
+
+
+def substring_before(col, sep: str):  # substringBefore
+    import pandas as pd
+
+    s = pa.chunked_array([col]) if isinstance(col, pa.Array) else col
+    ser = s.to_pandas()
+    return pa.array(ser.str.split(sep, n=1).str[0].where(ser.str.contains(sep, regex=False), ser))
+
+
+def substring_after(col, sep: str):  # substringAfter
+    s = pa.chunked_array([col]) if isinstance(col, pa.Array) else col
+    ser = s.to_pandas()
+    out = ser.str.split(sep, n=1).str[1]
+    return pa.array(out.where(ser.str.contains(sep, regex=False), ser))
+
+
+def replace(col, find: str, repl: str):  # replace (literal)
+    return pc.replace_substring(col, pattern=find, replacement=repl)
+
+
+def replace_first(col, pattern: str, repl: str):  # replaceFirst (regex)
+    return pc.replace_substring_regex(col, pattern=pattern, replacement=repl, max_replacements=1)
+
+
+def replace_all(col, pattern: str, repl: str):  # replaceAll (regex)
+    return pc.replace_substring_regex(col, pattern=pattern, replacement=repl)
+
+
+def replace_null(col, value):  # replaceNull
+    return pc.coalesce(col, pa.scalar(value))
+
+
+def replace_empty(col, value):  # replaceEmpty
+    return pc.if_else(pc.equal(pc.utf8_trim_whitespace(col), ""), pa.scalar(value), col)
+
+
+def trim(col):  # trim
+    return pc.utf8_trim_whitespace(col)
+
+
+def to_upper(col):  # toUpper
+    return pc.utf8_upper(col)
+
+
+def to_lower(col):  # toLower
+    return pc.utf8_lower(col)
+
+
+def length(col):  # length
+    return pc.utf8_length(col)
+
+
+def starts_with(col, s: str):  # startsWith
+    return pc.starts_with(col, pattern=s)
+
+
+def ends_with(col, s: str):  # endsWith
+    return pc.ends_with(col, pattern=s)
+
+
+def contains(col, s: str):  # contains
+    return pc.match_substring(col, pattern=s)
+
+
+def find(col, pattern: str):  # find (regex partial match)
+    return pc.match_substring_regex(col, pattern=pattern)
+
+
+def matches(col, pattern: str):  # matches (regex full match)
+    return pc.match_substring_regex(col, pattern=f"^(?:{pattern})$")
+
+
+def index_of(col, s: str):  # indexOf
+    return pc.find_substring(col, pattern=s)
+
+
+def get_delimited_field(col, index: int, delim: str = ","):  # getDelimitedField
+    parts = pc.split_pattern(col, pattern=delim)
+    return pc.list_element(parts, index)
+
+
+def url_encode(col):  # urlEncode
+    import urllib.parse
+
+    return pa.array([None if v is None else urllib.parse.quote(v) for v in col.to_pylist()])
+
+
+def url_decode(col):  # urlDecode
+    import urllib.parse
+
+    return pa.array([None if v is None else urllib.parse.unquote(v) for v in col.to_pylist()])
+
+
+def base64_encode(col):  # base64Encode
+    import base64
+
+    return pa.array(
+        [None if v is None else base64.b64encode(v.encode()).decode() for v in col.to_pylist()]
+    )
+
+
+def base64_decode(col):  # base64Decode
+    import base64
+
+    return pa.array(
+        [None if v is None else base64.b64decode(v).decode() for v in col.to_pylist()]
+    )
+
+
+# ---- numeric / math ------------------------------------------------
+
+
+def plus(a, b):  # plus
+    return pc.add(a, b)
+
+
+def minus(a, b):  # minus
+    return pc.subtract(a, b)
+
+
+def multiply(a, b):  # multiply
+    return pc.multiply(a, b)
+
+
+def divide(a, b):  # divide
+    return pc.divide(a, b)
+
+
+def mod(a, b):  # mod
+    # NiFi mod is Java %, which truncates toward zero — match that,
+    # not Python's floor-mod
+    q = pc.divide(a, b)  # integer division truncates for ints in Arrow
+    return pc.subtract(a, pc.multiply(q, b))
+
+
+def to_radix(col, base: int):  # toRadix
+    import numpy as np
+
+    return pa.array([None if v is None else np.base_repr(v, base) for v in col.to_pylist()])
+
+
+def from_radix(col, base: int):  # fromRadix
+    return pa.array([None if v is None else int(v, base) for v in col.to_pylist()], pa.int64())
+
+
+def math_fn(col, name: str):  # math("...") — reflective java.lang.Math analog
+    kernels = {
+        "abs": pc.abs,
+        "sqrt": pc.sqrt,
+        "ln": pc.ln,
+        "log10": pc.log10,
+        "exp": pc.exp,
+        "sin": pc.sin,
+        "cos": pc.cos,
+        "tan": pc.tan,
+        "floor": pc.floor,
+        "ceil": pc.ceil,
+    }
+    return kernels[name](col)
+
+
+# ---- date / time ---------------------------------------------------
+
+
+def format_date(col, fmt: str):  # format (Java SimpleDateFormat → strftime)
+    return pc.strftime(col, format=fmt)
+
+
+def to_date(col, fmt: str):  # toDate
+    return pc.strptime(col, format=fmt, unit="us")
+
+
+def to_number(col):  # toNumber (dates → epoch millis; strings → int)
+    if pa.types.is_timestamp(col.type):
+        return pc.cast(pc.cast(col, pa.timestamp("ms")), pa.int64())
+    return pc.cast(col, pa.int64())
+
+
+# ---- boolean / compare ---------------------------------------------
+
+and_ = pc.and_
+or_ = pc.or_
+not_ = pc.invert
+equals = pc.equal
+gt, ge, lt, le = pc.greater, pc.greater_equal, pc.less, pc.less_equal
+
+
+def equals_ignore_case(a, b):  # equalsIgnoreCase
+    return pc.equal(pc.utf8_lower(a), pc.utf8_lower(b) if not isinstance(b, str) else b.lower())
+
+
+def in_(col, values):  # in
+    return pc.is_in(col, value_set=pa.array(list(values)))
+
+
+def is_empty(col):  # isEmpty
+    return pc.or_kleene(pc.is_null(col), pc.equal(pc.utf8_trim_whitespace(col), ""))
+
+
+def is_null(col):  # isNull
+    return pc.is_null(col)
+
+
+def not_null(col):  # notNull
+    return pc.is_valid(col)
+
+
+# ---- structural ----------------------------------------------------
+
+
+def uuid(n: int):  # uuid — deterministic ids come from (partition, offset)
+    import uuid as _uuid
+
+    return pa.array([str(_uuid.uuid4()) for _ in range(n)])
+
+
+def json_path_el(col, key: str):  # jsonPath (top-level key)
+    from ..stages.text import json_path as _jp
+
+    tbl = pa.table({"c": col})
+    return _jp("c", key, "o")(tbl)["o"]

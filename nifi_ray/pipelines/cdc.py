@@ -68,6 +68,12 @@ def _use_hash_shuffle(ds):
     from ray.data.context import ShuffleStrategy
 
     ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # By default Ray reserves min(1, totalCPU/2/P) CPUs per partition for
+    # the shuffle aggregator actors — at P≈CPU count that's HALF the
+    # cluster parked on buffering actors, starving the map/apply tasks
+    # (measured 3x replay slowdown at 32 CPUs). The aggregators are
+    # I/O-bound concatenators; a nominal reservation is plenty.
+    ds.context.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
     return ds
 
 

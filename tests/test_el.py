@@ -1,0 +1,57 @@
+import pyarrow as pa
+import pytest
+
+from nifi_ray.functions import el
+
+
+S = pa.array(["Hello World", "  pad  ", "a,b,c", None])
+
+
+def test_string_fns():
+    assert el.to_upper(S)[0].as_py() == "HELLO WORLD"
+    assert el.trim(S)[1].as_py() == "pad"
+    assert el.length(S)[0].as_py() == 11
+    assert el.append(pa.array(["x"]), "!")[0].as_py() == "x!"
+    assert el.prepend(pa.array(["x"]), ">")[0].as_py() == ">x"
+    assert el.substring(pa.array(["abcdef"]), 1, 4)[0].as_py() == "bcd"
+    assert el.get_delimited_field(pa.array(["a,b,c"]), 1)[0].as_py() == "b"
+    assert el.replace(pa.array(["aaa"]), "a", "b")[0].as_py() == "bbb"
+    assert el.replace_first(pa.array(["aaa"]), "a", "b")[0].as_py() == "baa"
+    assert el.substring_before(pa.array(["k=v"]), "=")[0].as_py() == "k"
+    assert el.substring_after(pa.array(["k=v"]), "=")[0].as_py() == "v"
+    assert el.substring_before(pa.array(["nodelim"]), "=")[0].as_py() == "nodelim"
+
+
+def test_predicates():
+    assert el.starts_with(S, "Hello").to_pylist()[:2] == [True, False]
+    assert el.contains(S, "World")[0].as_py() is True
+    assert el.matches(pa.array(["abc"]), "a.c")[0].as_py() is True
+    assert el.matches(pa.array(["abcd"]), "a.c")[0].as_py() is False
+    assert el.is_empty(pa.array(["", "  ", "x", None])).to_pylist() == [
+        True,
+        True,
+        False,
+        True,
+    ]
+    assert el.in_(pa.array(["a", "z"]), {"a", "b"}).to_pylist() == [True, False]
+
+
+def test_numeric_and_radix():
+    a = pa.array([7, -7])
+    b = pa.array([3, 3])
+    # Java % truncates toward zero: -7 % 3 == -1
+    assert el.mod(a, b).to_pylist() == [1, -1]
+    assert el.to_radix(pa.array([255]), 16)[0].as_py() == "FF"
+    assert el.from_radix(pa.array(["FF"]), 16)[0].as_py() == 255
+
+
+def test_dates():
+    ts = el.to_date(pa.array(["2024-02-29 12:00:00"]), "%Y-%m-%d %H:%M:%S")
+    assert el.format_date(ts, "%Y/%m/%d")[0].as_py() == "2024/02/29"
+    millis = el.to_number(ts)[0].as_py()
+    assert millis == 1709208000000
+
+
+def test_replace_null_empty():
+    assert el.replace_null(S, "N")[3].as_py() == "N"
+    assert el.replace_empty(pa.array([" ", "x"]), "E").to_pylist() == ["E", "x"]
