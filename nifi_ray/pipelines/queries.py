@@ -439,14 +439,26 @@ def q_cdc_replay(sf_dir: str):
         sf_tag, (500, 2500)
     )
     cfg = GenConfig(seed=42, n_docs=scale[0], n_events=scale[1])
-    work = os.path.join(tempfile.gettempdir(), f"nifi_ray_cdc_{sf_tag}_{os.getpid()}")
+    work = os.path.join(tempfile.gettempdir(), f"nifi_ray_cdc_{sf_tag}")
     base_dir, ev_dir, lake_dir = (os.path.join(work, d) for d in ("base", "events", "lake"))
     write_base(cfg, base_dir, shards=4)
     write_events(cfg, ev_dir, shards=8)
-    lake = CDCLake(lake_dir)
-    if lake.manifest() is None:
-        lake.init_from(base_dir, num_partitions=16)
-    lake.replay(ev_dir)
+
+    def build():
+        lake = CDCLake(lake_dir)
+        if lake.manifest() is None:
+            lake.init_from(base_dir, num_partitions=16)
+        lake.replay(ev_dir)  # no-op (None) when the lake is already current
+        return lake
+
+    try:
+        lake = build()
+    except Exception:
+        # half-built lake from an interrupted earlier call → rebuild
+        import shutil
+
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        lake = build()
 
     def summarize(t: pa.Table) -> pa.Table:
         toks = t["tokens"].combine_chunks()
