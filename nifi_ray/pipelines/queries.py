@@ -303,6 +303,65 @@ def q_knn_cosine(sf_dir: str):
     )
 
 
+def q_tumbling_window(sf_dir: str):
+    """Event-time tumbling window aggregate (stages/windows.py): the
+    window id is a column, so this is a plain pre-aggregated groupby."""
+    from ..stages.windows import stamp_tumbling_window
+
+    ds = _t(sf_dir, "events", columns=["event_type", "ts", "value"])
+    ds = ds.map_batches(stamp_tumbling_window("ts", 86400), batch_format="pyarrow")
+    out = pre_aggregate(
+        ds,
+        ["event_type", "window_start"],
+        {"n": ("event_type", "count"), "total": ("value", "sum")},
+    )
+    return _round(out, {"total": 2})
+
+
+def q_session_windows(sf_dir: str):
+    """Gap-based session windows per user (1h gap): hash repartition by
+    key, sort inside the group only (stages/windows.py)."""
+    from ..stages.windows import sessionize_fn
+
+    ds = _t(sf_dir, "events", columns=["user_id", "ts"])
+    return ds.groupby("user_id").map_groups(
+        sessionize_fn("ts", 3600.0, "user_id"), batch_format="pyarrow"
+    )
+
+
+def q_lag_prev_value(sf_dir: str):
+    """LAG(value) per user in time order (stages/windows.py)."""
+    from ..stages.windows import lag_fn
+
+    ds = _t(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+    out = ds.groupby("user_id").map_groups(
+        lag_fn("user_id", "ts", "value", "prev_value"), batch_format="pyarrow"
+    )
+    return out.map_batches(
+        lambda t: t.select(["user_id", "event_id", "prev_value"]), batch_format="pyarrow"
+    )
+
+
+def q_topk_per_group(sf_dir: str):
+    """Top-3 events by value per event_type (grouped top-k)."""
+    from ..stages.windows import topk_per_group_fn
+
+    ds = _t(sf_dir, "events", columns=["event_type", "event_id", "value"])
+    out = ds.groupby("event_type").map_groups(
+        topk_per_group_fn("value", 3, tiebreak="event_id"), batch_format="pyarrow"
+    )
+    return out
+
+
+def q_minhash_dup_groups(sf_dir: str):
+    """Near-dup components: MinHash pairs → min-label propagation →
+    (node, component) (stages/components.py; rows-only)."""
+    from ..stages.components import connected_components
+
+    pairs = q_minhash_pairs(sf_dir)
+    return connected_components(pairs)
+
+
 # ------------------------------------------------ non-SQL-expressible
 
 
@@ -500,6 +559,11 @@ QUERIES = {
     "token_count": q_token_count,
     "fingerprint": q_fingerprint,
     "knn_cosine": q_knn_cosine,
+    "tumbling_window": q_tumbling_window,
+    "session_windows": q_session_windows,
+    "lag_prev_value": q_lag_prev_value,
+    "topk_per_group": q_topk_per_group,
+    "minhash_dup_groups": q_minhash_dup_groups,
     "lang_id": q_lang_id,
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
@@ -611,6 +675,42 @@ ORACLE_SQL = {
     "fingerprint": """
         SELECT count(DISTINCT md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS n_distinct
         FROM documents
+    """,
+    "tumbling_window": """
+        SELECT event_type, date_trunc('day', ts) AS window_start,
+               count(*) AS n, round(sum(value), 2) AS total
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    """,
+    "session_windows": """
+        WITH o AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL 1 HOUR
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+          SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+          FROM o
+        )
+        SELECT user_id, session_id, min(ts) AS session_start,
+               max(ts) AS session_end, count(*) AS n_events
+        FROM s GROUP BY user_id, session_id
+    """,
+    "lag_prev_value": """
+        SELECT user_id, event_id,
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev_value
+        FROM events
+    """,
+    "topk_per_group": """
+        SELECT event_type, event_id, value FROM (
+          SELECT event_type, event_id, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value DESC, event_id) AS rn
+          FROM events) t
+        WHERE rn <= 3
     """,
     "knn_cosine": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),

@@ -1,0 +1,99 @@
+"""Event-time windowing and ordered per-key analytics.
+
+NiFi 1.1.2 has no event-time windows (SURVEY.md §2.10 — its only
+time-ish state is processing-time bin ages and rate windows); a
+training-data / CDC engine needs them. Ray-Data-first shapes
+(ray_guide 'Streaming-shaped workloads'):
+
+- tumbling window aggregate: the window id is a COLUMN
+  (floor(epoch/size)), so it's a plain pre-aggregated groupby — no
+  ordering assumption at all;
+- session windows / lag: need per-key time order → hash repartition by
+  key, sort INSIDE the group (never globally), compute with vectorized
+  numpy over the sorted group.
+
+Partitioning assumption (documented per the custom-operator rule):
+all rows of one key fit in one task's memory — keys are users/docs,
+bounded; for pathological keys the session fn can spill to
+sub-windows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def stamp_tumbling_window(ts_col: str, size_sec: int, out: str = "window_start"):
+    """map_batches body: window start timestamp column (UTC-naive,
+    matching DuckDB's to_timestamp semantics on the same epoch math)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        epoch = pc.cast(batch[ts_col], pa.int64())  # µs since epoch
+        size_us = size_sec * 1_000_000
+        # int64 divide truncates (epochs here are non-negative)
+        start = pc.multiply(pc.divide(epoch, size_us), size_us)
+        return batch.append_column(out, start.cast(pa.timestamp("us")))
+
+    return fn
+
+
+def sessionize_fn(
+    ts_col: str, gap_sec: float, key_col: str, out_prefix: str = "session"
+):
+    """map_groups body (one key per group): assign session ids — a new
+    session starts when the gap to the previous event exceeds
+    ``gap_sec``. Emits one row per session: key, session start/end,
+    n_events."""
+    gap_us = int(gap_sec * 1_000_000)
+
+    def fn(group: pa.Table) -> pa.Table:
+        g = group.sort_by(ts_col)
+        ts = pc.cast(g[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        new_session = np.ones(len(ts), dtype=bool)
+        if len(ts) > 1:
+            new_session[1:] = np.diff(ts) > gap_us
+        session_id = np.cumsum(new_session) - 1
+        starts = np.flatnonzero(new_session)
+        ends = np.append(starts[1:], len(ts)) - 1
+        return pa.table(
+            {
+                key_col: pa.array([g[key_col][0].as_py()] * len(starts), g[key_col].type),
+                f"{out_prefix}_id": pa.array(np.arange(len(starts)), pa.int64()),
+                f"{out_prefix}_start": pa.array(ts[starts], pa.int64()).cast(pa.timestamp("us")),
+                f"{out_prefix}_end": pa.array(ts[ends], pa.int64()).cast(pa.timestamp("us")),
+                "n_events": pa.array((ends - starts + 1), pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def lag_fn(key_col: str, ts_col: str, value_col: str, out: str):
+    """map_groups body: previous value per key in time order
+    (LAG(value) OVER (PARTITION BY key ORDER BY ts))."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(ts_col, "ascending")])
+        vals = g[value_col].to_numpy(zero_copy_only=False)
+        prev = np.empty(len(vals), dtype=object)
+        prev[0] = None
+        prev[1:] = vals[:-1]
+        return g.append_column(out, pa.array(prev.tolist(), g[value_col].type))
+
+    return fn
+
+
+def topk_per_group_fn(order_col: str, k: int, tiebreak: str | None = None):
+    """map_groups body: top-k rows by ``order_col`` desc (deterministic
+    tie-break)."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        keys = [(order_col, "descending")]
+        if tiebreak:
+            keys.append((tiebreak, "ascending"))
+        return group.sort_by(keys).slice(0, k)
+
+    return fn
