@@ -223,7 +223,8 @@ def main():
         # 3-4x over minutes, so a single measurement per level is noise.
         # Alternating (hi, lo) pairs and taking each level's minimum
         # compares both at their true compute floor.
-        lo_cpus, hi_cpus = 8, 32
+        lo_cpus = int(os.environ.get("BENCH_LO_CPUS", "8"))
+        hi_cpus = int(os.environ.get("BENCH_HI_CPUS", "32"))
         rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "2"))
         os.environ.setdefault("BENCH_SKIP_QUERIES", "1")
         os.environ.setdefault("BENCH_ITERS", "2")

@@ -1,0 +1,46 @@
+from nifi_ray.gen import GenConfig, write_base, write_events
+from nifi_ray.pipelines.run import main
+from nifi_ray.state.manifest import load_manifest
+
+CFG = GenConfig(seed=23, n_docs=120, n_events=700)
+
+
+def test_cli_init_replay_resume(ray_session, tmp_path, capsys):
+    base, ev, lake = (str(tmp_path / d) for d in ("b", "e", "l"))
+    write_base(CFG, base, shards=1)
+    write_events(CFG, ev, shards=2)
+    rc = main(["--base", base, "--events", ev, "--lake", lake, "--partitions", "4"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '"event": "INIT"' in out and '"event": "TICK"' in out and '"event": "LAG"' in out
+    m = load_manifest(lake)
+    assert m.applied_through == CFG.n_events
+    # second invocation: nothing to do, still exits 0, no new tick
+    rc = main(["--events", ev, "--lake", lake])
+    assert rc == 0
+    out2 = capsys.readouterr().out
+    assert '"event": "TICK"' not in out2
+    assert '"lag": 0' in out2
+
+
+def test_cli_ticked_with_gc(ray_session, tmp_path, capsys):
+    base, ev, lake = (str(tmp_path / d) for d in ("b", "e", "l"))
+    write_base(CFG, base, shards=1)
+    write_events(CFG, ev, shards=2)
+    rc = main(
+        ["--base", base, "--events", ev, "--lake", lake, "--partitions", "4",
+         "--tick", "250", "--gc"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count('"event": "TICK"') == 3  # 700 events / 250 per tick
+    assert '"event": "GC"' in out
+    m = load_manifest(lake)
+    assert m.applied_through == CFG.n_events
+
+
+def test_cli_missing_base_errors(ray_session, tmp_path):
+    ev = str(tmp_path / "e")
+    write_events(CFG, ev, shards=1)
+    rc = main(["--events", ev, "--lake", str(tmp_path / "nolake")])
+    assert rc == 2
