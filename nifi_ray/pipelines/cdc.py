@@ -194,6 +194,47 @@ def _cdc_map_task(
 
 
 @ray.remote
+def _rescale_map_task(files: list[str], P: int) -> tuple:
+    tables = [pq.read_table(f) for f in files]
+    t = pa.concat_tables(tables, promote_options="permissive").combine_chunks()
+    t = add_partition_column(t, P)
+    codes = t["partition_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(codes, kind="stable")
+    s = t.take(pa.array(order))
+    bounds = np.searchsorted(codes[order], np.arange(P + 1))
+    return tuple(
+        s.slice(int(bounds[k]), int(bounds[k + 1] - bounds[k])) for k in range(P)
+    )
+
+
+@ray.remote
+def _rescale_write_task(
+    lake_dir: str, schema_b64: bytes, version: int, k: int, *shards: pa.Table
+) -> dict | None:
+    from ..stages.evolve import conform as _conform
+
+    parts = [s for s in shards if s.num_rows]
+    schema = pa.ipc.read_schema(pa.BufferReader(schema_b64))
+    if parts:
+        t = pa.concat_tables(parts, promote_options="permissive")
+        t = _conform(t.drop_columns(["partition_id"]).sort_by("doc_id"), schema)
+    else:
+        t = schema.empty_table()
+    rel = part_file(k, version)
+    out = os.path.join(lake_dir, rel)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    tmp = out + f".tmp.{os.getpid()}"
+    pq.write_table(t, tmp, compression="zstd")
+    os.replace(tmp, out)
+    return {
+        "partition_id": k,
+        "file": rel,
+        "rows": t.num_rows,
+        "token_hash": state_checksum(t),
+    }
+
+
+@ray.remote
 def _cdc_apply_task(
     lake_dir: str,
     base_files: dict,
@@ -355,14 +396,21 @@ class CDCLake:
         return m
 
     # ------------------------------------------------------------ read
-    def manifest(self) -> Manifest | None:
-        return load_manifest(self.lake_dir)
+    def manifest(self, version: int | None = None) -> Manifest | None:
+        return load_manifest(self.lake_dir, version)
 
-    def read(self, columns: list[str] | None = None) -> "ray.data.Dataset":
-        """Dataset over the lake's current committed state."""
+    def read(
+        self, columns: list[str] | None = None, version: int | None = None
+    ) -> "ray.data.Dataset":
+        """Dataset over the lake's committed state.
+
+        ``version``: time travel to an older committed manifest (kept
+        until ``expire_versions`` drops it) — the COW layout makes every
+        retained version fully readable (Delta-Lake-style snapshot
+        isolation; the manifest IS the snapshot)."""
         import ray.data as rd
 
-        m = self.manifest()
+        m = self.manifest(version)
         if m is None or not m.partitions:
             raise FileNotFoundError(f"no committed manifest in {self.lake_dir}")
         return rd.read_parquet(m.data_files(self.lake_dir), columns=columns)
@@ -505,6 +553,65 @@ class CDCLake:
             rows_total=sum(p["rows"] for p in partitions.values()),
             wall_sec=wall,
         )
+
+    def rescale(self, new_num_partitions: int) -> Manifest:
+        """Repartition the lake to a new partition count (one manifest
+        version; the watermark is unchanged). The growth operation at
+        scale: double P when partitions outgrow a task's memory. Uses
+        the same keyed exchange as init."""
+        m = self.manifest()
+        if m is None:
+            raise FileNotFoundError("lake not initialized")
+        next_version = m.version + 1
+        lake_dir = self.lake_dir
+        schema_b64 = m.schema.serialize().to_pybytes()
+        files = m.data_files(lake_dir)
+
+        P = new_num_partitions
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        n_maps = max(1, min(len(files), ncpu))
+        chunks = [files[i::n_maps] for i in range(n_maps)]
+
+        map_refs = [
+            _rescale_map_task.options(num_returns=P).remote(chunk, P)
+            for chunk in chunks
+        ]
+        if P == 1:
+            map_refs = [[r] for r in map_refs]
+        apply_refs = [
+            _rescale_write_task.remote(
+                lake_dir, schema_b64, next_version, k, *[refs[k] for refs in map_refs]
+            )
+            for k in range(P)
+        ]
+        partitions = {}
+        for row in ray.get(apply_refs):
+            if row:
+                partitions[row["partition_id"]] = {
+                    "file": row["file"],
+                    "rows": row["rows"],
+                    "max_lsn": m.applied_through,
+                    "token_hash": row["token_hash"],
+                }
+        m2 = Manifest(
+            version=next_version,
+            num_partitions=P,
+            schema_version=m.schema_version,
+            schema=m.schema,
+            applied_through=m.applied_through,
+            partitions=partitions,
+            lineage=m.lineage
+            + [
+                {
+                    "kind": "RESCALE",
+                    "from_partitions": m.num_partitions,
+                    "to_partitions": P,
+                    "rows": sum(p["rows"] for p in partitions.values()),
+                }
+            ],
+        )
+        commit_manifest(self.lake_dir, m2)
+        return m2
 
     # ------------------------------------------------------- exchanges
     def _exchange_dataset(

@@ -1,0 +1,61 @@
+"""Time travel + rescale over the COW lake."""
+
+from nifi_ray.gen import GenConfig, base_table, events_table, write_base, write_events
+from nifi_ray.oracle import apply_events, state_from_base, state_to_table
+from nifi_ray.pipelines.cdc import CDCLake
+
+CFG = GenConfig(seed=29, n_docs=150, n_events=900)
+
+
+def test_time_travel_and_rescale(ray_session, tmp_path):
+    base_dir, ev_dir, lake_dir = (str(tmp_path / d) for d in ("b", "e", "l"))
+    write_base(CFG, base_dir, shards=1)
+    write_events(CFG, ev_dir, shards=2)
+    lake = CDCLake(lake_dir)
+    lake.init_from(base_dir, num_partitions=4)
+    v1_table = lake.read_table()
+
+    lake.replay(ev_dir, lsn_hi=450)
+    v2 = lake.manifest().version
+    lake.replay(ev_dir)
+
+    # time travel: version 1 is the untouched base, v2 the mid state
+    old = lake.read(version=1).take_all()
+    assert len(old) == CFG.n_docs
+    mid_oracle = apply_events(
+        [events_table(CFG, 0, 450)], state_from_base(base_table(CFG))
+    )
+    mid = lake.read(version=v2).count()
+    assert mid == len(mid_oracle)
+
+    # rescale 4 → 8 partitions; state identical
+    before = lake.read_table()
+    m = lake.rescale(8)
+    assert m.num_partitions == 8
+    assert len(m.partitions) == 8
+    after = lake.read_table()
+    assert before.equals(after)
+    assert m.lineage[-1]["kind"] == "RESCALE"
+
+    # replay after rescale still matches the oracle (no more events: no-op)
+    assert lake.replay(ev_dir) is None
+    final_oracle = apply_events([events_table(CFG)], state_from_base(base_table(CFG)))
+    want = state_to_table(final_oracle, m.schema)
+    got = lake.read_table()
+    assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+    assert got["tokens"].to_pylist() == want["tokens"].to_pylist()
+
+
+def test_replay_more_after_rescale(ray_session, tmp_path):
+    base_dir, ev_dir, lake_dir = (str(tmp_path / d) for d in ("b", "e", "l"))
+    write_base(CFG, base_dir, shards=1)
+    write_events(CFG, ev_dir, shards=2)
+    lake = CDCLake(lake_dir)
+    lake.init_from(base_dir, num_partitions=4)
+    lake.replay(ev_dir, lsn_hi=300)
+    lake.rescale(8)
+    lake.replay(ev_dir)  # rest of the stream into the NEW partitioning
+    oracle = apply_events([events_table(CFG)], state_from_base(base_table(CFG)))
+    want = state_to_table(oracle, lake.manifest().schema)
+    got = lake.read_table()
+    assert got["tokens"].to_pylist() == want["tokens"].to_pylist()
