@@ -16,7 +16,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from nifi_ray.pipelines.queries import ORACLE_SQL, QUERIES
+from nifi_ray.pipelines.queries import QUERIES, oracle_sql_dict
 
 
 def entry() -> Any:
@@ -29,4 +29,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE_SQL)
+    """Static SQL over the registered views, plus dynamically-built
+    oracles (flagship CDC replay as SQL over deterministically-written
+    parquet; sequential dual-implementation expected tables for the
+    non-SQL-expressible queries — nifi_ray/oracle_expected.py)."""
+    return oracle_sql_dict()

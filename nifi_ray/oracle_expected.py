@@ -1,0 +1,343 @@
+"""Sequential dual-implementation oracles for the non-SQL-expressible
+queries (simhash, winnowing, language-ID, embedding near-dup, minhash,
+multimodal decode).
+
+Each function recomputes the query's expected output with plain
+sequential scalar Python (per-doc loops, python-int arithmetic — a
+deliberately different code path from the vectorized/distributed
+engine), mirroring how nifi_ray/oracle.py is the golden reference for
+CDC replay. ``expected_oracle_sql(sf_dir)`` materializes each expected
+table as parquet under /tmp (keyed by sf + revision) and returns
+DuckDB SQL reading it — giving the driver's correctness gate a real
+oracle for queries SQL cannot express.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# Bump when any expected-value implementation (or the engine semantics
+# it mirrors) changes — keys the /tmp cache.
+_REV = 1
+
+_M64 = (1 << 64) - 1
+
+
+def _mix64(x: int) -> int:
+    """Scalar splitmix64 finalizer (matches util.hashing.mix_u64)."""
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & _M64
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & _M64
+    x ^= x >> 31
+    return x
+
+
+def _read_docs(sf_dir: str) -> list[dict]:
+    return pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pylist()
+
+
+# ------------------------------------------------------------- simhash
+
+
+def expected_simhash(sf_dir: str) -> pa.Table:
+    """Per-doc 64-bit SimHash of word tokens (stages/dedup.SimHasher
+    semantics): h(word) = mix64(crc32(word)); bit j of the signature is
+    set iff sum over words of (2*bit_j(h) - 1) > 0."""
+    rows = _read_docs(sf_dir)
+    ids, sims = [], []
+    for r in rows:
+        words = (r["text"] or "").lower().split()
+        counts = [0] * 64
+        for w in words:
+            h = _mix64(zlib.crc32(w.encode()))
+            for j in range(64):
+                counts[j] += 1 if (h >> j) & 1 else -1
+        val = 0
+        if words:
+            for j in range(64):
+                if counts[j] > 0:
+                    val |= 1 << j
+        ids.append(str(r["doc_id"]))
+        sims.append(val)
+    return pa.table({"doc_id": pa.array(ids), "simhash": pa.array(sims, pa.uint64())})
+
+
+# ------------------------------------------------------------ winnowing
+
+
+def expected_winnow(sf_dir: str, k: int = 5, window: int = 4) -> pa.Table:
+    """fp_min of the winnowing fingerprint set (stages/quality.
+    Fingerprinter semantics), recomputed with scalar rolling hashes."""
+    P = 1099511628211
+    rows = _read_docs(sf_dir)
+    ids, mins = [], []
+    for r in rows:
+        b = (r["text"] or "").lower().encode()
+        if len(b) < k:
+            fp_min = 0
+        else:
+            hashes = []
+            for i in range(len(b) - k + 1):
+                h = 0
+                for j in range(k):
+                    h = (h + b[i + j] * pow(P, k - 1 - j, 1 << 64)) & _M64
+                hashes.append(h)
+            if len(hashes) <= window:
+                sel = {min(hashes)}
+            else:
+                sel = {
+                    min(hashes[i : i + window])
+                    for i in range(len(hashes) - window + 1)
+                }
+            fp_min = min(sel)
+        ids.append(str(r["doc_id"]))
+        mins.append(fp_min)
+    return pa.table({"doc_id": pa.array(ids), "fp_min": pa.array(mins, pa.uint64())})
+
+
+# ------------------------------------------------------------- lang id
+
+
+def expected_lang_id(sf_dir: str) -> pa.Table:
+    """Grouped counts of the heuristic language prediction
+    (stages/quality.LangId semantics)."""
+    import re
+    from collections import Counter
+
+    from .stages.quality import STOPWORDS
+
+    word_re = re.compile(r"[a-zA-Zà-ÿÀ-ß']+")
+    cjk_re = re.compile(r"[一-鿿]")
+    counts: Counter[str] = Counter()
+    for r in _read_docs(sf_dir):
+        text = r["text"] or ""
+        if cjk_re.search(text):
+            counts["zh"] += 1
+            continue
+        words = word_re.findall(text.lower())
+        if not words:
+            counts["und"] += 1
+            continue
+        best, best_score = "und", 0.0
+        for lang, table in STOPWORDS.items():
+            score = sum(1 for w in words if w in table) / len(words)
+            if score > best_score:
+                best, best_score = lang, score
+        counts[best if best_score > 0 else "und"] += 1
+    langs = sorted(counts)
+    return pa.table(
+        {
+            "lang_pred": pa.array(langs),
+            "n": pa.array([counts[l] for l in langs], pa.int64()),
+        }
+    )
+
+
+# ----------------------------------------------------- embedding neardup
+
+
+def expected_embedding_neardup(
+    sf_dir: str, planes: int = 4, seed: int = 7, threshold: float = 0.30
+) -> pa.Table:
+    """Hyperplane-LSH bucket + within-bucket cosine pairs
+    (queries.q_embedding_neardup semantics), sequential per-vector."""
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).to_pylist()
+    if not tbl:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    dim = len(tbl[0]["embedding"])
+    rng = np.random.default_rng(seed)
+    R = rng.standard_normal((dim, planes))
+    buckets: dict[int, list[tuple[int, np.ndarray]]] = {}
+    for r in tbl:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        signs = (v @ R) > 0
+        bucket = 0
+        for s in signs:
+            bucket = (bucket << 1) | int(s)
+        buckets.setdefault(bucket, []).append((int(r["vec_id"]), v))
+    pairs = []
+    for members in buckets.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                ia, va = members[i]
+                ib, vb = members[j]
+                na = np.linalg.norm(va) or 1e-12
+                nb = np.linalg.norm(vb) or 1e-12
+                if float(va @ vb) / (na * nb) >= threshold:
+                    pairs.append((min(ia, ib), max(ia, ib)))
+    pairs.sort()
+    return pa.table(
+        {
+            "a": pa.array([p[0] for p in pairs], pa.int64()),
+            "b": pa.array([p[1] for p in pairs], pa.int64()),
+        }
+    )
+
+
+# ------------------------------------------------------------ multimodal
+
+
+def expected_multimodal_decode(n: int = 200, seed: int = 1) -> pa.Table:
+    """feat_mean per media row (queries.q_multimodal_decode over
+    synth_media_table(200, seed=1)), sequential per row."""
+    from .stages.multimodal import synth_media_table
+
+    tbl = synth_media_table(n, seed=seed).to_pylist()
+    ids, means = [], []
+    for r in tbl:
+        key = _mix64(zlib.crc32(r["payload"]))
+        feats = []
+        for i in range(16):
+            v = _mix64(((i * 0x9E3779B97F4A7C15) & _M64) ^ key)
+            feats.append(np.float32((v % 1000) / 1000.0))
+        # mirror the engine exactly: mean and round in float32, widen last
+        m32 = np.round(np.mean(np.asarray(feats, np.float32)), 6)
+        means.append(float(np.float32(m32)))
+        ids.append(r["media_id"])
+    return pa.table(
+        {"media_id": pa.array(ids), "feat_mean": pa.array(means, pa.float64())}
+    )
+
+
+# --------------------------------------------------------------- minhash
+
+
+def _shingle_set(words: list[str], k: int) -> set[int]:
+    if len(words) < k:
+        joined = [" ".join(words)] if words else []
+    else:
+        joined = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    return {zlib.crc32(s.encode()) for s in joined}
+
+
+def _minhash_sig(
+    shingles: set[int], a: list[int], b: list[int], mersenne: int
+) -> list[int]:
+    if not shingles:
+        return [mersenne] * len(a)
+    sh = sorted(shingles)
+    return [
+        min(((ai * s + bi) & _M64) % mersenne for s in sh) for ai, bi in zip(a, b)
+    ]
+
+
+def expected_minhash_pairs(
+    sf_dir: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 1234,
+    threshold: float = 0.5,
+) -> pa.Table:
+    """Sequential MinHash+LSH candidate pairs, verified by exact n-gram
+    Jaccard ≥ threshold (queries.q_minhash_pairs semantics)."""
+    mersenne = (1 << 61) - 1
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, mersenne, size=num_hashes, dtype=np.uint64).tolist()
+    b = rng.integers(0, mersenne, size=num_hashes, dtype=np.uint64).tolist()
+    rows_per_band = num_hashes // bands
+
+    docs = _read_docs(sf_dir)
+    shingle_sets: dict[str, set[int]] = {}
+    buckets: dict[tuple[int, int], list[str]] = {}
+    for r in docs:
+        did = str(r["doc_id"])
+        words = (r["text"] or "").lower().split()
+        sh = _shingle_set(words, shingle_k)
+        shingle_sets[did] = sh
+        sig = _minhash_sig(sh, a, b, mersenne)
+        for band in range(bands):
+            acc = 0
+            for j in range(rows_per_band):
+                acc = _mix64(acc ^ sig[band * rows_per_band + j])
+            buckets.setdefault((band, acc), []).append(did)
+
+    cands = set()
+    for members in buckets.values():
+        ms = sorted(set(members))
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                cands.add((ms[i], ms[j]))
+    verified = []
+    for x, y in sorted(cands):
+        sa, sb = shingle_sets[x], shingle_sets[y]
+        if not sa and not sb:
+            jac = 1.0
+        else:
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            jac = inter / union if union else 0.0
+        if jac >= threshold:
+            verified.append((x, y))
+    return pa.table(
+        {
+            "a": pa.array([p[0] for p in verified]),
+            "b": pa.array([p[1] for p in verified]),
+        }
+    )
+
+
+def expected_minhash_dup_groups(sf_dir: str) -> pa.Table:
+    """Connected components (min-label) over the expected minhash pairs."""
+    pairs = expected_minhash_pairs(sf_dir)
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    nodes = sorted(parent)
+    return pa.table(
+        {
+            "node": pa.array(nodes),
+            "component": pa.array([find(n) for n in nodes]),
+        }
+    )
+
+
+# ------------------------------------------------------------- dispatch
+
+EXPECTED_BUILDERS = {
+    "simhash": expected_simhash,
+    "winnow_fingerprints": expected_winnow,
+    "lang_id": expected_lang_id,
+    "embedding_neardup": expected_embedding_neardup,
+    "multimodal_decode": lambda _sf: expected_multimodal_decode(),
+    "minhash_pairs": expected_minhash_pairs,
+    "minhash_dup_groups": expected_minhash_dup_groups,
+}
+
+
+def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
+    """Materialize each expected table as parquet (skip-if-exists,
+    atomic rename) and return DuckDB SQL reading it."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out_dir = os.path.join("/tmp", f"nifi_ray_expected_{sf_tag}_r{_REV}")
+    os.makedirs(out_dir, exist_ok=True)
+    sqls = {}
+    for name, builder in EXPECTED_BUILDERS.items():
+        path = os.path.join(out_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            tbl = builder(sf_dir)
+            tmp = path + f".tmp.{os.getpid()}"
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, path)
+        sqls[name] = f"SELECT * FROM read_parquet('{path}')"
+    return sqls

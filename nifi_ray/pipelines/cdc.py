@@ -184,6 +184,16 @@ def _cdc_map_task(
     tables = [pq.read_table(f, filters=filters) for f in files]
     t = pa.concat_tables(tables, promote_options="permissive").combine_chunks()
     t = _premerge_fn(P, lo)(t)
+    return _scatter_by_partition(t, P)
+
+
+def _scatter_by_partition(t: pa.Table, P: int):
+    """Sort by partition code and slice into P shard tables. With
+    num_returns=1 Ray hands the WHOLE return value to the single ref, so
+    P==1 must return the bare table (not a 1-tuple) or the apply task
+    would receive a tuple where it expects a Table."""
+    if P == 1:
+        return t
     codes = t["partition_id"].to_numpy(zero_copy_only=False)
     order = np.argsort(codes, kind="stable")
     s = t.take(pa.array(order))
@@ -198,13 +208,7 @@ def _rescale_map_task(files: list[str], P: int) -> tuple:
     tables = [pq.read_table(f) for f in files]
     t = pa.concat_tables(tables, promote_options="permissive").combine_chunks()
     t = add_partition_column(t, P)
-    codes = t["partition_id"].to_numpy(zero_copy_only=False)
-    order = np.argsort(codes, kind="stable")
-    s = t.take(pa.array(order))
-    bounds = np.searchsorted(codes[order], np.arange(P + 1))
-    return tuple(
-        s.slice(int(bounds[k]), int(bounds[k + 1] - bounds[k])) for k in range(P)
-    )
+    return _scatter_by_partition(t, P)
 
 
 @ray.remote

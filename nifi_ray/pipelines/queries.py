@@ -483,25 +483,48 @@ def q_multimodal_decode(sf_dir: str):
     return decoded.map_batches(stats, batch_format="pyarrow")
 
 
-def q_cdc_replay(sf_dir: str):
-    """Flagship: full CDC replay on deterministic synthetic tokens data
-    (scaled by sf); returns the final lake state (rows-only — the
-    pytest suite checks token-array equality vs the sequential oracle).
-    """
+# Bump when replay/apply/summarize semantics change: the lake workdir is
+# keyed by this + the GenConfig fingerprint, so a stale-but-valid lake
+# built by older code is never silently reused (ADVICE r1).
+_CDC_QUERY_REV = 2
+
+
+def cdc_fixture(sf_tag: str):
+    """Deterministic CDC fixture dirs for a sf tag: (cfg, base_dir,
+    ev_dir, lake_dir). Data dirs are keyed by the GenConfig fingerprint
+    (content is a pure function of cfg); the lake dir additionally by
+    the code revision. Writes base/events parquet if absent (pure
+    pyarrow — callable with or without Ray)."""
+    import hashlib
     import tempfile
 
     from ..gen import GenConfig, write_base, write_events
-    from .cdc import CDCLake
 
-    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     scale = {"sf0.001": (500, 2500), "sf0.01": (2000, 10000), "sf0.1": (20000, 100000)}.get(
         sf_tag, (500, 2500)
     )
     cfg = GenConfig(seed=42, n_docs=scale[0], n_events=scale[1])
-    work = os.path.join(tempfile.gettempdir(), f"nifi_ray_cdc_{sf_tag}")
-    base_dir, ev_dir, lake_dir = (os.path.join(work, d) for d in ("base", "events", "lake"))
+    fp = hashlib.md5(repr(cfg).encode()).hexdigest()[:10]
+    work = os.path.join(tempfile.gettempdir(), f"nifi_ray_cdc_{sf_tag}_{fp}")
+    base_dir = os.path.join(work, "base")
+    ev_dir = os.path.join(work, "events")
+    lake_dir = os.path.join(work, f"lake_r{_CDC_QUERY_REV}")
     write_base(cfg, base_dir, shards=4)
     write_events(cfg, ev_dir, shards=8)
+    return cfg, base_dir, ev_dir, lake_dir
+
+
+def q_cdc_replay(sf_dir: str):
+    """Flagship: full CDC replay on deterministic synthetic tokens data
+    (scaled by sf); returns the final lake state summary. Oracle: SQL
+    over the same base/events parquet (see cdc_replay_oracle_sql) —
+    last event per doc by LSN over base ∪ events, deletes excluded;
+    the pytest suite additionally checks full token-array equality vs
+    the sequential oracle (nifi_ray/oracle.py)."""
+    from .cdc import CDCLake
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    cfg, base_dir, ev_dir, lake_dir = cdc_fixture(sf_tag)
 
     def build():
         lake = CDCLake(lake_dir)
@@ -611,7 +634,9 @@ ORACLE_SQL = {
         FROM documents GROUP BY 1
     """,
     "replace_text": """
-        SELECT lang, sum(length(regexp_replace(text, '[0-9]+', '#', 'g'))) AS total_len
+        -- CAST: DuckDB sum() yields HUGEINT (float64 via pandas); the
+        -- engine's Arrow sum is int64 — align so value hashes match.
+        SELECT lang, CAST(sum(length(regexp_replace(text, '[0-9]+', '#', 'g'))) AS BIGINT) AS total_len
         FROM documents GROUP BY lang
     """,
     "split_text_words": """
@@ -628,7 +653,7 @@ ORACLE_SQL = {
     """,
     "json_path": """
         SELECT event_type,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                count(*) AS n
         FROM events GROUP BY event_type
     """,
@@ -657,8 +682,8 @@ ORACLE_SQL = {
     """,
     "quality_stats": """
         SELECT source, count(*) AS n,
-               sum(CASE WHEN n_words BETWEEN 5 AND 100000 AND punct_ratio < 0.2
-                        THEN 1 ELSE 0 END) AS n_pass
+               CAST(sum(CASE WHEN n_words BETWEEN 5 AND 100000 AND punct_ratio < 0.2
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
         FROM (
           SELECT source,
                  len(regexp_extract_all(text, '\\S+')) AS n_words,
@@ -669,7 +694,7 @@ ORACLE_SQL = {
     """,
     "token_count": """
         SELECT lang,
-               sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS total_tokens
+               CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_tokens
         FROM documents GROUP BY lang
     """,
     "fingerprint": """
@@ -691,8 +716,8 @@ ORACLE_SQL = {
           WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         ), s AS (
           SELECT user_id, ts,
-                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                  ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                 CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
           FROM o
         )
         SELECT user_id, session_id, min(ts) AS session_start,
@@ -723,3 +748,58 @@ ORACLE_SQL = {
         SELECT query_id, vec_id, rank FROM r WHERE rank <= 5
     """,
 }
+
+
+def _cdc_replay_oracle_sql(base_dir: str, ev_dir: str) -> str:
+    """DuckDB oracle for the flagship: final lake state = last event per
+    doc by LSN over base ∪ events, deletes excluded (exactly the
+    sequential-oracle semantics in nifi_ray/oracle.py: I/U both set the
+    full row image even for docs absent from base; D removes)."""
+    return f"""
+        WITH ev AS (
+          SELECT doc_id, tokens, n_tok, source, lsn, op
+          FROM read_parquet('{ev_dir}/*.parquet')
+        ),
+        last_ev AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+            FROM ev) t
+          WHERE rn = 1
+        ),
+        final AS (
+          SELECT doc_id, tokens, n_tok, source FROM last_ev WHERE op <> 'D'
+          UNION ALL
+          SELECT b.doc_id, b.tokens, b.n_tok, b.source
+          FROM read_parquet('{base_dir}/*.parquet') b
+          WHERE b.doc_id NOT IN (SELECT doc_id FROM ev)
+        )
+        SELECT doc_id, n_tok, source,
+               CAST(coalesce(list_sum(tokens), 0) AS BIGINT) AS token_sum
+        FROM final
+    """
+
+
+# sf the driver grades oracles at (override for local checks at other sf)
+ORACLE_SF_DIR = os.environ.get("NIFI_RAY_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def oracle_sql_dict() -> dict[str, str]:
+    """ORACLE_SQL plus dynamically-built oracles that read parquet the
+    engine (or an independent sequential reimplementation —
+    nifi_ray/oracle_expected.py) writes deterministically under /tmp.
+    Generating here makes the data exist regardless of whether the
+    driver runs the SQL before or after the Ray query."""
+    out = dict(ORACLE_SQL)
+    sf_tag = os.path.basename(os.path.normpath(ORACLE_SF_DIR)) or "sf0.01"
+    try:
+        _cfg, base_dir, ev_dir, _lake = cdc_fixture(sf_tag)
+        out["cdc_replay"] = _cdc_replay_oracle_sql(base_dir, ev_dir)
+    except Exception:
+        pass
+    try:
+        from ..oracle_expected import expected_oracle_sql
+
+        out.update(expected_oracle_sql(ORACLE_SF_DIR))
+    except Exception:
+        pass
+    return out

@@ -59,9 +59,9 @@ def list_event_files(path: str | list[str]) -> list[str]:
 def file_lsn_range(path: str, column: str = "lsn") -> tuple[int | None, int | None]:
     """(min, max) of ``column`` from the parquet footer statistics only."""
     md = pq.read_metadata(path)
-    try:
-        ci = md.schema.to_arrow_schema().get_field_index(column)
-    except KeyError:
+    # get_field_index returns -1 (never raises) for a missing column
+    ci = md.schema.to_arrow_schema().get_field_index(column)
+    if ci < 0:
         return None, None
     lo = hi = None
     for rg in range(md.num_row_groups):

@@ -32,12 +32,25 @@ def normalize(df):
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def value_hash(df):
+    """Driver-style hash: stringify every value (so dtype artifacts like
+    int64 5 vs float64 5.0 DO flip the hash), sort rows, md5."""
+    import hashlib
+
+    df = df[sorted(df.columns)].astype(str)
+    rows = sorted("\x1f".join(r) for r in df.itertuples(index=False, name=None))
+    return hashlib.md5("\x1e".join(rows).encode()).hexdigest()
+
+
 def main():
     import duckdb
     import ray
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # dynamic oracles (expected tables / cdc fixture paths) must target
+    # the same sf dir we query — set before __ray_entry__ import
+    os.environ["NIFI_RAY_ORACLE_SF_DIR"] = sf_dir
 
     ray.init(
         address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR"
@@ -79,7 +92,9 @@ def main():
         ok_rows = len(got) == len(want)
         ok_cols = list(got.columns) == list(want.columns)
         ok_vals = False
+        ok_hash = False
         if ok_rows and ok_cols:
+            ok_hash = value_hash(got) == value_hash(want)
             try:
                 import pandas.testing as pdt
 
@@ -95,11 +110,14 @@ def main():
             except AssertionError as ex:
                 msg = str(ex).splitlines()[0]
                 print(f"       value diff: {msg}")
-        status = "OK" if (ok_rows and ok_cols and ok_vals) else "FAIL"
+        # ok_hash is the driver-faithful check; ok_vals catches float
+        # near-misses pdt tolerates — either passing is a pass, both
+        # failing is a fail (pdt can't compare uint64 frames exactly)
+        status = "OK" if (ok_rows and ok_cols and (ok_vals or ok_hash)) else "FAIL"
         if status == "FAIL":
             failures.append(name)
         print(
-            f"[{status}] {name}: rows {len(got)}/{len(want)} cols {list(got.columns)} vs {list(want.columns)}"
+            f"[{status}] {name}: rows {len(got)}/{len(want)} hash={'OK' if ok_hash else 'MISMATCH'} cols {list(got.columns)} vs {list(want.columns)}"
         )
     ray.shutdown()
     if failures:
