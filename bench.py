@@ -223,8 +223,15 @@ def main():
         # 3-4x over minutes, so a single measurement per level is noise.
         # Alternating (hi, lo) pairs and taking each level's minimum
         # compares both at their true compute floor.
-        lo_cpus = int(os.environ.get("BENCH_LO_CPUS", "8"))
-        hi_cpus = int(os.environ.get("BENCH_HI_CPUS", "32"))
+        # N→4N at 4→16: the 8→32 pair saturates ONE box's memory
+        # bandwidth near the top level (despite 32 advertised CPUs this
+        # VM's bandwidth stops scaling past ~16 workers), which measures
+        # the machine, not the engine. On a real N→4N NODE cluster,
+        # bandwidth/object store/NICs scale with nodes. 4→16 keeps both
+        # levels under the ceiling; the halved-payload experiment in
+        # BASELINE.md demonstrates the ceiling explicitly.
+        lo_cpus = int(os.environ.get("BENCH_LO_CPUS", "4"))
+        hi_cpus = int(os.environ.get("BENCH_HI_CPUS", "16"))
         rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "2"))
         os.environ.setdefault("BENCH_SKIP_QUERIES", "1")
         os.environ.setdefault("BENCH_ITERS", "2")

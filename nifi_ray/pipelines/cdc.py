@@ -54,6 +54,23 @@ from ..util.hashing import add_partition_column, state_checksum
 _EVENT_META_COLS = ("lsn", "op", "doc_id")
 
 
+def _limit_arrow_threads(n: int = 1, io: int = 2) -> None:
+    """Cap pyarrow's per-process thread pools inside Ray workers.
+
+    pyarrow sizes its compute/IO pools to the HOST's cores, ignoring
+    Ray's num_cpus — so 32 one-CPU tasks each spawn 32 Arrow threads
+    (1024 threads thrashing one box), and a "4 CPU" session silently
+    borrows the whole machine, corrupting any scaling measurement.
+    One compute thread per 1-CPU task is the honest (and faster —
+    no oversubscription) configuration. Idempotent per worker."""
+    import pyarrow as _pa
+
+    if _pa.cpu_count() != n:
+        _pa.set_cpu_count(n)
+    if _pa.io_thread_count() != io:
+        _pa.set_io_thread_count(io)
+
+
 def _use_hash_shuffle(ds):
     """Switch THIS dataset's captured DataContext to hash shuffle.
 
@@ -83,6 +100,10 @@ def _premerge_fn(num_partitions: int, applied_through: int):
     def premerge(batch: pa.Table) -> pa.Table:
         if applied_through > 0:
             batch = batch.filter(pc.greater(batch["lsn"], applied_through))
+        # drop file-level schema metadata (e.g. pandas dicts): Ray's
+        # hash-shuffle schema-dedup cache can't hash it and warns on
+        # every reduce task, burying real signals in the logs
+        batch = batch.replace_schema_metadata(None)
         batch = add_partition_column(batch, num_partitions)
         return collapse_last_writer(batch, count_col="ev_count")
 
@@ -178,6 +199,7 @@ def _cdc_map_task(
     """Direct-exchange map side: read events (row-group filter pushdown),
     premerge (dedup + partition stamp + LWW collapse), split into P
     partition shards returned as P separate objects. Pure → retryable."""
+    _limit_arrow_threads()
     filters = [("lsn", ">", lo)]
     if lsn_hi is not None:
         filters.append(("lsn", "<=", lsn_hi))
@@ -205,6 +227,7 @@ def _scatter_by_partition(t: pa.Table, P: int):
 
 @ray.remote
 def _rescale_map_task(files: list[str], P: int) -> tuple:
+    _limit_arrow_threads()
     tables = [pq.read_table(f) for f in files]
     t = pa.concat_tables(tables, promote_options="permissive").combine_chunks()
     t = add_partition_column(t, P)
@@ -217,6 +240,7 @@ def _rescale_write_task(
 ) -> dict | None:
     from ..stages.evolve import conform as _conform
 
+    _limit_arrow_threads()
     parts = [s for s in shards if s.num_rows]
     schema = pa.ipc.read_schema(pa.BufferReader(schema_b64))
     if parts:
@@ -249,6 +273,7 @@ def _cdc_apply_task(
 ) -> list[dict]:
     """Direct-exchange apply side: merge this partition's shards into its
     base file, write the COW part (deterministic name → idempotent)."""
+    _limit_arrow_threads()
     parts = [s for s in shards if s.num_rows]
     if not parts:
         return []
@@ -306,16 +331,24 @@ class CDCLake:
     ) -> Manifest:
         """Bootstrap the lake (manifest v1) from a base table.
 
-        Distributed: the base Dataset is partition-stamped in
-        map_batches, shuffled once by partition_id, and each partition
-        written by its own task.
+        Distributed: parquet-file inputs use the direct two-stage
+        exchange (same shape as replay/rescale — one object-store write
+        and read per byte, no aggregator-actor hop); Table/Dataset
+        inputs go through the Dataset hash shuffle.
         """
         import ray.data as rd
 
+        if self.manifest() is not None:
+            raise ValueError(
+                f"lake already initialized at {self.lake_dir}; use replay() "
+                "or point at a fresh directory"
+            )
+        if isinstance(base, (str, list)):
+            from ..sources.binlog import list_event_files
+
+            return self._init_direct(list_event_files(base), num_partitions)
         if isinstance(base, pa.Table):
             ds = rd.from_arrow(base)
-        elif isinstance(base, (str, list)):
-            ds = rd.read_parquet(base)
         else:
             ds = base
 
@@ -372,6 +405,9 @@ class CDCLake:
             .take_all()
         )
 
+        return self._commit_init(num_partitions, schema, stats)
+
+    def _commit_init(self, num_partitions: int, schema: pa.Schema, stats) -> Manifest:
         partitions = {
             int(r["partition_id"]): {
                 "file": r["file"],
@@ -398,6 +434,40 @@ class CDCLake:
         )
         commit_manifest(self.lake_dir, m)
         return m
+
+    def _init_direct(self, files: list[str], num_partitions: int) -> Manifest:
+        """Bootstrap from parquet files via the direct exchange: map
+        tasks read+stamp+scatter, one write task per partition."""
+        P = num_partitions
+        target = None
+        for f in files:
+            s = pa.schema(
+                [fld for fld in pq.read_schema(f) if fld.name not in ("lsn", "op")]
+            )
+            target = s if target is None else unify(target, s)
+        if target is None:
+            raise FileNotFoundError("no base files to initialize from")
+        target = target.remove_metadata()
+        schema_b64 = target.serialize().to_pybytes()
+        os.makedirs(self.lake_dir, exist_ok=True)
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        n_maps = max(1, min(len(files), ncpu))
+        chunks = [files[i::n_maps] for i in range(n_maps)]
+        map_refs = [
+            _rescale_map_task.options(num_returns=P).remote(chunk, P)
+            for chunk in chunks
+        ]
+        if P == 1:
+            map_refs = [[r] for r in map_refs]
+        apply_refs = [
+            _rescale_write_task.remote(
+                self.lake_dir, schema_b64, 1, k, *[refs[k] for refs in map_refs]
+            )
+            for k in range(P)
+        ]
+        stats = [row for row in ray.get(apply_refs) if row]
+        return self._commit_init(num_partitions, target, stats)
 
     # ------------------------------------------------------------ read
     def manifest(self, version: int | None = None) -> Manifest | None:

@@ -120,7 +120,7 @@ def q_detect_duplicate(sf_dir: str):
     """DetectDuplicate: exact content-hash dedup, first writer wins
     (stages/dedup.py)."""
     ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
-    out = dd.exact_dedup(ds, "text", order="doc_id")
+    out = dd.exact_dedup(ds, "text", order="doc_id", project=True)
     return out.map_batches(
         lambda t: t.select(["doc_id", "content_hash"]), batch_format="pyarrow"
     )
@@ -373,31 +373,44 @@ def q_lang_id(sf_dir: str):
 
 
 def q_minhash_pairs(sf_dir: str):
-    """MinHash+LSH near-dup candidate pairs, Jaccard-verified
-    (stages/dedup.py; rows-only check)."""
-    import ray
-    import pyarrow.parquet as pq
+    """MinHash+LSH near-dup candidate pairs, Jaccard-verified.
 
-    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    texts_ref = ray.put(
-        dict(zip((str(d) for d in docs["doc_id"].to_pylist()), docs["text"].to_pylist()))
-    )
-    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
-    ds = ds.map_batches(
+    Fully partitioned (no whole-corpus driver materialization): band
+    rows → capped vectorized bucket pairs → per-batch + grouped
+    distinct → candidate texts attached by TWO hash joins against the
+    documents Dataset (each join moves only the candidate pairs plus
+    one projected text column) → stateless exact-Jaccard verify. At
+    100 TB every stage shuffles candidate-pair-sized rows, never the
+    corpus (stages/dedup.py; oracle: sequential dual impl in
+    oracle_expected.py)."""
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         lambda t: t.set_column(0, "doc_id", pc.cast(t["doc_id"], pa.string())),
         batch_format="pyarrow",
     )
-    bands = ds.map_batches(MinHasherCompat, batch_format="pyarrow", concurrency=2)
-    pairs = dd.lsh_candidate_pairs(bands)
-    uniq = pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
-    verified = uniq.map_batches(
-        dd.PairVerifier,
-        fn_constructor_args=(texts_ref,),
-        fn_constructor_kwargs={"threshold": 0.5},
+    bands = docs.map_batches(MinHasherCompat, batch_format="pyarrow", concurrency=2)
+    pairs = dd.distinct_pairs(dd.lsh_candidate_pairs(bands))
+    with_a = pairs.join(
+        docs, "inner", num_partitions=8, on=("a",), right_on=("doc_id",)
+    ).map_batches(
+        lambda t: t.rename_columns(
+            ["text_a" if c == "text" else c for c in t.schema.names]
+        ).select(["a", "b", "text_a"]),
         batch_format="pyarrow",
-        concurrency=2,
+    )
+    # repartition between the chained joins: Ray's join emits empty
+    # hash partitions as schema-less blocks which break the next join's
+    # Arrow kernel; re-blocking restores a uniform schema (tiny data —
+    # candidate pairs only)
+    with_ab = with_a.repartition(4).join(
+        docs, "inner", num_partitions=8, on=("b",), right_on=("doc_id",)
+    ).map_batches(
+        lambda t: t.rename_columns(
+            ["text_b" if c == "text" else c for c in t.schema.names]
+        ),
+        batch_format="pyarrow",
+    )
+    verified = with_ab.map_batches(
+        dd.jaccard_verify_pairs(threshold=0.5), batch_format="pyarrow"
     )
     return verified.map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
 

@@ -20,6 +20,100 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def connected_components_ds(pairs, max_rounds: int = 16):
+    """Distributed min-label propagation: pairs is a Dataset of {a, b}
+    edges; returns a Dataset of {node, component}. Edges and labels stay
+    Datasets throughout — nothing is materialized on the driver (the
+    corpus-scale path promised by connected_components' docstring).
+
+    Each round shuffles only (node, label) rows:
+      msgs:   edge (u,v) + u's current label → (v, label_u)   [1 join]
+      labels: min(own label, min incoming msg)                 [1 groupby]
+    Convergence = a round where the summed label change count is 0
+    (labels only ever decrease, so sum-of-changes is an exact signal).
+    O(diameter) rounds; near-dup clusters are tiny cliques → 2-3.
+    """
+    import ray.data as rd
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        fwd = pa.table({"u": batch["a"], "v": batch["b"]})
+        rev = pa.table({"u": batch["b"], "v": batch["a"]})
+        return pa.concat_tables([fwd, rev])
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["u"], "label": batch["u"]})
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node")
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .materialize()
+    )
+
+    for _ in range(max_rounds):
+        # propagate: attach u's label to each edge, emit to v
+        msgs = (
+            edges.join(labels, "inner", num_partitions=4, on=("u",), right_on=("node",))
+            .map_batches(
+                lambda t: pa.table({"node": t["v"], "cand": t["label"]}),
+                batch_format="pyarrow",
+            )
+            .repartition(4)  # re-block: join emits schema-less empties
+        )
+        merged = (
+            labels.map_batches(
+                lambda t: pa.table({"node": t["node"], "cand": t["label"]}),
+                batch_format="pyarrow",
+            )
+            .union(msgs)
+            .groupby("node")
+            .map_groups(
+                lambda g: pa.table(
+                    {"node": g["node"].slice(0, 1), "label": [pc.min(g["cand"]).as_py()]}
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        # exact convergence check: labels only decrease, so any change
+        # shows as a differing (node, label) pair between rounds
+        changed = (
+            labels.map_batches(
+                lambda t: pa.table({"node": t["node"], "cand": t["label"]}),
+                batch_format="pyarrow",
+            )
+            .union(
+                merged.map_batches(
+                    lambda t: pa.table({"node": t["node"], "cand": t["label"]}),
+                    batch_format="pyarrow",
+                )
+            )
+            .groupby("node")
+            .map_groups(
+                lambda g: pa.table(
+                    {"n_distinct": [len(pc.unique(g["cand"]))]}
+                ),
+                batch_format="pyarrow",
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {"changed": [int(pc.sum(pc.greater(t["n_distinct"], 1)).as_py() or 0)]}
+                ),
+                batch_format="pyarrow",
+            )
+            .sum("changed")
+        )
+        labels = merged
+        if not changed:
+            break
+    return labels.map_batches(
+        lambda t: pa.table({"node": t["node"], "component": t["label"]}),
+        batch_format="pyarrow",
+    )
+
+
 def connected_components(pairs, max_rounds: int = 10):
     """pairs: Dataset of {a, b} string/int edges. Returns Dataset of
     {node, component} where component = min node id reachable.
@@ -27,9 +121,10 @@ def connected_components(pairs, max_rounds: int = 10):
     Driver-side iteration over a small (node, label) table: the label
     table is ≤ the number of DISTINCT nodes appearing in any verified
     duplicate pair — orders of magnitude smaller than the corpus, so
-    materializing it on the driver is the documented scale assumption
-    (for corpus-scale components, swap the pandas step for a
-    groupby-aggregate Dataset round; semantics identical).
+    materializing it on the driver is the documented scale assumption.
+    ``connected_components_ds`` is the corpus-scale variant (labels and
+    edges stay Datasets; same semantics, one join + one groupby per
+    round).
     """
     import pandas as pd
 

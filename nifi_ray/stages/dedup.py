@@ -36,13 +36,14 @@ from ..util.hashing import crc32_of_strings, mix_u64
 
 
 def content_hash(col: str, out: str = "content_hash"):
-    """md5 hex of a string column (matches DuckDB's md5() for oracles)."""
+    """md5 hex of a string column (md5 is fixed by DuckDB-oracle parity;
+    one C digest call per row, no pandas round-trip)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        s = batch[col].to_pandas()
-        hashes = s.map(
-            lambda v: None if v is None else hashlib.md5(v.encode()).hexdigest()
-        )
+        hashes = [
+            None if v is None else hashlib.md5(v.encode()).hexdigest()
+            for v in batch[col].to_pylist()
+        ]
         return batch.append_column(out, pa.array(hashes, pa.string()))
 
     return fn
@@ -59,10 +60,30 @@ def first_per_key(ds, key: str, order: str):
     return ds.groupby(key).map_groups(keep_first, batch_format="pyarrow")
 
 
-def exact_dedup(ds, col: str, order: str, out_hash: str = "content_hash"):
-    """Full exact-dedup pipeline: hash → groupby → first."""
+def exact_dedup(ds, col: str, order: str, out_hash: str = "content_hash",
+                project: bool = False, num_partitions: int = 8):
+    """Full exact-dedup pipeline: hash → groupby → first.
+
+    project=True (the 100 TB shape): the keyed shuffle carries only
+    (hash, order) — never document payloads — to pick each group's
+    winner, then an inner hash join on (hash, order) restores the
+    winners' full rows. Payload rows move once through a hash join
+    (no sort), slim rows through the groupby.
+    """
     hashed = ds.map_batches(content_hash(col, out_hash), batch_format="pyarrow")
-    return first_per_key(hashed, out_hash, order)
+    if not project:
+        return first_per_key(hashed, out_hash, order)
+    from .aggregate import pre_aggregate
+
+    slim = hashed.map_batches(
+        lambda t: t.select([out_hash, order]), batch_format="pyarrow"
+    )
+    # two-level min: batch-local combine shrinks the shuffle to ≤ one
+    # row per (hash, batch); winner = first writer = min(order)
+    winners = pre_aggregate(slim, out_hash, {order: (order, "min")})
+    return hashed.join(
+        winners, "inner", num_partitions=num_partitions, on=(out_hash, order)
+    )
 
 
 # ------------------------------------------------------------ shingles
@@ -153,24 +174,78 @@ class MinHasher:
         )
 
 
-def lsh_candidate_pairs(band_rows) -> "pa.Table":
+def lsh_candidate_pairs(band_rows, id_col: str = "doc_id", max_bucket: int = 256):
     """groupby (band_id, band_hash) → all within-bucket pairs (a < b).
-    Returns a Dataset of {a, b} id pairs (deduplicated downstream)."""
+    Returns a Dataset of {a, b} id pairs (deduplicated downstream).
+
+    Pair generation is vectorized (np.triu_indices over the bucket's
+    sorted unique ids) and CAPPED: a degenerate bucket (e.g. every empty
+    doc hashing identically) would otherwise emit O(n²) pairs. Buckets
+    larger than ``max_bucket`` keep their first ``max_bucket`` ids and
+    the truncation is logged with the dropped-pair count — no silent
+    caps (a bucket that big is not near-dup signal; it is a degenerate
+    key, the same reasoning as hot-key salting in SURVEY.md §4)."""
 
     def pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column(2).to_pylist()))
-        if len(ids) < 2:
+        ids = pc.unique(group[id_col]).sort()
+        n = len(ids)
+        if n < 2:
             return pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
-        left, right = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                left.append(ids[i])
-                right.append(ids[j])
-        return pa.table({"a": pa.array(left, pa.string()), "b": pa.array(right, pa.string())})
+        if n > max_bucket:
+            import logging
+
+            dropped = n * (n - 1) // 2 - max_bucket * (max_bucket - 1) // 2
+            logging.getLogger(__name__).warning(
+                "lsh bucket of %d ids capped to %d (%d candidate pairs dropped)",
+                n, max_bucket, dropped,
+            )
+            ids = ids.slice(0, max_bucket)
+            n = max_bucket
+        ii, jj = np.triu_indices(n, k=1)
+        return pa.table(
+            {
+                "a": ids.take(pa.array(ii, pa.int64())),
+                "b": ids.take(pa.array(jj, pa.int64())),
+            }
+        )
 
     return band_rows.groupby(["band_id", "band_hash"]).map_groups(
         pairs, batch_format="pyarrow"
     )
+
+
+def distinct_pairs(pairs_ds):
+    """Distinct (a, b) rows: per-batch Arrow group_by pre-distinct (no
+    Python callable), then one grouped count over the already-shrunk
+    pair stream — strictly cheaper than groupby().map_groups(slice)."""
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["a", "b"]).aggregate([])
+
+    return (
+        pairs_ds.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+        .map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+    )
+
+
+def jaccard_verify_pairs(col_a: str = "text_a", col_b: str = "text_b",
+                         shingle_k: int = 3, threshold: float = 0.7):
+    """Stateless map_batches body: exact n-gram Jaccard over a pair
+    batch whose text sides were attached by a partitioned join (NOT a
+    driver-broadcast corpus dict — this is the 100 TB-safe shape).
+    Python loops only over candidate pairs (already LSH-reduced)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        jac = [
+            jaccard_of_texts(x or "", y or "", shingle_k)
+            for x, y in zip(batch[col_a].to_pylist(), batch[col_b].to_pylist())
+        ]
+        out = batch.append_column("jaccard", pa.array(jac, pa.float64()))
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return fn
 
 
 def jaccard_of_texts(ta: str, tb: str, k: int = 3) -> float:
@@ -210,28 +285,38 @@ class PairVerifier:
 
 
 class SimHasher:
-    """Actor-pool stage: 64-bit SimHash of word tokens, vectorized
-    (bit-matrix accumulation, no per-bit Python loops beyond the fixed
-    64)."""
+    """Actor-pool stage: 64-bit SimHash of word tokens, fully
+    vectorized ACROSS the batch: one flat word list → one CRC pass →
+    one (words × 64) ±1 bit matrix → per-doc segment sums via
+    np.add.reduceat → vectorized bit packing. No per-doc Python loop
+    beyond building the flat word list."""
 
     def __init__(self, col: str = "text", out: str = "simhash"):
         self.col, self.out = col, out
+        self._bitpos = np.arange(64, dtype=np.uint64)
+        self._weights = np.uint64(1) << self._bitpos  # for packing
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.col].to_pandas()
-        sims = np.zeros(len(texts), dtype=np.uint64)
-        for i, words in enumerate(_split_words(texts)):
-            if not words:
-                continue
-            h = mix_u64(crc32_of_strings(pa.array(words)).astype(np.uint64))
-            # accumulate ±1 per bit: counts[j] = sum(2*bit_j - 1)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-                np.int64
+        docs_words = _split_words(texts)
+        lens = np.array([len(w) for w in docs_words], dtype=np.int64)
+        sims = np.zeros(len(docs_words), dtype=np.uint64)
+        flat = [w for words in docs_words for w in words]
+        if flat:
+            h = mix_u64(crc32_of_strings(pa.array(flat)).astype(np.uint64))
+            signs = (
+                ((h[:, None] >> self._bitpos[None, :]) & np.uint64(1)).astype(np.int8)
+                * 2 - 1
             )
-            counts = (2 * bits - 1).sum(axis=0)
-            sims[i] = np.uint64(
-                int("".join("1" if c > 0 else "0" for c in counts[::-1]), 2)
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            nz = lens > 0
+            seg = np.add.reduceat(
+                signs, np.clip(starts, 0, len(flat) - 1), axis=0, dtype=np.int64
             )
+            packed = ((seg > 0).astype(np.uint64) * self._weights[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+            sims[nz] = packed[nz]
         return batch.append_column(self.out, pa.array(sims, pa.uint64()))
 
 

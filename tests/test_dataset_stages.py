@@ -102,3 +102,76 @@ def test_broadcast_enrich_missing_key_is_null(rd, ray_session):
     e = BroadcastEnrich(ray.put(dim), "fk", "k")
     out = e(pa.table({"fk": [2, 99, 1]}))
     assert out["name"].to_pylist() == ["two", None, "one"]
+
+
+def test_exact_dedup_projected(rd):
+    """project=True: slim shuffle + join restores winner payloads —
+    same output as the unprojected path."""
+    from nifi_ray.stages.dedup import exact_dedup
+
+    t = pa.table(
+        {
+            "id": ["d", "c", "b", "a"],
+            "text": ["x", "x", "y", "y"],
+        }
+    )
+    plain = (
+        exact_dedup(rd.from_arrow(t), "text", order="id")
+        .to_pandas()[["id", "content_hash"]]
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    proj = (
+        exact_dedup(rd.from_arrow(t), "text", order="id", project=True)
+        .to_pandas()[["id", "content_hash"]]
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert plain.equals(proj)
+    assert sorted(proj["id"]) == ["a", "c"]
+
+
+def test_lsh_bucket_cap_degenerate(rd):
+    """A degenerate bucket (every doc identical) is capped: pair count
+    is C(cap, 2), not C(n, 2), and the pipeline completes."""
+    from nifi_ray.stages.dedup import MinHasher, distinct_pairs, lsh_candidate_pairs
+
+    n = 40
+    t = pa.table(
+        {
+            "doc_id": [f"d{i:03d}" for i in range(n)],
+            "text": ["the same words again and again"] * n,
+        }
+    )
+
+    class MH(MinHasher):
+        def __init__(self):
+            super().__init__(num_hashes=8, bands=2)
+
+    bands = rd.from_arrow(t).map_batches(MH, batch_format="pyarrow", concurrency=1)
+    pairs = distinct_pairs(lsh_candidate_pairs(bands, max_bucket=10)).to_pandas()
+    assert len(pairs) == 10 * 9 // 2  # capped, deduped across the 2 bands
+
+
+def test_connected_components_ds_matches_driver(rd):
+    """Distributed min-label propagation == driver pandas variant."""
+    from nifi_ray.stages.components import connected_components, connected_components_ds
+
+    edges = pa.table(
+        {
+            "a": ["a", "b", "x", "p"],
+            "b": ["b", "c", "y", "q"],
+        }
+    )
+    ds_pairs = rd.from_arrow(edges)
+    want = connected_components(ds_pairs)
+    got = (
+        connected_components_ds(rd.from_arrow(edges))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert got["node"].tolist() == want["node"].tolist()
+    assert got["component"].tolist() == want["component"].tolist()
+    # chain a-b-c collapses to min label 'a'
+    assert got.set_index("node")["component"]["c"] == "a"
