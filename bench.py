@@ -131,8 +131,16 @@ def run_bench() -> dict:
 
     sf_tag = os.path.basename(os.path.normpath(SF_DIR))
     n_docs, n_events, parts = SCALES.get(sf_tag, SCALES["sf0.1"])
-    cfg = GenConfig(seed=42, n_docs=n_docs, n_events=n_events)
-    work = f"/tmp/nifi_ray_bench_{sf_tag}"
+    # BENCH_MAX_TOKENS: payload-size override for the bandwidth-ceiling
+    # experiment (halve the payload; if events/s rises ~proportionally
+    # the box is bytes-bound, not per-event-CPU-bound)
+    max_tok = int(os.environ.get("BENCH_MAX_TOKENS", "0")) or None
+    if max_tok:
+        cfg = GenConfig(seed=42, n_docs=n_docs, n_events=n_events, max_tokens=max_tok)
+        work = f"/tmp/nifi_ray_bench_{sf_tag}_mt{max_tok}"
+    else:
+        cfg = GenConfig(seed=42, n_docs=n_docs, n_events=n_events)
+        work = f"/tmp/nifi_ray_bench_{sf_tag}"
     base_dir, ev_dir = f"{work}/base", f"{work}/events"
     warm_workers(NCPU)
     gen_bench_data(cfg, base_dir, ev_dir)

@@ -256,3 +256,169 @@ def json_path_el(col, key: str):  # jsonPath (top-level key)
 
     tbl = pa.table({"c": col})
     return _jp("c", key, "o")(tbl)["o"]
+
+
+def last_index_of(col, s: str):  # lastIndexOf
+    # no Arrow kernel for rfind; per-value C-speed str.rfind
+    return pa.array(
+        [None if v is None else v.rfind(s) for v in _aslist(col)], pa.int64()
+    )
+
+
+def _aslist(col):
+    return (col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col).to_pylist()
+
+
+# ---- date/time -----------------------------------------------------
+
+
+def now(n: int, at: float | None = None):  # now
+    """Column of the current timestamp (ms epoch, NiFi's date unit).
+    ``at`` pins the clock for deterministic tests/pipelines — in a
+    distributed replay the DRIVER stamps the tick time once; tasks must
+    never each call the wall clock (non-reproducible lineage)."""
+    import time as _time
+
+    t = int((_time.time() if at is None else at) * 1000)
+    return pa.array([t] * n, pa.int64())
+
+
+# ---- random / sequence ---------------------------------------------
+
+
+def random_fn(n: int, seed: int, lo: int = 0, hi: int = 1 << 31):  # random
+    """Seeded uniform ints — NiFi's random() is unseeded
+    (RandomNumberGeneratorEvaluator.java); a replayable engine makes the
+    seed explicit so retried tasks regenerate identical values."""
+    import numpy as _np
+
+    rng = _np.random.default_rng(seed)
+    return pa.array(rng.integers(lo, hi, size=n), pa.int64())
+
+
+def next_int(n: int, start: int = 0):  # nextInt (one-up sequence)
+    """Per-batch monotone sequence. NiFi's nextInt is a process-global
+    counter (OneUpSequenceEvaluator.java); the distributed analog is
+    (partition, offset) — pass ``start`` = the batch's global offset."""
+    import numpy as _np
+
+    return pa.array(_np.arange(start, start + n), pa.int64())
+
+
+# ---- host identity -------------------------------------------------
+
+
+def hostname(n: int):  # hostname
+    import socket
+
+    return pa.array([socket.gethostname()] * n)
+
+
+def ip(n: int):  # ip
+    import socket
+
+    try:
+        addr = socket.gethostbyname(socket.gethostname())
+    except OSError:
+        addr = "127.0.0.1"
+    return pa.array([addr] * n)
+
+
+# ---- escape / unescape (CharSequenceTranslatorEvaluator family) ----
+
+_CSV_NEEDS_QUOTE = (",", '"', "\n", "\r")
+
+
+def _esc_xml(v: str) -> str:
+    from xml.sax.saxutils import escape
+
+    return escape(v, {'"': "&quot;", "'": "&apos;"})
+
+
+def _unesc_xml(v: str) -> str:
+    from xml.sax.saxutils import unescape
+
+    return unescape(v, {"&quot;": '"', "&apos;": "'"})
+
+
+def _esc_html(v: str) -> str:
+    import html
+
+    return html.escape(v)
+
+
+def _unesc_html(v: str) -> str:
+    import html
+
+    return html.unescape(v)
+
+
+def _esc_json(v: str) -> str:
+    import json
+
+    return json.dumps(v)[1:-1]
+
+
+def _unesc_json(v: str) -> str:
+    import json
+
+    return json.loads(f'"{v}"')
+
+
+def _esc_csv(v: str) -> str:
+    if any(c in v for c in _CSV_NEEDS_QUOTE):
+        return '"' + v.replace('"', '""') + '"'
+    return v
+
+
+def _unesc_csv(v: str) -> str:
+    if len(v) >= 2 and v[0] == '"' and v[-1] == '"':
+        return v[1:-1].replace('""', '"')
+    return v
+
+
+_ESCAPES = {
+    ("xml", True): _esc_xml, ("xml", False): _unesc_xml,
+    ("html", True): _esc_html, ("html", False): _unesc_html,
+    ("json", True): _esc_json, ("json", False): _unesc_json,
+    ("csv", True): _esc_csv, ("csv", False): _unesc_csv,
+}
+
+
+def escape(col, dialect: str = "xml"):  # escapeXml/escapeHtml4/escapeJson/escapeCsv
+    f = _ESCAPES[(dialect, True)]
+    return pa.array([None if v is None else f(v) for v in _aslist(col)], pa.string())
+
+
+def unescape(col, dialect: str = "xml"):  # unescapeXml/... family
+    f = _ESCAPES[(dialect, False)]
+    return pa.array([None if v is None else f(v) for v in _aslist(col)], pa.string())
+
+
+# ---- selection quantifiers (evaluation/selection/*.java) -----------
+
+
+def any_attribute(batch: pa.Table, cols: list[str], pred):  # anyAttribute
+    """True where ``pred(column)`` holds for ANY of the named columns
+    (pred: pa.Array -> boolean Array; NiFi applies one EL predicate over
+    a multi-attribute selection)."""
+    acc = None
+    for c in cols:
+        m = pc.fill_null(pred(batch[c]), False)
+        acc = m if acc is None else pc.or_(acc, m)
+    return acc if acc is not None else pa.array([False] * batch.num_rows)
+
+
+def all_attributes(batch: pa.Table, cols: list[str], pred):  # allAttributes
+    acc = None
+    for c in cols:
+        m = pc.fill_null(pred(batch[c]), False)
+        acc = m if acc is None else pc.and_(acc, m)
+    return acc if acc is not None else pa.array([True] * batch.num_rows)
+
+
+def any_matching_attribute(batch: pa.Table, pattern: str, pred):  # anyMatchingAttribute
+    import re as _re
+
+    cols = [c for c in batch.schema.names if _re.fullmatch(pattern, c)]
+    return any_attribute(batch, cols, pred)

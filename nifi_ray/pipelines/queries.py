@@ -116,6 +116,20 @@ def q_merge_defragment(sf_dir: str):
     return merge_ordered(ds, key="user_id", order="event_id", piece_col="event_type", sep="|")
 
 
+def q_merge_binpack(sf_dir: str):
+    """MergeContent Bin-Packing: per-user bins of ≤5 events in event_id
+    order; full bins route 'merged', the trailing short bin 'partial'
+    (stages/split_merge.bin_pack; reference MergeContent.java:140-147)."""
+    from ..stages.split_merge import bin_pack
+
+    ds = _t(sf_dir, "events", columns=["user_id", "event_id"])
+    out = bin_pack(ds, key="user_id", order="event_id", min_entries=5, max_entries=5)
+    return out.map_batches(
+        lambda t: t.select(["user_id", "bin_id", "n_items", "relationship"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_detect_duplicate(sf_dir: str):
     """DetectDuplicate: exact content-hash dedup, first writer wins
     (stages/dedup.py)."""
@@ -184,6 +198,31 @@ def q_json_path(sf_dir: str):
     return pre_aggregate(
         ds, "event_type", {"sum_k": ("k_val", "sum"), "n": ("event_type", "count")}
     )
+
+
+def q_xml_roundtrip(sf_dir: str):
+    """XML family end-to-end: serialize event rows to XML
+    (AttributesToXML analog), parse back with EvaluateXPath, aggregate —
+    oracle is plain SQL on the original events (stages/xml.py;
+    reference STD/EvaluateXPath.java, SplitXml.java)."""
+    from ..stages.xml import evaluate_xpath, rows_to_xml
+
+    ds = _t(sf_dir, "events", columns=["event_type", "value"])
+    as_xml = ds.map_batches(
+        rows_to_xml(["event_type", "value"]), batch_format="pyarrow"
+    ).map_batches(lambda t: t.select(["xml"]), batch_format="pyarrow")
+    parsed = as_xml.map_batches(
+        evaluate_xpath(
+            "xml",
+            {"event_type": "event_type", "value": "value"},
+            types={"value": pa.float64()},
+        ),
+        batch_format="pyarrow",
+    )
+    out = pre_aggregate(
+        parsed, "event_type", {"n": ("event_type", "count"), "total": ("value", "sum")}
+    )
+    return _round(out, {"total": 2})
 
 
 def q_broadcast_enrich(sf_dir: str):
@@ -388,9 +427,14 @@ def q_minhash_pairs(sf_dir: str):
         batch_format="pyarrow",
     )
     bands = docs.map_batches(MinHasherCompat, batch_format="pyarrow", concurrency=2)
-    pairs = dd.distinct_pairs(dd.lsh_candidate_pairs(bands))
+    # materialize the candidate pairs (tiny by design — LSH-reduced) so
+    # the join does not share one streaming execution with the actor
+    # pool: at low CPU counts that co-residency deadlocks the executor
+    # (pool actors + join aggregators pin every slot)
+    pairs = dd.distinct_pairs(dd.lsh_candidate_pairs(bands)).materialize()
     with_a = pairs.join(
-        docs, "inner", num_partitions=8, on=("a",), right_on=("doc_id",)
+        docs, "inner", num_partitions=4, on=("a",), right_on=("doc_id",),
+        aggregator_ray_remote_args={"num_cpus": 0.1},
     ).map_batches(
         lambda t: t.rename_columns(
             ["text_a" if c == "text" else c for c in t.schema.names]
@@ -402,7 +446,8 @@ def q_minhash_pairs(sf_dir: str):
     # Arrow kernel; re-blocking restores a uniform schema (tiny data —
     # candidate pairs only)
     with_ab = with_a.repartition(4).join(
-        docs, "inner", num_partitions=8, on=("b",), right_on=("doc_id",)
+        docs, "inner", num_partitions=4, on=("b",), right_on=("doc_id",),
+        aggregator_ray_remote_args={"num_cpus": 0.1},
     ).map_batches(
         lambda t: t.rename_columns(
             ["text_b" if c == "text" else c for c in t.schema.names]
@@ -579,6 +624,7 @@ QUERIES = {
     "route_events": q_route_events,
     "update_attribute_revenue": q_update_attribute_revenue,
     "merge_defragment": q_merge_defragment,
+    "merge_binpack": q_merge_binpack,
     "detect_duplicate": q_detect_duplicate,
     "extract_first_word": q_extract_first_word,
     "replace_text": q_replace_text,
@@ -587,6 +633,7 @@ QUERIES = {
     "hash_content": q_hash_content,
     "json_path": q_json_path,
     "broadcast_enrich": q_broadcast_enrich,
+    "xml_roundtrip": q_xml_roundtrip,
     "topk_users": q_topk_users,
     "filter_shipdate": q_filter_shipdate,
     "sort_limit": q_sort_limit,
@@ -638,6 +685,16 @@ ORACLE_SQL = {
                count(*) AS n_frags
         FROM events GROUP BY user_id
     """,
+    "merge_binpack": """
+        SELECT user_id, bin_id, count(*) AS n_items,
+               CASE WHEN count(*) >= 5 THEN 'merged' ELSE 'partial' END AS relationship
+        FROM (
+          SELECT user_id,
+                 CAST((row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1) // 5
+                      AS BIGINT) AS bin_id
+          FROM events) t
+        GROUP BY user_id, bin_id
+    """,
     "detect_duplicate": """
         SELECT min(doc_id) AS doc_id, md5(text) AS content_hash
         FROM documents GROUP BY md5(text)
@@ -674,6 +731,10 @@ ORACLE_SQL = {
         SELECT n_name, count(*) AS n, round(sum(c_acctbal), 2) AS sum_acctbal
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
+    """,
+    "xml_roundtrip": """
+        SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        FROM events GROUP BY event_type
     """,
     "topk_users": """
         SELECT user_id, round(sum(value), 2) AS total

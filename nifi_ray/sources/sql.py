@@ -1,0 +1,105 @@
+"""SQL-edge source — ExecuteSQL / QueryDatabaseTable / ListDatabaseTables
+analogs over DuckDB (reference
+nifi-standard-processors/.../standard/ExecuteSQL.java:240,
+QueryDatabaseTable.java:411, ListDatabaseTables.java).
+
+NiFi streams a JDBC ResultSet to Avro (util/JdbcCommon.java:76-177);
+the Arrow-native equivalent is DuckDB's zero-copy ``.arrow()`` fetch →
+``ray.data.from_arrow``. The watermark-bounded incremental form
+(``WHERE maxcol > $state``, QueryDatabaseTable.java:186-348) takes the
+watermark explicitly and returns (dataset, new_watermark) so the caller
+commits it with its manifest — state lives with the sink, never in the
+source (the engine's exactly-once rule).
+
+Scale note: a SQL edge is a driver-side ingest funnel by nature (one
+connection). For large tables prefer ``pages`` (GenerateTableFetch
+semantics: split the scan into ranged SELECTs fanned out as Ray tasks).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def _connect(database: str | None):
+    import duckdb
+
+    return duckdb.connect(database or ":memory:", read_only=bool(database))
+
+
+def read_sql(query: str, database: str | None = None, params=None):
+    """One-shot ExecuteSQL: run ``query``, return a Ray Dataset."""
+    import ray.data as rd
+
+    con = _connect(database)
+    try:
+        tbl = con.execute(query, params or []).arrow()
+    finally:
+        con.close()
+    return rd.from_arrow(tbl)
+
+
+def read_table_incremental(
+    table: str,
+    max_col: str,
+    watermark,
+    database: str | None = None,
+    columns: list[str] | None = None,
+):
+    """QueryDatabaseTable: rows with ``max_col > watermark``; returns
+    (Dataset, new_watermark). The caller persists new_watermark in its
+    commit (manifest), mirroring Scope.CLUSTER state."""
+    import ray.data as rd
+
+    cols = ", ".join(columns) if columns else "*"
+    con = _connect(database)
+    try:
+        tbl = con.execute(
+            f"SELECT {cols} FROM {table} WHERE {max_col} > ? ORDER BY {max_col}",
+            [watermark],
+        ).arrow()
+        hi = con.execute(
+            f"SELECT max({max_col}) FROM {table}"
+        ).fetchone()[0]
+    finally:
+        con.close()
+    new_wm = watermark if hi is None else max(watermark, hi)
+    return rd.from_arrow(tbl), new_wm
+
+
+def generate_table_fetch(
+    table: str,
+    order_col: str,
+    page_size: int,
+    database: str | None = None,
+    where: str | None = None,
+) -> list[str]:
+    """GenerateTableFetch: emit ranged SELECT statements covering the
+    table in ``page_size`` chunks — the shard list a caller fans out as
+    parallel read_sql tasks (GenerateTableFetch.java:258 emits paged
+    statements for downstream parallel fetch the same way)."""
+    con = _connect(database)
+    try:
+        pred = f" WHERE {where}" if where else ""
+        n = con.execute(f"SELECT count(*) FROM {table}{pred}").fetchone()[0]
+    finally:
+        con.close()
+    stmts = []
+    for off in range(0, int(n), page_size):
+        stmts.append(
+            f"SELECT * FROM {table}{pred} ORDER BY {order_col} "
+            f"LIMIT {page_size} OFFSET {off}"
+        )
+    return stmts
+
+
+def list_tables(database: str | None = None) -> pa.Table:
+    """ListDatabaseTables: catalog listing as an Arrow table."""
+    con = _connect(database)
+    try:
+        return con.execute(
+            "SELECT schema_name, table_name, estimated_size AS est_rows "
+            "FROM duckdb_tables()"
+        ).arrow()
+    finally:
+        con.close()

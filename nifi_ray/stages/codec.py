@@ -17,10 +17,24 @@ import lzma as _lzma
 
 import pyarrow as pa
 
+def _snappy_compress(b: bytes) -> bytes:
+    # pyarrow bundles the snappy codec for parquet; reuse it here
+    # (CompressContent.java lists snappy among its modes). Raw snappy
+    # needs the uncompressed size at decompress time, so frame it with
+    # an 8-byte little-endian length prefix.
+    return len(b).to_bytes(8, "little") + pa.Codec("snappy").compress(b, asbytes=True)
+
+
+def _snappy_decompress(b: bytes) -> bytes:
+    n = int.from_bytes(b[:8], "little")
+    return pa.Codec("snappy").decompress(b[8:], decompressed_size=n, asbytes=True)
+
+
 _CODECS = {
     "gzip": (_gzip.compress, _gzip.decompress),
     "bzip2": (_bz2.compress, _bz2.decompress),
     "lzma": (_lzma.compress, _lzma.decompress),
+    "snappy": (_snappy_compress, _snappy_decompress),
 }
 
 
@@ -64,5 +78,82 @@ def modify_bytes(col: str, head: int = 0, tail: int = 0, out: str | None = None)
         if name in batch.schema.names:
             return batch.set_column(batch.schema.get_field_index(name), name, arr)
         return batch.append_column(name, arr)
+
+    return fn
+
+
+def convert_charset(col: str, src: str = "utf-8", dst: str = "utf-8",
+                    out: str | None = None, errors: str = "strict"):
+    """ConvertCharacterSet (reference STD/ConvertCharacterSet.java:182):
+    re-encode a binary payload column from charset ``src`` to ``dst``.
+    String input is first encoded with ``src``; output is binary (the
+    payload stays an opaque blob, as in NiFi)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vals = []
+        for v in batch[col].to_pylist():
+            if v is None:
+                vals.append(None)
+                continue
+            b = v if isinstance(v, bytes) else str(v).encode(src)
+            vals.append(b.decode(src, errors=errors).encode(dst, errors=errors))
+        arr = pa.array(vals, pa.binary())
+        name = out or col
+        if name in batch.schema.names:
+            return batch.set_column(batch.schema.get_field_index(name), name, arr)
+        return batch.append_column(name, arr)
+
+    return fn
+
+
+def unpack_content(col: str, fmt: str = "zip", out: str = "payload",
+                   name_out: str = "entry_name"):
+    """UnpackContent (reference STD/UnpackContent.java:538): explode a
+    zip/tar archive blob into one row per member, carrying the NiFi
+    fragment.* contract for a later merge. In-memory stdlib unpack —
+    archives are per-record payloads, not whole datasets."""
+    import io
+    import tarfile
+    import zipfile
+
+    def members_of(blob: bytes):
+        if fmt == "zip":
+            with zipfile.ZipFile(io.BytesIO(blob)) as z:
+                for info in z.infolist():
+                    if not info.is_dir():
+                        yield info.filename, z.read(info)
+        elif fmt == "tar":
+            with tarfile.open(fileobj=io.BytesIO(blob)) as t:
+                for m in t.getmembers():
+                    if m.isfile():
+                        f = t.extractfile(m)
+                        yield m.name, f.read() if f else b""
+        else:
+            raise ValueError(f"unknown archive format {fmt!r}")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keep = [c for c in batch.schema.names if c != col]
+        parent_idx: list[int] = []
+        names: list[str] = []
+        payloads: list[bytes] = []
+        frag_index: list[int] = []
+        counts: list[int] = []
+        for i, blob in enumerate(batch[col].to_pylist()):
+            if blob is None:
+                continue
+            ms = list(members_of(blob))
+            for j, (name, data) in enumerate(ms):
+                parent_idx.append(i)
+                names.append(name)
+                payloads.append(data)
+                frag_index.append(j)
+                counts.append(len(ms))
+        idx = pa.array(parent_idx, pa.int64())
+        cols = {c: batch[c].take(idx) for c in keep}
+        cols[name_out] = pa.array(names, pa.string())
+        cols[out] = pa.array(payloads, pa.binary())
+        cols["fragment_index"] = pa.array(frag_index, pa.int32())
+        cols["fragment_count"] = pa.array(counts, pa.int32())
+        return pa.table(cols)
 
     return fn

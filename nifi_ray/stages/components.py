@@ -55,7 +55,8 @@ def connected_components_ds(pairs, max_rounds: int = 16):
     for _ in range(max_rounds):
         # propagate: attach u's label to each edge, emit to v
         msgs = (
-            edges.join(labels, "inner", num_partitions=4, on=("u",), right_on=("node",))
+            edges.join(labels, "inner", num_partitions=4, on=("u",), right_on=("node",),
+                       aggregator_ray_remote_args={"num_cpus": 0.1})
             .map_batches(
                 lambda t: pa.table({"node": t["v"], "cand": t["label"]}),
                 batch_format="pyarrow",

@@ -82,7 +82,10 @@ def exact_dedup(ds, col: str, order: str, out_hash: str = "content_hash",
     # row per (hash, batch); winner = first writer = min(order)
     winners = pre_aggregate(slim, out_hash, {order: (order, "min")})
     return hashed.join(
-        winners, "inner", num_partitions=num_partitions, on=(out_hash, order)
+        winners, "inner", num_partitions=num_partitions, on=(out_hash, order),
+        # fractional-CPU aggregators: a full CPU per join partition can
+        # deadlock against actor pools on small clusters/sessions
+        aggregator_ray_remote_args={"num_cpus": 0.1},
     )
 
 

@@ -1,0 +1,161 @@
+"""Log/format parsers and content sniffing — ParseSyslog, ParseCEF,
+IdentifyMimeType analogs (reference
+nifi-standard-processors/.../standard/ParseSyslog.java:150,
+ParseCEF.java:327; STD/IdentifyMimeType.java:168 uses Tika — here a
+magic-byte table covers the formats this engine moves).
+
+Parsers are actor-pool-friendly callable classes: regexes compile once
+per actor (__init__), parsing is per-line (syslog/CEF are line
+protocols; the loop over rows is the operator).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+# RFC3164/RFC5424-ish: <pri>[version ]timestamp host tag: msg
+_SYSLOG_3164 = re.compile(
+    r"^<(?P<pri>\d{1,3})>"
+    r"(?P<ts>[A-Z][a-z]{2}\s+\d{1,2}\s\d{2}:\d{2}:\d{2})\s"
+    r"(?P<host>\S+)\s"
+    r"(?P<tag>[^:\[\s]+)(?:\[(?P<pid>\d+)\])?:?\s?"
+    r"(?P<msg>.*)$"
+)
+_SYSLOG_5424 = re.compile(
+    r"^<(?P<pri>\d{1,3})>(?P<ver>\d)\s"
+    r"(?P<ts>\S+)\s(?P<host>\S+)\s(?P<app>\S+)\s(?P<procid>\S+)\s(?P<msgid>\S+)"
+    r"\s(?:\[.*?\]|-)\s?(?P<msg>.*)$"
+)
+
+
+class ParseSyslog:
+    """Actor-pool stage: parse a syslog line column into typed columns
+    (severity/facility derived from pri exactly as the reference does:
+    facility = pri / 8, severity = pri % 8 — ParseSyslog.java:150)."""
+
+    def __init__(self, col: str = "line"):
+        self.col = col
+        self.re3164, self.re5424 = _SYSLOG_3164, _SYSLOG_5424
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sev, fac, host, body, valid = [], [], [], [], []
+        for line in batch[self.col].to_pylist():
+            m = None
+            if line:
+                m = self.re5424.match(line) or self.re3164.match(line)
+            if m is None:
+                sev.append(None), fac.append(None), host.append(None)
+                body.append(None), valid.append(False)
+                continue
+            pri = int(m.group("pri"))
+            sev.append(pri % 8)
+            fac.append(pri // 8)
+            host.append(m.group("host"))
+            body.append(m.group("msg"))
+            valid.append(True)
+        return (
+            batch.append_column("syslog_severity", pa.array(sev, pa.int32()))
+            .append_column("syslog_facility", pa.array(fac, pa.int32()))
+            .append_column("syslog_hostname", pa.array(host, pa.string()))
+            .append_column("syslog_body", pa.array(body, pa.string()))
+            .append_column("syslog_valid", pa.array(valid, pa.bool_()))
+        )
+
+
+class ParseCEF:
+    """Actor-pool stage: ArcSight CEF lines →
+    CEF:version|vendor|product|device_version|signature|name|severity|extensions.
+    Header fields become columns; the extension key=value tail becomes a
+    map<string,string> column (ParseCEF.java:327 emits them as
+    attributes — a typed map column is the Arrow-native equivalent)."""
+
+    HEADER = ("cef_version", "cef_vendor", "cef_product", "cef_device_version",
+              "cef_signature", "cef_name", "cef_severity")
+
+    def __init__(self, col: str = "line"):
+        self.col = col
+        # split on unescaped pipes; CEF escapes \| and \\ in headers
+        self.split_re = re.compile(r"(?<!\\)\|")
+        self.ext_re = re.compile(r"(\w+)=((?:[^=]|=(?!\S+=))*?)(?=\s+\w+=|$)")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {k: [] for k in self.HEADER}
+        exts: list[dict | None] = []
+        valid = []
+        for line in batch[self.col].to_pylist():
+            if not line or not line.startswith("CEF:"):
+                for k in self.HEADER:
+                    cols[k].append(None)
+                exts.append(None), valid.append(False)
+                continue
+            parts = self.split_re.split(line[4:], maxsplit=7)
+            if len(parts) < 7:
+                for k in self.HEADER:
+                    cols[k].append(None)
+                exts.append(None), valid.append(False)
+                continue
+            for k, v in zip(self.HEADER, parts[:7]):
+                cols[k].append(v.replace(r"\|", "|").replace("\\\\", "\\"))
+            tail = parts[7] if len(parts) > 7 else ""
+            exts.append({m.group(1): m.group(2) for m in self.ext_re.finditer(tail)})
+            valid.append(True)
+        for k in self.HEADER:
+            batch = batch.append_column(k, pa.array(cols[k], pa.string()))
+        batch = batch.append_column(
+            "cef_extensions", pa.array(exts, pa.map_(pa.string(), pa.string()))
+        )
+        return batch.append_column("cef_valid", pa.array(valid, pa.bool_()))
+
+
+# magic-byte table (first-stage sniffing of every heterogeneous ingest;
+# Tika-lite — the formats this engine's multimodal/codec stages move)
+_MAGIC: list[tuple[bytes, str]] = [
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"%PDF-", "application/pdf"),
+    (b"PK\x03\x04", "application/zip"),
+    (b"\x1f\x8b", "application/gzip"),
+    (b"BZh", "application/x-bzip2"),
+    (b"\xfd7zXZ\x00", "application/x-xz"),
+    (b"PAR1", "application/vnd.apache.parquet"),
+    (b"Obj\x01", "avro/binary"),
+    (b"RIFF", "audio/wav"),
+    (b"ID3", "audio/mpeg"),
+    (b"\x00\x00\x00\x1cftyp", "video/mp4"),
+]
+
+
+def identify_mime(col: str, out: str = "mime_type"):
+    """map_batches body: magic-byte content sniffing → mime.type column
+    (IdentifyMimeType semantics; falls back to xml/json/text heuristics,
+    then application/octet-stream)."""
+
+    def sniff(b: bytes | None) -> str | None:
+        if b is None:
+            return None
+        for magic, mime in _MAGIC:
+            if b.startswith(magic):
+                return mime
+        head = b[:256].lstrip()
+        if head.startswith(b"<?xml") or head.startswith(b"<"):
+            return "application/xml"
+        if head[:1] in (b"{", b"["):
+            return "application/json"
+        try:
+            b[:1024].decode("utf-8")
+            return "text/plain"
+        except UnicodeDecodeError:
+            return "application/octet-stream"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vals = [
+            sniff(v if isinstance(v, (bytes, type(None))) else str(v).encode())
+            for v in batch[col].to_pylist()
+        ]
+        return batch.append_column(out, pa.array(vals, pa.string()))
+
+    return fn

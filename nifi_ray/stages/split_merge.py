@@ -90,6 +90,96 @@ def defragment_fn(
     return fn
 
 
+def bin_pack_fn(
+    key: str,
+    order: str,
+    size_col: str | None = None,
+    min_entries: int = 1,
+    max_entries: int | None = None,
+    min_size: int | None = None,
+    max_size: int | None = None,
+    piece_col: str | None = None,
+    sep: str = "",
+):
+    """map_groups body: MergeContent's Bin-Packing strategy (reference
+    nifi-standard-processors/.../standard/MergeContent.java:140-147; bin
+    fill/flush logic nifi-processor-utilities/.../bin/BinManager.java:119-205).
+
+    One group = one correlation-key's records, packed in ``order`` into
+    bins greedily: a bin closes when adding the next record would exceed
+    ``max_entries`` or ``max_size``. A bin meeting ``min_entries`` and
+    ``min_size`` routes to 'merged'; the trailing bin that never reached
+    the minimums routes to 'partial' — the batch boundary plays NiFi's
+    max-bin-age flush (in a batch replay, end-of-input IS the age-out).
+
+    Emits one row per bin: key, bin_id, n_items, total_size, optional
+    concatenated payload, relationship. Boundary search is a single
+    O(n) pass over the group's numpy size vector.
+    """
+
+    def fn(group: pa.Table) -> pa.Table:
+        g = group.sort_by(order)
+        n = g.num_rows
+        sizes = (
+            g[size_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if size_col
+            else np.ones(n, dtype=np.int64)
+        )
+        bin_ids = np.zeros(n, dtype=np.int64)
+        b = 0
+        cnt = 0
+        tot = 0
+        for i in range(n):  # greedy boundaries: inherently sequential scan
+            over = (max_entries is not None and cnt + 1 > max_entries) or (
+                max_size is not None and cnt > 0 and tot + sizes[i] > max_size
+            )
+            if over:
+                b += 1
+                cnt, tot = 0, 0
+            bin_ids[i] = b
+            cnt += 1
+            tot += sizes[i]
+        n_bins = b + 1
+        counts = np.bincount(bin_ids, minlength=n_bins)
+        size_sums = np.bincount(bin_ids, weights=sizes, minlength=n_bins).astype(
+            np.int64
+        )
+        ok = counts >= min_entries
+        if min_size is not None:
+            ok &= size_sums >= min_size
+        cols = {
+            key: pa.array([g[key][0].as_py()] * n_bins, g[key].type),
+            "bin_id": pa.array(np.arange(n_bins), pa.int64()),
+            "n_items": pa.array(counts.astype(np.int64)),
+            "total_size": pa.array(size_sums),
+            "relationship": pa.array(
+                ["merged" if o else "partial" for o in ok], pa.string()
+            ),
+        }
+        if piece_col is not None:
+            pieces = g[piece_col].to_pylist()
+            merged = [
+                sep.join(
+                    "" if pieces[i] is None else str(pieces[i])
+                    for i in np.flatnonzero(bin_ids == bid)
+                )
+                for bid in range(n_bins)
+            ]
+            cols["merged"] = pa.array(merged, pa.string())
+        return pa.table(cols)
+
+    return fn
+
+
+def bin_pack(ds, key: str, order: str, **kwargs):
+    """Dataset-level bin packing: groupby(correlation key) → per-group
+    greedy packing. The shuffle carries records once; bins never span
+    keys (MergeContent bins by Correlation Attribute the same way)."""
+    return ds.groupby(key).map_groups(
+        bin_pack_fn(key, order, **kwargs), batch_format="pyarrow"
+    )
+
+
 def merge_ordered(ds, key: str, order: str, piece_col: str, sep: str, out: str = "merged"):
     """Bin-packing-lite: concatenate ``piece_col`` per ``key`` in
     ``order`` order (MergeContent with Correlation Attribute; ordering

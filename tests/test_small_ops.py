@@ -1,0 +1,165 @@
+"""Round-2 operator-gap tests: snappy/charset codecs, UnpackContent,
+ParseSyslog/ParseCEF, IdentifyMimeType, new EL functions, SQL edge."""
+
+import io
+import tarfile
+import zipfile
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from nifi_ray.stages.codec import compress, convert_charset, unpack_content
+from nifi_ray.stages.parsers import ParseCEF, ParseSyslog, identify_mime
+
+
+def test_snappy_roundtrip():
+    t = pa.table({"p": [b"hello world" * 50, None, b""]})
+    c = compress("p", codec="snappy")(t)
+    d = compress("p", codec="snappy", mode="decompress")(c)
+    assert d["p"].to_pylist() == [b"hello world" * 50, None, b""]
+    assert len(c["p"][0].as_py()) < len(t["p"][0].as_py())
+
+
+def test_convert_charset():
+    t = pa.table({"p": ["héllo", None]})
+    out = convert_charset("p", src="utf-8", dst="latin-1")(t)
+    assert out["p"].to_pylist()[0] == "héllo".encode("latin-1")
+    back = convert_charset("p", src="latin-1", dst="utf-8")(out)
+    assert back["p"].to_pylist()[0] == "héllo".encode("utf-8")
+
+
+def _zip_bytes(entries):
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for name, data in entries:
+            z.writestr(name, data)
+    return buf.getvalue()
+
+
+def _tar_bytes(entries):
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as t:
+        for name, data in entries:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            t.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def test_unpack_content_zip_and_tar():
+    z = _zip_bytes([("a.txt", b"AA"), ("b/c.txt", b"BB")])
+    t = pa.table({"id": [7], "archive": [z]})
+    out = unpack_content("archive", fmt="zip")(t)
+    assert out["entry_name"].to_pylist() == ["a.txt", "b/c.txt"]
+    assert out["payload"].to_pylist() == [b"AA", b"BB"]
+    assert out["fragment_count"].to_pylist() == [2, 2]
+    assert out["id"].to_pylist() == [7, 7]
+
+    tr = _tar_bytes([("x", b"XX")])
+    out2 = unpack_content("archive", fmt="tar")(pa.table({"archive": [tr]}))
+    assert out2["payload"].to_pylist() == [b"XX"]
+
+
+def test_parse_syslog():
+    lines = [
+        "<34>Oct 11 22:14:15 host1 su[123]: failed for lonvick",
+        "<165>1 2024-01-02T03:04:05Z web01 app 1234 MSGID - hello 5424",
+        "garbage",
+        None,
+    ]
+    out = ParseSyslog(col="line")(pa.table({"line": lines}))
+    assert out["syslog_valid"].to_pylist() == [True, True, False, False]
+    assert out["syslog_severity"].to_pylist()[:2] == [2, 5]  # 34%8, 165%8
+    assert out["syslog_facility"].to_pylist()[:2] == [4, 20]
+    assert out["syslog_hostname"].to_pylist()[:2] == ["host1", "web01"]
+    assert out["syslog_body"].to_pylist()[0] == "failed for lonvick"
+
+
+def test_parse_cef():
+    line = (
+        "CEF:0|Vendor|Product|1.0|100|Port scan|5|src=10.0.0.1 dst=10.0.0.2 msg=hi there"
+    )
+    out = ParseCEF(col="line")(pa.table({"line": [line, "nope", None]}))
+    assert out["cef_valid"].to_pylist() == [True, False, False]
+    assert out["cef_vendor"].to_pylist()[0] == "Vendor"
+    assert out["cef_severity"].to_pylist()[0] == "5"
+    ext = dict(out["cef_extensions"].to_pylist()[0])
+    assert ext["src"] == "10.0.0.1" and ext["msg"] == "hi there"
+
+
+def test_identify_mime():
+    vals = [
+        b"\x89PNG\r\n\x1a\nxxxx",
+        b"\xff\xd8\xff\xe0yy",
+        b"PK\x03\x04zz",
+        b'{"a": 1}',
+        b"<?xml version='1.0'?><r/>",
+        b"plain words",
+        b"\x00\x01\x02\xff\xfe",
+        None,
+    ]
+    out = identify_mime("p")(pa.table({"p": pa.array(vals, pa.binary())}))
+    assert out["mime_type"].to_pylist() == [
+        "image/png", "image/jpeg", "application/zip", "application/json",
+        "application/xml", "text/plain", "application/octet-stream", None,
+    ]
+
+
+def test_el_additions():
+    from nifi_ray.functions import el
+
+    col = pa.array(["a,b", 'he said "hi"', None])
+    assert el.last_index_of(pa.array(["abcabc", "xyz", None]), "bc").to_pylist() == [4, -1, None]
+    assert el.escape(col, "csv").to_pylist()[0] == '"a,b"'
+    assert el.unescape(el.escape(col, "csv"), "csv").to_pylist()[:2] == ["a,b", 'he said "hi"']
+    assert el.unescape(el.escape(col, "xml"), "xml").to_pylist()[1] == 'he said "hi"'
+    assert el.unescape(el.escape(col, "json"), "json").to_pylist()[1] == 'he said "hi"'
+    assert el.unescape(el.escape(col, "html"), "html").to_pylist()[0] == "a,b"
+    assert el.now(2, at=1700000000.5).to_pylist() == [1700000000500] * 2
+    assert el.random_fn(3, seed=1).to_pylist() == el.random_fn(3, seed=1).to_pylist()
+    assert el.next_int(3, start=10).to_pylist() == [10, 11, 12]
+    assert el.hostname(1).to_pylist()[0]
+    assert el.ip(1).to_pylist()[0].count(".") == 3
+
+    t = pa.table({"a": [1, 5], "b": [9, 2]})
+    big = lambda c: pc.greater(c, 4)
+    assert el.any_attribute(t, ["a", "b"], big).to_pylist() == [True, True]
+    assert el.all_attributes(t, ["a", "b"], big).to_pylist() == [False, False]
+    assert el.any_matching_attribute(t, "[ab]", big).to_pylist() == [True, True]
+
+
+def test_sql_edge(ray_session):
+    import os
+    import tempfile
+
+    import duckdb
+
+    from nifi_ray.sources.sql import (
+        generate_table_fetch,
+        list_tables,
+        read_sql,
+        read_table_incremental,
+    )
+
+    db = os.path.join(tempfile.mkdtemp(), "t.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE ev (id BIGINT, v DOUBLE)")
+    con.execute("INSERT INTO ev SELECT range, range * 1.5 FROM range(10)")
+    con.close()
+
+    ds = read_sql("SELECT * FROM ev WHERE id < 3", database=db)
+    assert ds.count() == 3
+
+    inc, wm = read_table_incremental("ev", "id", watermark=6, database=db)
+    assert inc.count() == 3 and wm == 9
+    inc2, wm2 = read_table_incremental("ev", "id", watermark=wm, database=db)
+    assert inc2.count() == 0 and wm2 == 9  # idempotent re-poll
+
+    stmts = generate_table_fetch("ev", "id", page_size=4, database=db)
+    assert len(stmts) == 3
+    total = sum(read_sql(s, database=db).count() for s in stmts)
+    assert total == 10
+
+    tabs = list_tables(database=db)
+    assert "ev" in tabs["table_name"].to_pylist()

@@ -160,3 +160,37 @@ def test_multimodal_stub_and_fake():
     assert feats == again
     rz = ResizeImage(8, 6, fake=True)(t)
     assert rz["width"].to_pylist() == [8] * 4
+
+
+def test_bin_pack_entries_size_and_partial():
+    """MergeContent bin-packing: max-entries flush, max-size flush, and
+    the trailing short bin routing 'partial' (age-out analog)."""
+    from nifi_ray.stages.split_merge import bin_pack_fn
+
+    g = pa.table(
+        {
+            "k": ["u"] * 7,
+            "ord": [1, 2, 3, 4, 5, 6, 7],
+            "sz": [10, 10, 10, 10, 10, 10, 10],
+            "p": list("abcdefg"),
+        }
+    )
+    # entries cap 3, min 3: bins [a,b,c] [d,e,f] merged, [g] partial
+    out = bin_pack_fn("k", "ord", min_entries=3, max_entries=3, piece_col="p")(g)
+    assert out["n_items"].to_pylist() == [3, 3, 1]
+    assert out["relationship"].to_pylist() == ["merged", "merged", "partial"]
+    assert out["merged"].to_pylist() == ["abc", "def", "g"]
+
+    # size cap 25 (10+10 fits, +10 would exceed): bins of 2,2,2,1
+    out2 = bin_pack_fn(
+        "k", "ord", size_col="sz", min_entries=2, max_size=25, piece_col="p"
+    )(g)
+    assert out2["n_items"].to_pylist() == [2, 2, 2, 1]
+    assert out2["total_size"].to_pylist() == [20, 20, 20, 10]
+    assert out2["relationship"].to_pylist() == ["merged", "merged", "merged", "partial"]
+
+    # min_size gate: a bin meeting entries but not size is partial
+    out3 = bin_pack_fn(
+        "k", "ord", size_col="sz", min_entries=1, max_entries=2, min_size=15
+    )(g)
+    assert out3["relationship"].to_pylist() == ["merged", "merged", "merged", "partial"]
