@@ -282,6 +282,111 @@ def _cdc_apply_task(
     return apply_block(t).to_pylist()
 
 
+def _merge_partition(
+    base: pa.Table, deltas: list[pa.Table], schema: pa.Schema
+) -> pa.Table:
+    """Merge-on-read kernel: overlay delta parts (collapsed events incl.
+    tombstones, disjoint ascending LSN ranges) onto a base partition by
+    LWW. Same math as the apply path, so compaction and read agree."""
+    if not deltas:
+        return conform(base, schema) if not base.schema.equals(schema) else base
+    ev = pa.concat_tables(deltas, promote_options="permissive")
+    ev = collapse_last_writer(ev)
+    if not base.schema.equals(schema):
+        base = conform(base, schema)
+    ev = conform(ev, _event_target(schema))
+    return conform(merge_into_base(base, ev).sort_by("doc_id"), schema)
+
+
+@ray.remote
+def _cdc_delta_task(
+    lake_dir: str,
+    schema_b64: bytes,
+    next_version: int,
+    lo: int,
+    k: int,
+    *shards: pa.Table,
+) -> list[dict]:
+    """Delta-mode apply side: write ONLY the collapsed events (incl. D
+    tombstones) as a per-tick delta part — O(delta) bytes instead of a
+    full-partition COW rewrite. Deterministic name → idempotent retry."""
+    from ..state.manifest import delta_file as _delta_file
+
+    _limit_arrow_threads()
+    parts = [s for s in shards if s.num_rows]
+    if not parts:
+        return []
+    t = pa.concat_tables(parts, promote_options="permissive")
+    if "ev_count" not in t.schema.names:
+        t = t.append_column("ev_count", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+    events_in = int(pc.sum(t["ev_count"]).as_py() or 0)
+    t = t.filter(pc.greater(t["lsn"], lo))
+    events_live = int(pc.sum(t["ev_count"]).as_py() or 0)
+    t = collapse_last_writer(t, count_col="ev_count")
+    if t.num_rows == 0:
+        return []
+    max_lsn = int(pc.max(t["lsn"]).as_py())
+    n_deletes = int(pc.sum(pc.equal(t["op"], "D")).as_py() or 0)
+    schema = pa.ipc.read_schema(pa.BufferReader(schema_b64))
+    payload = t.drop_columns(
+        [c for c in ("partition_id", "ev_count") if c in t.schema.names]
+    )
+    payload = conform(payload, _event_target(schema))
+    rel = _delta_file(k, next_version)
+    out = os.path.join(lake_dir, rel)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    tmp = out + f".tmp.{os.getpid()}"
+    pq.write_table(payload, tmp, compression="zstd")
+    os.replace(tmp, out)
+    return [
+        {
+            "partition_id": k,
+            "delta_file": rel,
+            "delta_rows": payload.num_rows,
+            "max_lsn": max_lsn,
+            "events_applied": events_live,
+            "events_in": events_in,
+            "dups_dropped": events_in - events_live,
+            "deletes": n_deletes,
+            "bytes_written": os.path.getsize(out),
+        }
+    ]
+
+
+@ray.remote
+def _compact_task(
+    lake_dir: str,
+    base_rel: str | None,
+    delta_rels: list[str],
+    schema_b64: bytes,
+    next_version: int,
+    k: int,
+) -> dict:
+    """Fold a partition's delta parts into a fresh COW base part."""
+    _limit_arrow_threads()
+    schema = pa.ipc.read_schema(pa.BufferReader(schema_b64))
+    base = (
+        pq.read_table(os.path.join(lake_dir, base_rel))
+        if base_rel
+        else schema.empty_table()
+    )
+    deltas = [pq.read_table(os.path.join(lake_dir, d)) for d in delta_rels]
+    merged = _merge_partition(base, deltas, schema)
+    rel = part_file(k, next_version)
+    out = os.path.join(lake_dir, rel)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    tmp = out + f".tmp.{os.getpid()}"
+    pq.write_table(merged, tmp, compression="zstd")
+    os.replace(tmp, out)
+    return {
+        "partition_id": k,
+        "file": rel,
+        "rows": merged.num_rows,
+        "token_hash": state_checksum(merged),
+        "bytes_written": os.path.getsize(out),
+    }
+
+
 _STATS_SCHEMA = pa.schema(
     [
         pa.field("partition_id", pa.int32()),
@@ -487,17 +592,50 @@ class CDCLake:
         m = self.manifest(version)
         if m is None or not m.partitions:
             raise FileNotFoundError(f"no committed manifest in {self.lake_dir}")
-        return rd.read_parquet(m.data_files(self.lake_dir), columns=columns)
+        if not m.has_deltas():
+            return rd.read_parquet(m.data_files(self.lake_dir), columns=columns)
+        # merge-on-read: one task per partition overlays its delta parts
+        # (same LWW kernel as apply/compact); column pruning applies
+        # post-merge — doc_id/lsn/op always travel for the merge itself
+        lake_dir = self.lake_dir
+        schema_b64 = m.schema.serialize().to_pybytes()
+        items = [
+            {"k": k, "file": e["file"], "deltas": list(e.get("deltas", []))}
+            for k, e in sorted(m.partitions.items())
+        ]
+
+        def merge_items(batch: pa.Table) -> pa.Table:
+            schema = pa.ipc.read_schema(pa.BufferReader(schema_b64))
+            outs = []
+            for row in batch.to_pylist():
+                base = pq.read_table(os.path.join(lake_dir, row["file"]))
+                deltas = [
+                    pq.read_table(os.path.join(lake_dir, d)) for d in row["deltas"]
+                ]
+                t = _merge_partition(base, deltas, schema)
+                outs.append(t.select(columns) if columns else t)
+            if not outs:
+                empty = schema.empty_table()
+                return empty.select(columns) if columns else empty
+            return pa.concat_tables(outs)
+
+        return rd.from_items(items, override_num_blocks=len(items)).map_batches(
+            merge_items, batch_format="pyarrow"
+        )
 
     def read_table(self) -> pa.Table:
         """Driver-side full materialization — TESTS ONLY (small lakes)."""
         m = self.manifest()
         if m is None:
             raise FileNotFoundError(f"no committed manifest in {self.lake_dir}")
-        tables = [
-            conform(pq.read_table(os.path.join(self.lake_dir, e["file"])), m.schema)
-            for _, e in sorted(m.partitions.items())
-        ]
+        tables = []
+        for k, e in sorted(m.partitions.items()):
+            base = pq.read_table(os.path.join(self.lake_dir, e["file"]))
+            deltas = [
+                pq.read_table(os.path.join(self.lake_dir, d))
+                for d in e.get("deltas", [])
+            ]
+            tables.append(_merge_partition(base, deltas, m.schema))
         if not tables:
             return m.schema.empty_table()
         return pa.concat_tables(tables).sort_by("doc_id")
@@ -509,11 +647,21 @@ class CDCLake:
         lsn_hi: int | None = None,
         batch_size: int = 65536,
         exchange: str = "direct",
+        mode: str = "cow",
     ) -> TickStats | None:
         """Apply all events with ``applied_through < lsn <= lsn_hi``.
 
         One tick = one manifest version. Returns None if there was
         nothing to apply (watermark already covers the range).
+
+        mode="cow" (default): each touched partition's file is fully
+        rewritten (reads see one file per partition; per-tick write cost
+        is O(partition)). mode="delta": the tick writes only the
+        collapsed events as a delta part per touched partition —
+        O(delta) bytes per tick, the scale answer to one-hot-doc-per-
+        partition write amplification; readers overlay deltas by LWW
+        (merge-on-read) and ``compact()`` folds them back into base
+        parts. Final state is identical in both modes (same LWW kernel).
 
         exchange="direct" (default): explicit two-stage map/apply
         exchange with raw Ray tasks — map tasks read+premerge their
@@ -565,7 +713,11 @@ class CDCLake:
         base_files = {k: e["file"] for k, e in m.partitions.items()}
         next_version = m.version + 1
 
-        if exchange == "direct":
+        if mode == "delta":
+            stats_rows = self._exchange_direct(
+                files, m, target, next_version, lo, lsn_hi, delta=True
+            )
+        elif exchange == "direct":
             stats_rows = self._exchange_direct(
                 files, m, target, next_version, lo, lsn_hi
             )
@@ -582,17 +734,24 @@ class CDCLake:
 
         partitions = dict(m.partitions)
         for r in stats_rows:
-            partitions[int(r["partition_id"])] = {
-                "file": r["file"],
-                "rows": int(r["rows"]),
-                "max_lsn": int(r["max_lsn"]),
-                "token_hash": int(r["token_hash"]),
-            }
+            k = int(r["partition_id"])
+            if mode == "delta":
+                e = dict(partitions[k])
+                e["deltas"] = list(e.get("deltas", [])) + [r["delta_file"]]
+                e["max_lsn"] = int(r["max_lsn"])
+                partitions[k] = e
+            else:
+                partitions[k] = {
+                    "file": r["file"],
+                    "rows": int(r["rows"]),
+                    "max_lsn": int(r["max_lsn"]),
+                    "token_hash": int(r["token_hash"]),
+                }
         events_applied = sum(int(r["events_applied"]) for r in stats_rows)
         dups = sum(int(r["dups_dropped"]) for r in stats_rows)
         wall = _time.perf_counter() - t0
         lineage = {
-            "kind": "APPLY",
+            "kind": "APPLY" if mode == "cow" else "APPLY_DELTA",
             "lsn_range": [lo, hi],
             "events_applied": events_applied,
             "dups_dropped": dups,
@@ -602,7 +761,7 @@ class CDCLake:
             "deletes": sum(int(r["deletes"]) for r in stats_rows),
             "bytes_written": sum(int(r["bytes_written"]) for r in stats_rows),
             "wall_sec": round(wall, 3),
-            "files_out": [r["file"] for r in stats_rows],
+            "files_out": [r.get("file") or r.get("delta_file") for r in stats_rows],
         }
         m2 = Manifest(
             version=next_version,
@@ -723,9 +882,10 @@ class CDCLake:
 
     def _exchange_direct(
         self, files, m: Manifest, target: pa.Schema, next_version: int,
-        lo: int, lsn_hi: int | None,
+        lo: int, lsn_hi: int | None, delta: bool = False,
     ) -> list[dict]:
-        """Explicit map/apply exchange (see ``replay`` docstring)."""
+        """Explicit map/apply exchange (see ``replay`` docstring).
+        ``delta=True`` swaps the apply side for the delta writer."""
         P = m.num_partitions
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         n_maps = max(1, min(len(files), ncpu))
@@ -739,22 +899,87 @@ class CDCLake:
         ]
         if P == 1:  # num_returns=1 returns a bare ref, normalize
             map_refs = [[r] for r in map_refs]
-        apply_refs = [
-            _cdc_apply_task.remote(
-                self.lake_dir,
-                base_files,
-                schema_b64,
-                next_version,
-                lo,
-                *[refs[k] for refs in map_refs],
-            )
-            for k in range(P)
-        ]
+        if delta:
+            apply_refs = [
+                _cdc_delta_task.remote(
+                    self.lake_dir, schema_b64, next_version, lo, k,
+                    *[refs[k] for refs in map_refs],
+                )
+                for k in range(P)
+            ]
+        else:
+            apply_refs = [
+                _cdc_apply_task.remote(
+                    self.lake_dir,
+                    base_files,
+                    schema_b64,
+                    next_version,
+                    lo,
+                    *[refs[k] for refs in map_refs],
+                )
+                for k in range(P)
+            ]
         stats: list[dict] = []
         for rows in ray.get(apply_refs):
             if rows:
                 stats.extend(rows)
         return stats
+
+    # ------------------------------------------------------- compaction
+    def compact(self, min_deltas: int = 1) -> Manifest | None:
+        """Fold delta parts back into COW base parts (one manifest
+        version). Only partitions with ≥ ``min_deltas`` deltas are
+        rewritten; a periodic compactor would call this with a higher
+        threshold so per-tick cost stays O(delta) and read amplification
+        stays bounded. Returns None if nothing to compact."""
+        m = self.manifest()
+        if m is None:
+            raise FileNotFoundError("lake not initialized")
+        todo = {
+            k: e for k, e in m.partitions.items()
+            if len(e.get("deltas", [])) >= max(min_deltas, 1)
+        }
+        if not todo:
+            return None
+        next_version = m.version + 1
+        schema_b64 = m.schema.serialize().to_pybytes()
+        refs = [
+            _compact_task.remote(
+                self.lake_dir, e.get("file"), list(e["deltas"]),
+                schema_b64, next_version, k,
+            )
+            for k, e in todo.items()
+        ]
+        partitions = dict(m.partitions)
+        bytes_written = 0
+        for r in ray.get(refs):
+            k = int(r["partition_id"])
+            partitions[k] = {
+                "file": r["file"],
+                "rows": int(r["rows"]),
+                "max_lsn": int(m.partitions[k]["max_lsn"]),
+                "token_hash": int(r["token_hash"]),
+            }
+            bytes_written += int(r["bytes_written"])
+        m2 = Manifest(
+            version=next_version,
+            num_partitions=m.num_partitions,
+            schema_version=m.schema_version,
+            schema=m.schema,
+            applied_through=m.applied_through,
+            partitions=partitions,
+            lineage=m.lineage
+            + [
+                {
+                    "kind": "COMPACT",
+                    "partitions": sorted(todo),
+                    "deltas_folded": sum(len(e["deltas"]) for e in todo.values()),
+                    "bytes_written": bytes_written,
+                }
+            ],
+        )
+        commit_manifest(self.lake_dir, m2)
+        return m2
 
     def replay_ticks(
         self, event_paths: str | list[str], tick_size: int, lsn_end: int

