@@ -393,12 +393,58 @@ def q_topk_per_group(sf_dir: str):
 
 
 def q_minhash_dup_groups(sf_dir: str):
-    """Near-dup components: MinHash pairs → min-label propagation →
-    (node, component) (stages/components.py; rows-only)."""
-    from ..stages.components import connected_components
+    """Near-dup components over MinHash pairs via DISTRIBUTED min-label
+    propagation — edges and labels stay Datasets end to end
+    (stages/components.connected_components_ds; oracle: sequential
+    union-find in oracle_expected.py)."""
+    from ..stages.components import connected_components_ds
 
     pairs = q_minhash_pairs(sf_dir)
-    return connected_components(pairs)
+    return connected_components_ds(pairs)
+
+
+def q_syslog_roundtrip(sf_dir: str):
+    """ParseSyslog end-to-end: render events as RFC3164 lines, parse
+    back with the actor-pool parser, aggregate severity counts — oracle
+    is plain SQL on the originals (stages/parsers.py; reference
+    STD/ParseSyslog.java:150)."""
+    from ..stages.parsers import ParseSyslog
+
+    ds = _t(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+
+    def mk_lines(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        sev = eid % 8
+        lines = [
+            f"<{32 + s}>Oct 11 22:14:15 h{u} app[{e}]: type={et}"
+            for s, u, e, et in zip(
+                sev, t["user_id"].to_pylist(), eid, t["event_type"].to_pylist()
+            )
+        ]
+        return pa.table({"line": pa.array(lines, pa.string())})
+
+    parsed = ds.map_batches(mk_lines, batch_format="pyarrow").map_batches(
+        ParseSyslog, batch_format="pyarrow", concurrency=2
+    )
+    return pre_aggregate(parsed, "syslog_severity", {"n": ("syslog_severity", "count")})
+
+
+def q_systematic_sample(sf_dir: str):
+    """Deterministic hash sampling (the replayable form of ds.
+    random_sample): keep docs whose md5(doc_id) starts 0-3 (≈25%),
+    grouped counts — SQL-checkable, unlike seeded RNG sampling."""
+    ds = _t(sf_dir, "documents", columns=["doc_id", "source"])
+    ds = ds.map_batches(
+        lambda t: t.set_column(0, "doc_id", pc.cast(t["doc_id"], pa.string())),
+        batch_format="pyarrow",
+    )
+    hashed = ds.map_batches(dd.content_hash("doc_id", out="h"), batch_format="pyarrow")
+    kept = hashed.map_batches(
+        lambda t: t.filter(pc.is_in(pc.utf8_slice_codeunits(t["h"], 0, 1),
+                                    value_set=pa.array(["0", "1", "2", "3"]))),
+        batch_format="pyarrow",
+    )
+    return pre_aggregate(kept, "source", {"n": ("source", "count")})
 
 
 # ------------------------------------------------ non-SQL-expressible
@@ -647,6 +693,8 @@ QUERIES = {
     "lag_prev_value": q_lag_prev_value,
     "topk_per_group": q_topk_per_group,
     "minhash_dup_groups": q_minhash_dup_groups,
+    "syslog_roundtrip": q_syslog_roundtrip,
+    "systematic_sample": q_systematic_sample,
     "lang_id": q_lang_id,
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
@@ -735,6 +783,15 @@ ORACLE_SQL = {
     "xml_roundtrip": """
         SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
         FROM events GROUP BY event_type
+    """,
+    "syslog_roundtrip": """
+        SELECT CAST(event_id % 8 AS INTEGER) AS syslog_severity, count(*) AS n
+        FROM events GROUP BY 1
+    """,
+    "systematic_sample": """
+        SELECT source, count(*) AS n FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+        GROUP BY source
     """,
     "topk_users": """
         SELECT user_id, round(sum(value), 2) AS total

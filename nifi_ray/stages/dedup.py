@@ -343,13 +343,19 @@ class EmbeddingLSH:
     (sign bits of S seeded projections). Near-identical vectors land in
     the same bucket; within-bucket cosine verifies."""
 
-    def __init__(self, col: str = "embedding", out: str = "bucket", planes: int = 12, seed: int = 7, dim: int = 64):
-        rng = np.random.default_rng(seed)
-        self.R = rng.standard_normal((dim, planes))
+    def __init__(self, col: str = "embedding", out: str = "bucket", planes: int = 12, seed: int = 7):
+        # R is built lazily from the FIRST batch's embedding width —
+        # every actor derives the identical matrix from (seed, dim), so
+        # no dim config to get wrong
+        self.planes, self.seed = planes, seed
+        self.R: np.ndarray | None = None
         self.col, self.out = col, out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         emb = np.vstack(batch[self.col].to_numpy(zero_copy_only=False))
+        if self.R is None:
+            rng = np.random.default_rng(self.seed)
+            self.R = rng.standard_normal((emb.shape[1], self.planes))
         signs = (emb @ self.R) > 0
         bucket = np.zeros(len(emb), dtype=np.int64)
         for j in range(signs.shape[1]):
