@@ -194,11 +194,12 @@ def _apply_partition_fn(
 
 @ray.remote
 def _cdc_map_task(
-    files: list[str], P: int, lo: int, lsn_hi: int | None
+    files: list[str], P: int, lo: int, lsn_hi: int | None, G: int | None = None
 ) -> tuple:
     """Direct-exchange map side: read events (row-group filter pushdown),
-    premerge (dedup + partition stamp + LWW collapse), split into P
-    partition shards returned as P separate objects. Pure → retryable."""
+    premerge (dedup + partition stamp + LWW collapse), split into G
+    grouped shards (G = P when ungrouped) returned as separate objects.
+    Pure → retryable."""
     _limit_arrow_threads()
     filters = [("lsn", ">", lo)]
     if lsn_hi is not None:
@@ -206,22 +207,27 @@ def _cdc_map_task(
     tables = [pq.read_table(f, filters=filters) for f in files]
     t = pa.concat_tables(tables, promote_options="permissive").combine_chunks()
     t = _premerge_fn(P, lo)(t)
-    return _scatter_by_partition(t, P)
+    return _scatter_by_partition(t, P, G)
 
 
-def _scatter_by_partition(t: pa.Table, P: int):
-    """Sort by partition code and slice into P shard tables. With
-    num_returns=1 Ray hands the WHOLE return value to the single ref, so
-    P==1 must return the bare table (not a 1-tuple) or the apply task
-    would receive a tuple where it expects a Table."""
-    if P == 1:
+def _scatter_by_partition(t: pa.Table, P: int, G: int | None = None):
+    """Sort by partition code and slice into G shard tables (group g
+    holds the contiguous pid range [g·P/G, (g+1)·P/G) — the apply task
+    splits pids locally). This is the grouped-shard fallback for large
+    P: a map task returns G objects, not P, so P = 100k partitions
+    costs 512 returns per task, not 100k. With num_returns=1 Ray hands
+    the WHOLE return value to the single ref, so G==1 must return the
+    bare table (not a 1-tuple)."""
+    G = P if G is None else min(G, P)
+    if G == 1:
         return t
     codes = t["partition_id"].to_numpy(zero_copy_only=False)
     order = np.argsort(codes, kind="stable")
     s = t.take(pa.array(order))
-    bounds = np.searchsorted(codes[order], np.arange(P + 1))
+    group_lo = np.linspace(0, P, G + 1).astype(np.int64)
+    bounds = np.searchsorted(codes[order], group_lo)
     return tuple(
-        s.slice(int(bounds[k]), int(bounds[k + 1] - bounds[k])) for k in range(P)
+        s.slice(int(bounds[g]), int(bounds[g + 1] - bounds[g])) for g in range(G)
     )
 
 
@@ -304,53 +310,61 @@ def _cdc_delta_task(
     schema_b64: bytes,
     next_version: int,
     lo: int,
-    k: int,
     *shards: pa.Table,
 ) -> list[dict]:
     """Delta-mode apply side: write ONLY the collapsed events (incl. D
-    tombstones) as a per-tick delta part — O(delta) bytes instead of a
-    full-partition COW rewrite. Deterministic name → idempotent retry."""
+    tombstones) as a per-tick delta part per contained partition —
+    O(delta) bytes instead of a full-partition COW rewrite. Handles
+    grouped shards (several pids per task); deterministic names →
+    idempotent retry."""
     from ..state.manifest import delta_file as _delta_file
 
     _limit_arrow_threads()
     parts = [s for s in shards if s.num_rows]
     if not parts:
         return []
-    t = pa.concat_tables(parts, promote_options="permissive")
-    if "ev_count" not in t.schema.names:
-        t = t.append_column("ev_count", pa.array(np.ones(t.num_rows, dtype=np.int64)))
-    events_in = int(pc.sum(t["ev_count"]).as_py() or 0)
-    t = t.filter(pc.greater(t["lsn"], lo))
-    events_live = int(pc.sum(t["ev_count"]).as_py() or 0)
-    t = collapse_last_writer(t, count_col="ev_count")
-    if t.num_rows == 0:
-        return []
-    max_lsn = int(pc.max(t["lsn"]).as_py())
-    n_deletes = int(pc.sum(pc.equal(t["op"], "D")).as_py() or 0)
+    block = pa.concat_tables(parts, promote_options="permissive")
+    if "ev_count" not in block.schema.names:
+        block = block.append_column(
+            "ev_count", pa.array(np.ones(block.num_rows, dtype=np.int64))
+        )
     schema = pa.ipc.read_schema(pa.BufferReader(schema_b64))
-    payload = t.drop_columns(
-        [c for c in ("partition_id", "ev_count") if c in t.schema.names]
-    )
-    payload = conform(payload, _event_target(schema))
-    rel = _delta_file(k, next_version)
-    out = os.path.join(lake_dir, rel)
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    tmp = out + f".tmp.{os.getpid()}"
-    pq.write_table(payload, tmp, compression="zstd")
-    os.replace(tmp, out)
-    return [
-        {
-            "partition_id": k,
-            "delta_file": rel,
-            "delta_rows": payload.num_rows,
-            "max_lsn": max_lsn,
-            "events_applied": events_live,
-            "events_in": events_in,
-            "dups_dropped": events_in - events_live,
-            "deletes": n_deletes,
-            "bytes_written": os.path.getsize(out),
-        }
-    ]
+    out_rows: list[dict] = []
+    for pid in sorted(pc.unique(block["partition_id"]).to_pylist()):
+        k = int(pid)
+        t = block.filter(pc.equal(block["partition_id"], pid))
+        events_in = int(pc.sum(t["ev_count"]).as_py() or 0)
+        t = t.filter(pc.greater(t["lsn"], lo))
+        events_live = int(pc.sum(t["ev_count"]).as_py() or 0)
+        t = collapse_last_writer(t, count_col="ev_count")
+        if t.num_rows == 0:
+            continue
+        max_lsn = int(pc.max(t["lsn"]).as_py())
+        n_deletes = int(pc.sum(pc.equal(t["op"], "D")).as_py() or 0)
+        payload = t.drop_columns(
+            [c for c in ("partition_id", "ev_count") if c in t.schema.names]
+        )
+        payload = conform(payload, _event_target(schema))
+        rel = _delta_file(k, next_version)
+        out = os.path.join(lake_dir, rel)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        tmp = out + f".tmp.{os.getpid()}"
+        pq.write_table(payload, tmp, compression="zstd")
+        os.replace(tmp, out)
+        out_rows.append(
+            {
+                "partition_id": k,
+                "delta_file": rel,
+                "delta_rows": payload.num_rows,
+                "max_lsn": max_lsn,
+                "events_applied": events_live,
+                "events_in": events_in,
+                "dups_dropped": events_in - events_live,
+                "deletes": n_deletes,
+                "bytes_written": os.path.getsize(out),
+            }
+        )
+    return out_rows
 
 
 @ray.remote
@@ -893,19 +907,24 @@ class CDCLake:
         base_files = {k: e["file"] for k, e in m.partitions.items()}
         schema_b64 = target.serialize().to_pybytes()
 
+        # grouped shards: at huge P a map task cannot reasonably return
+        # P objects, so partitions are bundled into ≤ max_shards groups
+        # (one apply task per group; it splits pids locally — same
+        # within-task path as the Dataset exchange's apply_block)
+        G = min(P, int(os.environ.get("NIFI_RAY_MAX_SHARDS", "512")))
         map_refs = [
-            _cdc_map_task.options(num_returns=P).remote(chunk, P, lo, lsn_hi)
+            _cdc_map_task.options(num_returns=G).remote(chunk, P, lo, lsn_hi, G)
             for chunk in chunks
         ]
-        if P == 1:  # num_returns=1 returns a bare ref, normalize
+        if G == 1:  # num_returns=1 returns a bare ref, normalize
             map_refs = [[r] for r in map_refs]
         if delta:
             apply_refs = [
                 _cdc_delta_task.remote(
-                    self.lake_dir, schema_b64, next_version, lo, k,
-                    *[refs[k] for refs in map_refs],
+                    self.lake_dir, schema_b64, next_version, lo,
+                    *[refs[g] for refs in map_refs],
                 )
-                for k in range(P)
+                for g in range(G)
             ]
         else:
             apply_refs = [
@@ -915,9 +934,9 @@ class CDCLake:
                     schema_b64,
                     next_version,
                     lo,
-                    *[refs[k] for refs in map_refs],
+                    *[refs[g] for refs in map_refs],
                 )
-                for k in range(P)
+                for g in range(G)
             ]
         stats: list[dict] = []
         for rows in ray.get(apply_refs):
@@ -982,7 +1001,8 @@ class CDCLake:
         return m2
 
     def replay_ticks(
-        self, event_paths: str | list[str], tick_size: int, lsn_end: int
+        self, event_paths: str | list[str], tick_size: int, lsn_end: int,
+        mode: str = "cow",
     ) -> list[TickStats]:
         """Batch-replay loop: chunks of LSN ranges as ticks, one commit
         each — the 'continuous' mode (SURVEY.md §7.3 step 8)."""
@@ -993,7 +1013,7 @@ class CDCLake:
             if lo >= lsn_end:
                 break
             hi = min(lo + tick_size, lsn_end)
-            st = self.replay(event_paths, lsn_hi=hi)
+            st = self.replay(event_paths, lsn_hi=hi, mode=mode)
             if st is not None:
                 out.append(st)
             elif hi >= lsn_end:

@@ -31,6 +31,10 @@ def main(argv=None):
     p.add_argument("--lsn-end", type=int, default=0, help="stop after this LSN (0 = log head)")
     p.add_argument("--num-cpus", type=int, default=0, help="only used when initializing Ray here")
     p.add_argument("--exchange", choices=["direct", "dataset"], default="direct")
+    p.add_argument("--mode", choices=["cow", "delta"], default="cow",
+                   help="delta = merge-on-read apply (O(delta) bytes/tick)")
+    p.add_argument("--compact-after", type=int, default=0,
+                   help="compact partitions with >= N delta parts at the end (0 = never)")
     p.add_argument("--gc", action="store_true", help="expire old versions + GC orphans at the end")
     args = p.parse_args(argv)
 
@@ -61,12 +65,20 @@ def main(argv=None):
     lsn_end = args.lsn_end or head
 
     if args.tick:
-        stats = lake.replay_ticks(args.events, tick_size=args.tick, lsn_end=lsn_end)
+        stats = lake.replay_ticks(
+            args.events, tick_size=args.tick, lsn_end=lsn_end, mode=args.mode
+        )
     else:
-        st = lake.replay(args.events, lsn_hi=lsn_end or None, exchange=args.exchange)
+        st = lake.replay(
+            args.events, lsn_hi=lsn_end or None, exchange=args.exchange, mode=args.mode
+        )
         stats = [st] if st else []
     for st in stats:
         print(json.dumps({"event": "TICK", **st.__dict__}))
+    if args.compact_after:
+        m = lake.compact(min_deltas=args.compact_after)
+        if m is not None:
+            print(json.dumps({"event": "COMPACT", "version": m.version}))
 
     print(json.dumps({"event": "LAG", **lag_report(args.lake, head)}))
     if args.gc:
