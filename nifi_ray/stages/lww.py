@@ -95,25 +95,39 @@ def collapse_last_writer(
     return out
 
 
-def lww_latest(ds, key: str, order: str, payload_cols: list[str] | None = None):
+def lww_latest(
+    ds,
+    key: str,
+    order: str,
+    payload_cols: list[str] | None = None,
+    num_partitions: int = 16,
+):
     """Dataset-level last-writer-wins: latest row per key by ``order``.
 
     Two-level: batch-local collapse (map_batches, cuts the shuffle and
-    absorbs hot keys) then per-key collapse (groupby.map_groups). The
-    shuffle carries ≤ one row per (key, batch), not the full stream.
+    absorbs hot keys), then a keyed HASH repartition — not a sort-based
+    groupby: co-location by key is all the final collapse needs, and
+    sorting payload rows to get it is pure waste (same reasoning as the
+    CDC exchange, pipelines/cdc.py). The shuffle carries ≤ one row per
+    (key, batch); the block-level collapse picks each key's winner.
     """
 
     def local(batch: pa.Table) -> pa.Table:
-        return collapse_last_writer(batch, key=key, order=order)
+        return collapse_last_writer(
+            batch.replace_schema_metadata(None), key=key, order=order
+        )
 
-    def final(group: pa.Table) -> pa.Table:
-        out = collapse_last_writer(group, key=key, order=order)
+    def final(block: pa.Table) -> pa.Table:
+        out = collapse_last_writer(block, key=key, order=order)
         return out.select(payload_cols) if payload_cols else out
 
-    return (
-        ds.map_batches(local, batch_format="pyarrow")
-        .groupby(key)
-        .map_groups(final, batch_format="pyarrow")
+    from ray.data.context import ShuffleStrategy
+
+    collapsed = ds.map_batches(local, batch_format="pyarrow")
+    collapsed.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    collapsed.context.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
+    return collapsed.repartition(num_partitions, keys=[key]).map_batches(
+        final, batch_format="pyarrow", batch_size=None
     )
 
 
