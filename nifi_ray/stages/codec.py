@@ -157,3 +157,44 @@ def unpack_content(col: str, fmt: str = "zip", out: str = "payload",
         return pa.table(cols)
 
     return fn
+
+
+def encrypt_content(col: str, key: bytes, out: str | None = None, mode: str = "encrypt"):
+    """EncryptContent (reference STD/EncryptContent.java): AES-256-GCM
+    over a binary/string payload column.
+
+    Deterministic (SIV-style) nonce: the 12-byte nonce is
+    HMAC-SHA256(key, plaintext)[:12], prepended to the ciphertext. A
+    replayed/retried task therefore reproduces byte-identical output —
+    the engine's idempotency contract — at the standard deterministic-
+    encryption cost of leaking plaintext equality (what AES-GCM-SIV
+    accepts by design). Key management stays the caller's problem, as
+    in the reference.
+    """
+    import hmac as _hmac
+    import hashlib as _hashlib
+
+    from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+    if len(key) not in (16, 24, 32):
+        raise ValueError("key must be 16/24/32 bytes")
+    aes = AESGCM(key)
+
+    def enc(b: bytes) -> bytes:
+        nonce = _hmac.new(key, b, _hashlib.sha256).digest()[:12]
+        return nonce + aes.encrypt(nonce, b, None)
+
+    def dec(b: bytes) -> bytes:
+        return aes.decrypt(b[:12], b[12:], None)
+
+    fn_ = enc if mode == "encrypt" else dec
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vals = [None if v is None else fn_(_as_bytes(v)) for v in batch[col].to_pylist()]
+        arr = pa.array(vals, pa.binary())
+        name = out or col
+        if name in batch.schema.names:
+            return batch.set_column(batch.schema.get_field_index(name), name, arr)
+        return batch.append_column(name, arr)
+
+    return fn

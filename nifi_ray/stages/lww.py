@@ -141,6 +141,8 @@ def merge_into_base(
     of an absent key is a no-op (but its LSN still advances the
     watermark — the caller tracks that).
     """
+    if collapsed_events.num_rows == 0:
+        return base
     base_cols = base.schema.names
     ev_keys = collapsed_events[key]
     if base.num_rows:

@@ -159,3 +159,56 @@ def identify_mime(col: str, out: str = "mime_type"):
         return batch.append_column(out, pa.array(vals, pa.string()))
 
     return fn
+
+
+class ParseEmail:
+    """Actor-pool stage: RFC-822 message bytes → header columns + body
+    text + one row per attachment via explode=True (ExtractEmailHeaders
+    / ExtractEmailAttachments analogs, reference
+    nifi-email-bundle/.../email/ExtractEmailHeaders.java,
+    ExtractEmailAttachments.java — semantics only; stdlib email parser).
+    """
+
+    def __init__(self, col: str = "raw", explode_attachments: bool = False):
+        from email import policy
+        from email.parser import BytesParser
+
+        self.col = col
+        self.explode = explode_attachments
+        self.parser = BytesParser(policy=policy.default)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        frm, to, subj, date, body = [], [], [], [], []
+        att_parent, att_name, att_payload = [], [], []
+        for i, raw in enumerate(batch[self.col].to_pylist()):
+            if raw is None:
+                frm.append(None), to.append(None), subj.append(None)
+                date.append(None), body.append(None)
+                continue
+            if isinstance(raw, str):
+                raw = raw.encode()
+            msg = self.parser.parsebytes(raw)
+            frm.append(msg.get("From"))
+            to.append(msg.get("To"))
+            subj.append(msg.get("Subject"))
+            date.append(msg.get("Date"))
+            b = msg.get_body(preferencelist=("plain",))
+            body.append(b.get_content() if b is not None else None)
+            if self.explode:
+                for part in msg.iter_attachments():
+                    att_parent.append(i)
+                    att_name.append(part.get_filename())
+                    att_payload.append(part.get_payload(decode=True) or b"")
+        out = (
+            batch.append_column("email_from", pa.array(frm, pa.string()))
+            .append_column("email_to", pa.array(to, pa.string()))
+            .append_column("email_subject", pa.array(subj, pa.string()))
+            .append_column("email_date", pa.array(date, pa.string()))
+            .append_column("email_body", pa.array(body, pa.string()))
+        )
+        if not self.explode:
+            return out
+        idx = pa.array(att_parent, pa.int64())
+        expl = out.take(idx)
+        expl = expl.append_column("attachment_name", pa.array(att_name, pa.string()))
+        return expl.append_column("attachment", pa.array(att_payload, pa.binary()))

@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis) for the engine's load-bearing
+invariants — beyond the reference's fixture-only style (SURVEY.md §5
+notes NiFi has no randomized testing; a replay engine's correctness
+arguments are algebraic, so test the algebra)."""
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nifi_ray.functions import el
+from nifi_ray.stages.lww import collapse_last_writer, merge_into_base
+from nifi_ray.stages.split_merge import bin_pack_fn
+from nifi_ray.util.hashing import crc32_of_strings
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 6),            # doc index
+        st.sampled_from("IUD"),       # op
+        st.integers(0, 50),           # payload token
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+def _events_table(evs):
+    n = len(evs)
+    return pa.table(
+        {
+            "doc_id": pa.array([f"d{d}" for d, _o, _p in evs], pa.string()),
+            "lsn": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "op": pa.array([o for _d, o, _p in evs], pa.string()),
+            "payload": pa.array([p for _d, _o, p in evs], pa.int64()),
+        }
+    )
+
+
+@given(events_strategy, st.integers(1, 5))
+@settings(max_examples=60, deadline=None)
+def test_collapse_is_associative(evs, n_splits):
+    """collapse(concat(collapse(chunks))) == collapse(whole) — the
+    algebraic fact that makes the batch-local pre-merge correct."""
+    t = _events_table(evs)
+    whole = collapse_last_writer(t).sort_by("doc_id")
+    bounds = np.linspace(0, t.num_rows, n_splits + 1).astype(int)
+    parts = [
+        collapse_last_writer(t.slice(int(a), int(b - a)))
+        for a, b in zip(bounds[:-1], bounds[1:])
+        if b > a
+    ]
+    two_level = (
+        collapse_last_writer(pa.concat_tables(parts)).sort_by("doc_id")
+        if parts
+        else whole
+    )
+    assert whole.to_pylist() == two_level.to_pylist()
+
+
+@given(events_strategy)
+@settings(max_examples=60, deadline=None)
+def test_merge_matches_sequential_oracle(evs):
+    """merge_into_base(base, collapse(events)) == sequential dict apply."""
+    base = pa.table(
+        {
+            "doc_id": pa.array([f"d{d}" for d in range(3)]),
+            "payload": pa.array([100 + d for d in range(3)], pa.int64()),
+        }
+    )
+    t = _events_table(evs)
+    state = {f"d{d}": 100 + d for d in range(3)}
+    for d, o, p in evs:
+        if o == "D":
+            state.pop(f"d{d}", None)
+        else:
+            state[f"d{d}"] = p
+    collapsed = collapse_last_writer(t)
+    got = merge_into_base(base, collapsed.select(["doc_id", "op", "payload"]))
+    got_map = dict(zip(got["doc_id"].to_pylist(), got["payload"].to_pylist()))
+    assert got_map == state
+
+
+@given(
+    st.lists(st.integers(1, 30), min_size=1, max_size=40),
+    st.integers(1, 6),
+    st.integers(10, 60),
+)
+@settings(max_examples=60, deadline=None)
+def test_bin_pack_respects_caps_and_partitions(sizes, max_entries, max_size):
+    g = pa.table(
+        {
+            "k": ["x"] * len(sizes),
+            "ord": pa.array(np.arange(len(sizes)), pa.int64()),
+            "sz": pa.array(sizes, pa.int64()),
+        }
+    )
+    out = bin_pack_fn(
+        "k", "ord", size_col="sz", max_entries=max_entries, max_size=max_size
+    )(g)
+    counts = out["n_items"].to_pylist()
+    totals = out["total_size"].to_pylist()
+    # every row lands in exactly one bin; caps hold for every bin
+    assert sum(counts) == len(sizes)
+    for c, tot in zip(counts, totals):
+        assert c <= max_entries
+        # a bin may exceed max_size only as a single oversized record
+        assert tot <= max_size or c == 1
+
+
+@given(st.lists(st.text(max_size=40), max_size=20), st.sampled_from(["xml", "html", "json", "csv"]))
+@settings(max_examples=60, deadline=None)
+def test_escape_roundtrip(vals, dialect):
+    col = pa.array(vals, pa.string())
+    assert el.unescape(el.escape(col, dialect), dialect).to_pylist() == vals
+
+
+@given(st.lists(st.text(max_size=300), min_size=1, max_size=30))
+@settings(max_examples=40, deadline=None)
+def test_crc32_matches_zlib(strings):
+    got = crc32_of_strings(pa.array(strings, pa.string()))
+    want = np.array([zlib.crc32(s.encode()) for s in strings], dtype=np.uint32)
+    assert (got == want).all()

@@ -163,3 +163,42 @@ def test_sql_edge(ray_session):
 
     tabs = list_tables(database=db)
     assert "ev" in tabs["table_name"].to_pylist()
+
+
+def test_encrypt_content_roundtrip_and_determinism():
+    from nifi_ray.stages.codec import encrypt_content
+
+    key = bytes(range(32))
+    t = pa.table({"p": [b"secret payload", None, b""]})
+    enc = encrypt_content("p", key)(t)
+    enc2 = encrypt_content("p", key)(t)
+    # deterministic (idempotent retries produce identical bytes)
+    assert enc["p"].to_pylist() == enc2["p"].to_pylist()
+    assert enc["p"].to_pylist()[0] != b"secret payload"
+    dec = encrypt_content("p", key, mode="decrypt")(enc)
+    assert dec["p"].to_pylist() == [b"secret payload", None, b""]
+
+
+def test_parse_email_headers_and_attachments():
+    from email.message import EmailMessage
+
+    from nifi_ray.stages.parsers import ParseEmail
+
+    msg = EmailMessage()
+    msg["From"] = "a@example.com"
+    msg["To"] = "b@example.com"
+    msg["Subject"] = "hello"
+    msg.set_content("the body\n")
+    msg.add_attachment(b"DATA", maintype="application", subtype="octet-stream",
+                       filename="f.bin")
+    raw = msg.as_bytes()
+
+    t = pa.table({"raw": [raw, None]})
+    out = ParseEmail()(t)
+    assert out["email_from"].to_pylist() == ["a@example.com", None]
+    assert out["email_subject"].to_pylist() == ["hello", None]
+    assert out["email_body"].to_pylist()[0].strip() == "the body"
+
+    expl = ParseEmail(explode_attachments=True)(t)
+    assert expl["attachment_name"].to_pylist() == ["f.bin"]
+    assert expl["attachment"].to_pylist() == [b"DATA"]
