@@ -129,3 +129,30 @@ def test_gc_keeps_live_deltas(ray_session, dirs):
     lake.compact()
     lake.replay(ev_dir, mode="delta")
     _assert_equals_oracle(lake, _oracle())
+
+
+def test_delta_mode_schema_evolution(ray_session, tmp_path):
+    """Events past the evolution point carry an extra column; delta
+    apply + merge-on-read + compaction all carry the evolved schema."""
+    from nifi_ray.oracle import apply_events, state_from_base, state_to_table
+
+    cfg = GenConfig(seed=31, n_docs=200, n_events=800, evolve_after=400)
+    base_dir, ev_dir, lake_dir = (str(tmp_path / d) for d in ("b", "e", "l"))
+    write_base(cfg, base_dir, shards=2)
+    write_events(cfg, ev_dir, shards=4)
+    lake = CDCLake(lake_dir)
+    lake.init_from(base_dir, num_partitions=4)
+    lake.replay(ev_dir, lsn_hi=400, mode="delta")
+    lake.replay(ev_dir, mode="delta")  # evolved range
+    m = lake.manifest()
+    assert "lang" in m.schema.names and m.schema_version == 2
+    got = lake.read_table()
+    assert "lang" in got.schema.names
+    oracle = apply_events([events_table(cfg)], state_from_base(base_table(cfg)))
+    want = state_to_table(oracle, m.schema)
+    assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+    assert got["tokens"].to_pylist() == want["tokens"].to_pylist()
+    assert got["lang"].to_pylist() == want["lang"].to_pylist()
+    lake.compact()
+    got2 = lake.read_table()
+    assert got2["lang"].to_pylist() == want["lang"].to_pylist()
