@@ -477,7 +477,11 @@ def q_minhash_pairs(sf_dir: str):
     corpus (stages/dedup.py; oracle: sequential dual impl in
     oracle_expected.py)."""
     docs = _t(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        lambda t: t.set_column(0, "doc_id", pc.cast(t["doc_id"], pa.string())),
+        # metadata scrub: parquet pandas-metadata dicts break Ray's
+        # schema-dedup hash in the join/shuffle aggregators (log spam)
+        lambda t: t.replace_schema_metadata(None).set_column(
+            0, "doc_id", pc.cast(t["doc_id"], pa.string())
+        ),
         batch_format="pyarrow",
     )
     bands = docs.map_batches(MinHasherCompat, batch_format="pyarrow", concurrency=2)
