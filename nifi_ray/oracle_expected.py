@@ -312,6 +312,49 @@ def expected_minhash_dup_groups(sf_dir: str) -> pa.Table:
     )
 
 
+# ------------------------------------------------------------------ IVF
+
+
+def expected_knn_ivf(sf_dir: str, n_cells: int = 8, nprobe: int = 3, k: int = 5) -> pa.Table:
+    """Sequential IVF ANN (queries.q_knn_ivf semantics): shared
+    deterministic quantizer training (kmeans_lite is an input constant,
+    not the machinery under test), then per-vector scalar assignment,
+    per-query probing and exact cosine scoring with a plain loop."""
+    from .stages.similarity import kmeans_lite
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pylist()
+    emb = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64) for r in tbl}
+    sample = np.vstack([np.asarray(r["embedding"]) for r in tbl[:256]])
+    C = kmeans_lite(sample, n_cells=n_cells, seed=0)
+
+    def unit(v):
+        n = np.linalg.norm(v)
+        return v / n if n > 1e-12 else v
+
+    cells = {vid: int(np.argmax(C @ unit(v))) for vid, v in emb.items()}
+    out_q, out_v, out_r = [], [], []
+    for r in tbl[:3]:
+        qid = int(r["vec_id"])
+        qv = unit(np.asarray(r["embedding"], dtype=np.float64))
+        probe_sims = C @ qv
+        probe = set(np.argsort(-probe_sims)[:nprobe].tolist())
+        scored = [
+            (float(unit(v) @ qv), vid)
+            for vid, v in emb.items()
+            if cells[vid] in probe
+        ]
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (_s, vid) in enumerate(scored[:k], start=1):
+            out_q.append(qid), out_v.append(vid), out_r.append(rank)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+        }
+    )
+
+
 # ------------------------------------------------------------- dispatch
 
 EXPECTED_BUILDERS = {
@@ -322,6 +365,7 @@ EXPECTED_BUILDERS = {
     "multimodal_decode": lambda _sf: expected_multimodal_decode(),
     "minhash_pairs": expected_minhash_pairs,
     "minhash_dup_groups": expected_minhash_dup_groups,
+    "knn_ivf": expected_knn_ivf,
 }
 
 

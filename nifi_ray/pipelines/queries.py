@@ -350,6 +350,33 @@ def q_knn_cosine(sf_dir: str):
     )
 
 
+def q_knn_ivf(sf_dir: str):
+    """ANN scale path: IVF coarse quantization — nearest-centroid cell
+    assignment (actor pool, broadcast centroids), per-query probing of
+    nprobe cells, local→global top-k. Queries touch ~nprobe/n_cells of
+    the corpus instead of all of it (stages/similarity.knn_ivf; oracle:
+    sequential dual impl in oracle_expected.py)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import kmeans_lite, knn_ivf
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    # bounded driver-side training sample (IVF-standard: the quantizer
+    # trains on a constant-size sample regardless of corpus size)
+    sample = np.vstack(tbl.slice(0, 256)["embedding"].to_numpy(zero_copy_only=False))
+    centroids = kmeans_lite(sample, n_cells=8, seed=0)
+    qtbl = tbl.slice(0, 3)
+    queries = {
+        "query_id": qtbl["vec_id"].to_pylist(),
+        "matrix": np.vstack(qtbl["embedding"].to_numpy(zero_copy_only=False)),
+    }
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_ivf(ds, queries, centroids, k=5, nprobe=3)
+    return out.map_batches(
+        lambda t: t.select(["query_id", "vec_id", "rank"]), batch_format="pyarrow"
+    )
+
+
 def q_tumbling_window(sf_dir: str):
     """Event-time tumbling window aggregate (stages/windows.py): the
     window id is a column, so this is a plain pre-aggregated groupby."""
@@ -555,9 +582,20 @@ def q_embedding_neardup(sf_dir: str):
         concurrency=2,
     )
 
-    def pairs(group: pa.Table) -> pa.Table:
-        emb = np.vstack(group["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+    def pairs(group: pa.Table, max_bucket: int = 1024) -> pa.Table:
+        # degenerate-bucket cap (same policy as lsh_candidate_pairs):
+        # O(bucket²) cosine memory is bounded by keeping the first
+        # max_bucket ids (sorted) and logging the truncation
+        g = group.sort_by("vec_id")
+        if g.num_rows > max_bucket:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "embedding bucket of %d capped to %d", g.num_rows, max_bucket
+            )
+            g = g.slice(0, max_bucket)
+        emb = np.vstack(g["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        ids = g["vec_id"].to_numpy(zero_copy_only=False)
         X = emb / np.clip(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12, None)
         sims = X @ X.T
         ii, jj = np.where(np.triu(sims >= 0.30, k=1))
@@ -701,6 +739,7 @@ QUERIES = {
     "token_count": q_token_count,
     "fingerprint": q_fingerprint,
     "knn_cosine": q_knn_cosine,
+    "knn_ivf": q_knn_ivf,
     "tumbling_window": q_tumbling_window,
     "session_windows": q_session_windows,
     "lag_prev_value": q_lag_prev_value,

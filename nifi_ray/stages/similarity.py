@@ -86,3 +86,133 @@ def knn_brute_force(ds, queries: dict, k: int = 5, id_col: str = "vec_id", col: 
         concurrency=2,
     )
     return global_topk(cands, k, id_col)
+
+
+# ------------------------------------------------------------------ IVF
+
+
+def kmeans_lite(sample: np.ndarray, n_cells: int, iters: int = 10, seed: int = 0) -> np.ndarray:
+    """Deterministic spherical k-means on a (driver-side, bounded)
+    training SAMPLE — the standard IVF coarse-quantizer training shape:
+    centroid count and sample size are small constants regardless of
+    corpus size. Returns L2-normalized (n_cells, dim) centroids."""
+    rng = np.random.default_rng(seed)
+    X = sample / np.clip(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12, None)
+    n = len(X)
+    n_cells = min(n_cells, n)
+    C = X[rng.choice(n, size=n_cells, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                norm = np.linalg.norm(v)
+                if norm > 1e-12:
+                    C[c] = v / norm
+    return C
+
+
+class IVFAssign:
+    """Actor-pool stage: nearest-centroid cell id per embedding
+    (broadcast centroids, one matmul per batch)."""
+
+    def __init__(self, centroids_ref, col: str = "embedding", out: str = "cell"):
+        C = ray.get(centroids_ref) if isinstance(centroids_ref, ray.ObjectRef) else centroids_ref
+        self.C = np.asarray(C, dtype=np.float64)
+        self.col, self.out = col, out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = _as_matrix(batch[self.col])
+        X = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-12, None)
+        cells = np.argmax(X @ self.C.T, axis=1).astype(np.int32)
+        return batch.append_column(self.out, pa.array(cells))
+
+
+class LocalTopKProbed(LocalTopK):
+    """LocalTopK restricted to each query's probe-cell set: rows outside
+    a query's nprobe nearest cells contribute -inf similarity, so only
+    ~nprobe/n_cells of the corpus is actually scored per query — the
+    sub-linear IVF scale path. Emits the same candidate-row shape."""
+
+    def __init__(self, queries_ref, centroids_ref, nprobe: int = 2,
+                 id_col: str = "vec_id", col: str = "embedding",
+                 cell_col: str = "cell", k: int = 5):
+        super().__init__(queries_ref, id_col=id_col, col=col, k=k)
+        C = ray.get(centroids_ref) if isinstance(centroids_ref, ray.ObjectRef) else centroids_ref
+        C = np.asarray(C, dtype=np.float64)
+        qsims = self.Q @ C.T  # (q, cells)
+        nprobe = min(nprobe, C.shape[0])
+        self.probe = np.argpartition(-qsims, nprobe - 1, axis=1)[:, :nprobe]  # (q, nprobe)
+        self.cell_col = cell_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = _as_matrix(batch[self.col])
+        X = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-12, None)
+        sims = X @ self.Q.T  # (n, q)
+        cells = batch[self.cell_col].to_numpy(zero_copy_only=False)
+        # mask rows whose cell is not probed by query j
+        mask = np.zeros_like(sims, dtype=bool)
+        for j in range(sims.shape[1]):
+            mask[:, j] = np.isin(cells, self.probe[j])
+        sims = np.where(mask, sims, -np.inf)
+        n, q = sims.shape
+        k = min(self.k, n)
+        top = np.argpartition(-sims, k - 1, axis=0)[:k]
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        rows_q, rows_id, rows_sim = [], [], []
+        for j in range(q):
+            sel = top[:, j]
+            keep = sims[sel, j] > -np.inf
+            sel = sel[keep]
+            rows_q.append(np.full(len(sel), self.qids[j]))
+            rows_id.append(ids[sel])
+            rows_sim.append(sims[sel, j])
+        if not rows_q:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 self.id_col: pa.array([], batch[self.id_col].type),
+                 "sim": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(rows_q), pa.int64()),
+                self.id_col: pa.array(np.concatenate(rows_id)),
+                "sim": pa.array(np.concatenate(rows_sim), pa.float64()),
+            }
+        )
+
+
+def knn_ivf(
+    ds,
+    queries: dict,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+):
+    """Approximate cosine top-k via IVF coarse quantization: assign each
+    vector to its nearest centroid cell (one pass, actor pool), score
+    each query only against its ``nprobe`` nearest cells, reduce local
+    winners globally. At corpus scale the assignment is computed once
+    and persisted as a ``cell`` column; queries then touch
+    ~nprobe/n_cells of the data. Deterministic given (centroids,
+    queries)."""
+    c_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+    q_ref = ray.put(queries)
+    assigned = ds.map_batches(
+        IVFAssign,
+        fn_constructor_args=(c_ref,),
+        fn_constructor_kwargs={"col": col},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    cands = assigned.map_batches(
+        LocalTopKProbed,
+        fn_constructor_args=(q_ref, c_ref),
+        fn_constructor_kwargs={"nprobe": nprobe, "id_col": id_col, "col": col, "k": k},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return global_topk(cands, k, id_col)
