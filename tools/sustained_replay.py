@@ -1,0 +1,109 @@
+"""Sustained ticked-replay demonstration — the 10^10-event regime in
+miniature: many commits against one lake, steady-state rate, and the
+COW-vs-delta write-amplification comparison the merge-on-read mode
+exists for.
+
+    python tools/sustained_replay.py [--events 16000000] [--docs 1000000]
+        [--partitions 64] [--tick 2000000] [--mode cow|delta]
+        [--compact-every 4]
+
+Prints one JSON line per tick (wall, events/s, bytes written) and a
+summary line; results recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--events", type=int, default=16_000_000)
+    p.add_argument("--docs", type=int, default=1_000_000)
+    p.add_argument("--partitions", type=int, default=64)
+    p.add_argument("--tick", type=int, default=2_000_000)
+    p.add_argument("--mode", choices=["cow", "delta"], default="cow")
+    p.add_argument("--compact-every", type=int, default=0)
+    p.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    p.add_argument("--keep", action="store_true", help="keep the lake dir")
+    args = p.parse_args()
+
+    import ray
+
+    ray.init(address="local", num_cpus=args.num_cpus,
+             include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from bench import gen_bench_data, warm_workers
+    from nifi_ray.gen import GenConfig
+    from nifi_ray.pipelines.cdc import CDCLake
+
+    cfg = GenConfig(seed=42, n_docs=args.docs, n_events=args.events)
+    work = f"/tmp/nifi_ray_sustained_{args.docs}_{args.events}"
+    base_dir, ev_dir = f"{work}/base", f"{work}/events"
+    warm_workers(args.num_cpus)
+    gen_bench_data(cfg, base_dir, ev_dir, shards=64)
+
+    lake_dir = f"{work}/lake_{args.mode}"
+    shutil.rmtree(lake_dir, ignore_errors=True)
+    lake = CDCLake(lake_dir)
+    t0 = time.perf_counter()
+    lake.init_from(base_dir, num_partitions=args.partitions)
+    print(json.dumps({"event": "INIT", "wall_sec": round(time.perf_counter() - t0, 2)}))
+
+    ticks = []
+    tick_no = 0
+    while True:
+        lo = lake.manifest().applied_through
+        if lo >= args.events:
+            break
+        hi = min(lo + args.tick, args.events)
+        t0 = time.perf_counter()
+        st = lake.replay(ev_dir, lsn_hi=hi, mode=args.mode)
+        wall = time.perf_counter() - t0
+        tick_no += 1
+        rec = {
+            "event": "TICK",
+            "n": tick_no,
+            "events": st.events_applied if st else 0,
+            "wall_sec": round(wall, 2),
+            "events_per_sec": round((st.events_applied if st else 0) / wall, 1),
+            "bytes_written": lake.manifest().lineage[-1].get("bytes_written", 0),
+        }
+        if args.mode == "delta" and args.compact_every and tick_no % args.compact_every == 0:
+            t0 = time.perf_counter()
+            m = lake.compact()
+            rec["compact_sec"] = round(time.perf_counter() - t0, 2)
+            rec["compact_bytes"] = m.lineage[-1]["bytes_written"] if m else 0
+        ticks.append(rec)
+        print(json.dumps(rec))
+
+    rows = lake.read().count()
+    walls = [t["wall_sec"] for t in ticks]
+    print(json.dumps({
+        "event": "SUMMARY",
+        "mode": args.mode,
+        "ticks": len(ticks),
+        "total_events": args.events,
+        "rows_final": rows,
+        "steady_tick_sec": round(sorted(walls)[len(walls) // 2], 2),
+        "steady_events_per_sec": round(args.tick / sorted(walls)[len(walls) // 2], 1),
+        "sum_apply_bytes": sum(t["bytes_written"] for t in ticks),
+        "watermark": lake.manifest().applied_through,
+    }))
+    if not args.keep:
+        shutil.rmtree(lake_dir, ignore_errors=True)
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
