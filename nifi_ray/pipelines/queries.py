@@ -208,6 +208,34 @@ def q_json_path(sf_dir: str):
     )
 
 
+def q_jolt_transform(sf_dir: str):
+    """JoltTransformJSON: shift props.k into a nested payload, default a
+    sibling, shift it back out, then extract and aggregate — the oracle
+    is plain SQL over the ORIGINAL JSON, so both shifts must be lossless
+    (stages/jolt.py; reference STD/JoltTransformJSON.java)."""
+    from ..stages.jolt import JoltTransform
+
+    ds = _t(sf_dir, "events", columns=["event_type", "props"])
+    fwd = [
+        {"operation": "shift", "spec": {"k": "payload.k"}},
+        {"operation": "default", "spec": {"payload.tag": "syn"}},
+    ]
+    back = [{"operation": "shift", "spec": {"payload.k": "k"}}]
+    ds = ds.map_batches(
+        JoltTransform, fn_constructor_args=(fwd,),
+        fn_constructor_kwargs={"col": "props"},
+        batch_format="pyarrow", concurrency=2,
+    ).map_batches(
+        JoltTransform, fn_constructor_args=(back,),
+        fn_constructor_kwargs={"col": "props"},
+        batch_format="pyarrow", concurrency=2,
+    )
+    ds = ds.map_batches(tx.json_path("props", "k", "k_val", pa.int64()), batch_format="pyarrow")
+    return pre_aggregate(
+        ds, "event_type", {"sum_k": ("k_val", "sum"), "n": ("event_type", "count")}
+    )
+
+
 def q_xml_roundtrip(sf_dir: str):
     """XML family end-to-end: serialize event rows to XML
     (AttributesToXML analog), parse back with EvaluateXPath, aggregate —
@@ -731,6 +759,7 @@ QUERIES = {
     "json_path": q_json_path,
     "broadcast_enrich": q_broadcast_enrich,
     "xml_roundtrip": q_xml_roundtrip,
+    "jolt_transform": q_jolt_transform,
     "topk_users": q_topk_users,
     "filter_shipdate": q_filter_shipdate,
     "sort_limit": q_sort_limit,
@@ -834,6 +863,12 @@ ORACLE_SQL = {
     """,
     "xml_roundtrip": """
         SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        FROM events GROUP BY event_type
+    """,
+    "jolt_transform": """
+        SELECT event_type,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               count(*) AS n
         FROM events GROUP BY event_type
     """,
     "syslog_roundtrip": """

@@ -202,3 +202,23 @@ def test_parse_email_headers_and_attachments():
     expl = ParseEmail(explode_attachments=True)(t)
     assert expl["attachment_name"].to_pylist() == ["f.bin"]
     assert expl["attachment"].to_pylist() == [b"DATA"]
+
+
+def test_jolt_shift_default_remove():
+    from nifi_ray.stages.jolt import JoltTransform, apply_spec
+
+    doc = {"a": {"b": 1}, "x": 2, "drop": 3}
+    chain = [
+        {"operation": "shift", "spec": {"a.b": "c.d", "x": "x", "missing": "m"}},
+        {"operation": "default", "spec": {"c.tag": "t", "x": 99}},
+        {"operation": "remove", "spec": ["c.tag2"]},
+    ]
+    out = apply_spec(doc, chain)
+    assert out == {"c": {"d": 1, "tag": "t"}, "x": 2}
+
+    t = pa.table({"json": ['{"a":{"b":5}}', "not json", None]})
+    res = JoltTransform([{"operation": "shift", "spec": {"a.b": "v"}}], col="json")(t)
+    assert res["json"].to_pylist() == ['{"v":5}', None, None]
+
+    with pytest.raises(ValueError):
+        JoltTransform([{"operation": "sort"}])
