@@ -809,6 +809,11 @@ class CDCLake:
         m = self.manifest()
         if m is None:
             raise FileNotFoundError("lake not initialized")
+        if m.has_deltas():
+            # rescale reads base part files only — fold deltas first so
+            # merge-on-read state is never silently dropped
+            self.compact()
+            m = self.manifest()
         next_version = m.version + 1
         lake_dir = self.lake_dir
         schema_b64 = m.schema.serialize().to_pybytes()

@@ -212,3 +212,71 @@ class ParseEmail:
         expl = out.take(idx)
         expl = expl.append_column("attachment_name", pa.array(att_name, pa.string()))
         return expl.append_column("attachment", pa.array(att_payload, pa.binary()))
+
+
+class ParseHL7:
+    """Actor-pool stage: HL7 v2 pipe-delimited messages → typed columns
+    (ExtractHL7Attributes analog, reference
+    nifi-hl7-bundle/.../hl7/ExtractHL7Attributes.java — semantics only;
+    plain segment/field splitting, no terminology validation).
+
+    Emits message-level columns from MSH (sending app/facility, message
+    type, control id, version) plus a map<segment-field, value> column
+    of every populated field — the Arrow-typed form of the reference's
+    attribute explosion."""
+
+    def __init__(self, col: str = "message"):
+        self.col = col
+
+    @staticmethod
+    def _parse(text: str):
+        segs = [s for s in text.replace("\n", "\r").split("\r") if s]
+        if not segs or not segs[0].startswith("MSH"):
+            return None
+        fields: dict[str, str] = {}
+        counts: dict[str, int] = {}
+        for seg in segs:
+            parts = seg.split("|")
+            name = parts[0]
+            counts[name] = counts.get(name, 0) + 1
+            rep = f"{name}_{counts[name]}" if counts[name] > 1 else name
+            # MSH's first field IS the separator itself: offset by one
+            start = 2 if name == "MSH" else 1
+            for i, val in enumerate(parts[start:], start=start):
+                if val:
+                    fields[f"{rep}.{i}"] = val
+        msh = segs[0].split("|")
+
+        def f(i):
+            return msh[i] if i < len(msh) and msh[i] else None
+
+        return {
+            "sending_app": f(2),
+            "sending_facility": f(3),
+            "message_type": f(8),
+            "control_id": f(9),
+            "version": f(11),
+            "fields": fields,
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        app, fac, mtype, cid, ver, fields, valid = [], [], [], [], [], [], []
+        for text in batch[self.col].to_pylist():
+            p = self._parse(text) if text else None
+            if p is None:
+                app.append(None), fac.append(None), mtype.append(None)
+                cid.append(None), ver.append(None), fields.append(None)
+                valid.append(False)
+                continue
+            app.append(p["sending_app"]), fac.append(p["sending_facility"])
+            mtype.append(p["message_type"]), cid.append(p["control_id"])
+            ver.append(p["version"]), fields.append(p["fields"]), valid.append(True)
+        return (
+            batch.append_column("hl7_sending_app", pa.array(app, pa.string()))
+            .append_column("hl7_sending_facility", pa.array(fac, pa.string()))
+            .append_column("hl7_message_type", pa.array(mtype, pa.string()))
+            .append_column("hl7_control_id", pa.array(cid, pa.string()))
+            .append_column("hl7_version", pa.array(ver, pa.string()))
+            .append_column("hl7_fields", pa.array(fields, pa.map_(pa.string(), pa.string())))
+            .append_column("hl7_valid", pa.array(valid, pa.bool_()))
+        )

@@ -156,3 +156,18 @@ def test_delta_mode_schema_evolution(ray_session, tmp_path):
     lake.compact()
     got2 = lake.read_table()
     assert got2["lang"].to_pylist() == want["lang"].to_pylist()
+
+
+def test_rescale_compacts_deltas_first(ray_session, dirs):
+    """rescale() reads base parts only; with live deltas it must compact
+    first or delta state would silently vanish."""
+    base_dir, ev_dir, lake_dir = dirs
+    lake = CDCLake(lake_dir)
+    lake.init_from(base_dir, num_partitions=4)
+    lake.replay(ev_dir, lsn_hi=700, mode="delta")
+    before = lake.read_table()
+    m = lake.rescale(8)
+    assert m.num_partitions == 8 and not m.has_deltas()
+    after = lake.read_table()
+    assert after["doc_id"].to_pylist() == before["doc_id"].to_pylist()
+    assert after["tokens"].to_pylist() == before["tokens"].to_pylist()

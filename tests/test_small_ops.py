@@ -222,3 +222,22 @@ def test_jolt_shift_default_remove():
 
     with pytest.raises(ValueError):
         JoltTransform([{"operation": "sort"}])
+
+
+def test_parse_hl7():
+    from nifi_ray.stages.parsers import ParseHL7
+
+    msg = (
+        "MSH|^~\\&|LAB|FAC|EHR|DEST|202401020304||ORU^R01|MSG001|P|2.5\r"
+        "PID|1||12345^^^FAC||DOE^JANE\r"
+        "OBX|1|NM|GLU||98|mg/dL\r"
+        "OBX|2|NM|HGB||13.2|g/dL"
+    )
+    out = ParseHL7(col="m")(pa.table({"m": [msg, "junk", None]}))
+    assert out["hl7_valid"].to_pylist() == [True, False, False]
+    assert out["hl7_sending_app"].to_pylist()[0] == "LAB"
+    assert out["hl7_message_type"].to_pylist()[0] == "ORU^R01"
+    assert out["hl7_version"].to_pylist()[0] == "2.5"
+    fields = dict(out["hl7_fields"].to_pylist()[0])
+    assert fields["PID.5"] == "DOE^JANE"
+    assert fields["OBX.5"] == "98" and fields["OBX_2.5"] == "13.2"
