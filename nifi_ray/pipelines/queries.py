@@ -725,23 +725,61 @@ def q_cdc_replay(sf_dir: str):
         shutil.rmtree(lake_dir, ignore_errors=True)
         lake = build()
 
-    def summarize(t: pa.Table) -> pa.Table:
-        toks = t["tokens"].combine_chunks()
-        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-        sums = np.add.reduceat(flat, np.clip(starts, 0, max(flat.size - 1, 0))) if flat.size else np.zeros(len(lens), np.int64)
-        sums = np.where(lens > 0, sums, 0)
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "n_tok": t["n_tok"],
-                "source": t["source"],
-                "token_sum": pa.array(sums, pa.int64()),
-            }
-        )
+    return lake.read().map_batches(_cdc_summarize, batch_format="pyarrow")
 
-    return lake.read().map_batches(summarize, batch_format="pyarrow")
+
+def q_cdc_replay_delta(sf_dir: str):
+    """Flagship, merge-on-read mode: same events replayed as delta ticks
+    (mode='delta'), lake read with LIVE deltas overlaid at read time —
+    graded against the SAME final-state SQL oracle as cdc_replay, so
+    the driver gate proves COW and MOR converge to identical state."""
+    from .cdc import CDCLake
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    cfg, base_dir, ev_dir, lake_dir = cdc_fixture(sf_tag)
+    lake_dir = lake_dir + "_delta"
+
+    def build():
+        lake = CDCLake(lake_dir)
+        if lake.manifest() is None:
+            lake.init_from(base_dir, num_partitions=16)
+        # three delta ticks; deltas stay live (no compact) so read()
+        # exercises the merge-on-read overlay
+        n = cfg.n_events
+        for hi in (n // 3, 2 * n // 3, n):
+            lake.replay(ev_dir, lsn_hi=hi, mode="delta")
+        return lake
+
+    try:
+        lake = build()
+    except Exception:
+        import shutil
+
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        lake = build()
+
+    return lake.read().map_batches(_cdc_summarize, batch_format="pyarrow")
+
+
+def _cdc_summarize(t: pa.Table) -> pa.Table:
+    toks = t["tokens"].combine_chunks()
+    flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    sums = (
+        np.add.reduceat(flat, np.clip(starts, 0, max(flat.size - 1, 0)))
+        if flat.size
+        else np.zeros(len(lens), np.int64)
+    )
+    sums = np.where(lens > 0, sums, 0)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_tok": t["n_tok"],
+            "source": t["source"],
+            "token_sum": pa.array(sums, pa.int64()),
+        }
+    )
 
 
 QUERIES = {
@@ -783,6 +821,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "multimodal_decode": q_multimodal_decode,
     "cdc_replay": q_cdc_replay,
+    "cdc_replay_delta": q_cdc_replay_delta,
 }
 
 
@@ -1012,6 +1051,7 @@ def oracle_sql_dict() -> dict[str, str]:
     try:
         _cfg, base_dir, ev_dir, _lake = cdc_fixture(sf_tag)
         out["cdc_replay"] = _cdc_replay_oracle_sql(base_dir, ev_dir)
+        out["cdc_replay_delta"] = out["cdc_replay"]
     except Exception:
         pass
     try:
