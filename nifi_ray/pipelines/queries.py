@@ -130,6 +130,25 @@ def q_merge_binpack(sf_dir: str):
     )
 
 
+def q_validate_route(sf_dir: str):
+    """ValidateCsv: typed rules → valid/invalid routing with per-row
+    failure reasons, grouped counts (stages/validate.py; reference
+    STD/ValidateCsv.java supercsv processors)."""
+    from ..stages.validate import in_range, validate
+
+    ds = _t(sf_dir, "lineitem", columns=["l_quantity", "l_discount"])
+    rules = {
+        "qty_le_30": in_range("l_quantity", 1, 30),
+        "disc_small": in_range("l_discount", 0.0, 0.05),
+    }
+    checked = ds.map_batches(validate(rules), batch_format="pyarrow")
+    checked = checked.map_batches(
+        derive({"reason": lambda t: pc.coalesce(t["invalid_reason"], pa.scalar("valid"))}),
+        batch_format="pyarrow",
+    )
+    return pre_aggregate(checked, "reason", {"n": ("reason", "count")})
+
+
 def q_detect_duplicate(sf_dir: str):
     """DetectDuplicate: exact content-hash dedup, first writer wins
     (stages/dedup.py)."""
@@ -789,6 +808,7 @@ QUERIES = {
     "merge_defragment": q_merge_defragment,
     "merge_binpack": q_merge_binpack,
     "detect_duplicate": q_detect_duplicate,
+    "validate_route": q_validate_route,
     "extract_first_word": q_extract_first_word,
     "replace_text": q_replace_text,
     "split_text_words": q_split_text_words,
@@ -852,6 +872,14 @@ ORACLE_SQL = {
                string_agg(event_type, '|' ORDER BY event_id) AS merged,
                count(*) AS n_frags
         FROM events GROUP BY user_id
+    """,
+    "validate_route": """
+        SELECT coalesce(NULLIF(concat_ws(',',
+                 CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 30) THEN 'qty_le_30' END,
+                 CASE WHEN NOT (l_discount >= 0.0 AND l_discount <= 0.05) THEN 'disc_small' END
+               ), ''), 'valid') AS reason,
+               count(*) AS n
+        FROM lineitem GROUP BY 1
     """,
     "merge_binpack": """
         SELECT user_id, bin_id, count(*) AS n_items,
