@@ -185,14 +185,18 @@ def run_bench() -> dict:
 
     queries: dict[str, float] = {"cdc_init": round(t_init, 3)}
     bench_queries = [] if os.environ.get("BENCH_SKIP_QUERIES") else BENCH_QUERIES
+    q_iters = int(os.environ.get("BENCH_QUERY_ITERS", "2"))
     for name in bench_queries:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        res = fn(SF_DIR)
-        # consume: Datasets are lazy — materialize to a small table
-        if hasattr(res, "to_pandas"):
-            res.to_pandas()
-        queries[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(q_iters):  # min-of: first pass pays actor spin-up
+            t0 = time.perf_counter()
+            res = fn(SF_DIR)
+            # consume: Datasets are lazy — materialize to a small table
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()
+            best = min(best, time.perf_counter() - t0)
+        queries[name] = round(best, 3)
 
     out = {
         "metric": "cdc_replay_wall_sec",
