@@ -23,7 +23,7 @@ import pyarrow.parquet as pq
 
 # Bump when any expected-value implementation (or the engine semantics
 # it mirrors) changes — keys the /tmp cache.
-_REV = 1
+_REV = 2
 
 _M64 = (1 << 64) - 1
 
@@ -221,14 +221,31 @@ def _shingle_set(words: list[str], k: int) -> set[int]:
     return {zlib.crc32(s.encode()) for s in joined}
 
 
+def _sig_shingles(words: list[str]) -> list[int]:
+    """Arithmetic k=3 shingle hashes for SIGNATURES (mirrors
+    MinHasher._batch_signatures: word CRCs combined positionally, no
+    k-gram strings; short docs pad missing positions with 0)."""
+    K1, K2, K3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    cs = [zlib.crc32(w.encode()) for w in words]
+    if not cs:
+        return []
+    if len(cs) < 3:
+        h = (cs[0] * K1 ^ ((cs[1] * K2) & _M64 if len(cs) > 1 else 0)) & _M64
+        return [_mix64(h)]
+    return [
+        _mix64((cs[i] * K1 ^ (cs[i + 1] * K2 & _M64) ^ (cs[i + 2] * K3 & _M64)) & _M64)
+        for i in range(len(cs) - 2)
+    ]
+
+
 def _minhash_sig(
-    shingles: set[int], a: list[int], b: list[int], mersenne: int
+    shingles: list[int], a: list[int], b: list[int], mersenne: int
 ) -> list[int]:
     if not shingles:
         return [mersenne] * len(a)
-    sh = sorted(shingles)
     return [
-        min(((ai * s + bi) & _M64) % mersenne for s in sh) for ai, bi in zip(a, b)
+        min(((ai * s + bi) & _M64) % mersenne for s in shingles)
+        for ai, bi in zip(a, b)
     ]
 
 
@@ -254,9 +271,10 @@ def expected_minhash_pairs(
     for r in docs:
         did = str(r["doc_id"])
         words = (r["text"] or "").lower().split()
-        sh = _shingle_set(words, shingle_k)
-        shingle_sets[did] = sh
-        sig = _minhash_sig(sh, a, b, mersenne)
+        # verify (exact Jaccard) keeps the joined-string shingle sets;
+        # SIGNATURES use the arithmetic combine, as in the engine
+        shingle_sets[did] = _shingle_set(words, shingle_k)
+        sig = _minhash_sig(_sig_shingles(words), a, b, mersenne)
         for band in range(bands):
             acc = 0
             for j in range(rows_per_band):

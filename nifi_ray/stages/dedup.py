@@ -157,31 +157,59 @@ class MinHasher:
     # shingle-hash budget per vectorized block: (H × CHUNK) u64 temp =
     # 64 × 65536 × 8 B ≈ 32 MB — fits any worker heap
     CHUNK = 1 << 16
+    # word-position salts for the arithmetic k-gram combine
+    KG = (
+        np.uint64(0x9E3779B97F4A7C15),
+        np.uint64(0xBF58476D1CE4E5B9),
+        np.uint64(0x94D049BB133111EB),
+    )
 
     def _batch_signatures(self, texts) -> np.ndarray:
-        """(n_docs, H) signatures, vectorized ACROSS docs: one flat CRC
-        pass over every shingle in the batch, then chunked (H, S) modular
-        hashing with per-doc column mins via np.minimum.reduceat.
-        Duplicate shingles are NOT deduped — min over a multiset equals
-        min over its set, so signatures are unchanged and the O(S log S)
-        unique per doc disappears."""
+        """(n_docs, H) signatures, vectorized ACROSS docs.
+
+        Shingle identity is ARITHMETIC: one CRC pass over the batch's
+        flat WORD list, then shingle hash = mix64(crc(w_i)·K1 ^
+        crc(w_{i+1})·K2 ^ crc(w_{i+2})·K3) — a pure rolling combine
+        over word CRCs (no k-gram strings are ever materialized or
+        re-hashed; bytes hashed drop by ~k×). Shorter-than-k docs pad
+        missing positions with 0. Then chunked (H, S) modular hashing
+        with per-doc column mins via np.minimum.reduceat. Duplicate
+        shingles are NOT deduped — min over a multiset equals min over
+        its set. The sequential oracle (oracle_expected.py) implements
+        the identical combine with scalar ints.
+        Requires shingle_k == 3 (the default; assert below)."""
+        assert self.k == 3, "arithmetic shingle combine is defined for k=3"
         n = len(texts)
-        sh_strs: list[str] = []
-        doc_lens = np.zeros(n, dtype=np.int64)
-        k = self.k
-        for i, words in enumerate(_split_words(texts)):
-            if not words:
-                continue
-            if len(words) < k:
-                joined = [" ".join(words)]
-            else:
-                joined = [" ".join(words[j : j + k]) for j in range(len(words) - k + 1)]
-            sh_strs.extend(joined)
-            doc_lens[i] = len(joined)
+        docs_words = _split_words(texts)
+        word_lens = np.array([len(w) for w in docs_words], dtype=np.int64)
+        flat_words = [w for words in docs_words for w in words]
         sigs = np.full((n, self.H), self.MERSENNE, dtype=np.uint64)
-        if not sh_strs:
+        if not flat_words:
             return sigs
-        hflat = crc32_of_strings(pa.array(sh_strs)).astype(np.uint64)
+        wcrc = crc32_of_strings(pa.array(flat_words)).astype(np.uint64)
+        # per-doc rolling 3-gram combine over the flat crc vector: docs
+        # with ≥3 words yield (len-2) shingles; 1-2 words yield ONE
+        # shingle with missing positions as 0
+        w_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(word_lens, out=w_off[1:])
+        doc_lens = np.where(word_lens == 0, 0, np.maximum(word_lens - 2, 1))
+        sh_parts: list[np.ndarray] = []
+        K1, K2, K3 = self.KG
+        for i in range(n):
+            lo, hi = w_off[i], w_off[i + 1]
+            m = hi - lo
+            if m == 0:
+                continue
+            c = wcrc[lo:hi]
+            if m >= 3:
+                h = c[:-2] * K1 ^ c[1:-1] * K2 ^ c[2:] * K3
+            else:
+                h = np.array(
+                    [c[0] * K1 ^ (c[1] * K2 if m > 1 else np.uint64(0))],
+                    dtype=np.uint64,
+                )
+            sh_parts.append(mix_u64(h))
+        hflat = np.concatenate(sh_parts)
         offsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(doc_lens, out=offsets[1:])
         i = 0
