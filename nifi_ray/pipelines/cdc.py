@@ -949,6 +949,52 @@ class CDCLake:
                 stats.extend(rows)
         return stats
 
+    # ----------------------------------------------------- verification
+    def verify(self, version: int | None = None) -> dict:
+        """Recompute every partition's content checksum and row count
+        from its data files and compare to the committed manifest — the
+        executable form of NiFi's site-to-site CRC32 transaction
+        confirmation (reference nifi-commons/nifi-site-to-site-client/
+        .../remote/AbstractTransaction.java:177-210: sender and receiver
+        agree on a running checksum before COMPLETE). One Ray task per
+        partition; returns {ok, partitions_checked, mismatches}.
+
+        Partitions with live deltas are skipped (their manifest hash
+        describes the last COMPACTED state by contract) and reported in
+        ``skipped_deltas`` — run compact() first for full coverage."""
+        m = self.manifest(version)
+        if m is None:
+            raise FileNotFoundError("lake not initialized")
+        lake_dir = self.lake_dir
+
+        @ray.remote
+        def check(k: int, rel: str) -> dict:
+            _limit_arrow_threads()
+            t = pq.read_table(os.path.join(lake_dir, rel))
+            return {"partition_id": k, "rows": t.num_rows, "token_hash": state_checksum(t)}
+
+        todo = {
+            k: e for k, e in m.partitions.items() if not e.get("deltas")
+        }
+        refs = [check.remote(k, e["file"]) for k, e in todo.items()]
+        mismatches = []
+        for r in ray.get(refs):
+            e = m.partitions[r["partition_id"]]
+            if r["rows"] != e["rows"] or int(r["token_hash"]) != int(e["token_hash"]):
+                mismatches.append(
+                    {
+                        "partition_id": r["partition_id"],
+                        "rows": [e["rows"], r["rows"]],
+                        "token_hash": [int(e["token_hash"]), int(r["token_hash"])],
+                    }
+                )
+        return {
+            "ok": not mismatches,
+            "partitions_checked": len(todo),
+            "skipped_deltas": len(m.partitions) - len(todo),
+            "mismatches": mismatches,
+        }
+
     # ------------------------------------------------------- compaction
     def compact(self, min_deltas: int = 1) -> Manifest | None:
         """Fold delta parts back into COW base parts (one manifest

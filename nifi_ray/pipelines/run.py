@@ -36,6 +36,7 @@ def main(argv=None):
     p.add_argument("--compact-after", type=int, default=0,
                    help="compact partitions with >= N delta parts at the end (0 = never)")
     p.add_argument("--gc", action="store_true", help="expire old versions + GC orphans at the end")
+    p.add_argument("--verify", action="store_true", help="recompute per-partition checksums vs the manifest at the end")
     args = p.parse_args(argv)
 
     import ray
@@ -81,6 +82,8 @@ def main(argv=None):
             print(json.dumps({"event": "COMPACT", "version": m.version}))
 
     print(json.dumps({"event": "LAG", **lag_report(args.lake, head)}))
+    if args.verify:
+        print(json.dumps({"event": "VERIFY", **lake.verify()}))
     if args.gc:
         expired = expire_versions(args.lake, keep_last=2)
         removed = gc_orphans(args.lake)

@@ -59,3 +59,64 @@ def test_replay_more_after_rescale(ray_session, tmp_path):
     want = state_to_table(oracle, lake.manifest().schema)
     got = lake.read_table()
     assert got["tokens"].to_pylist() == want["tokens"].to_pylist()
+
+
+def test_verify_checksums(ray_session, tmp_path):
+    """CDCLake.verify recomputes per-partition checksums vs the
+    manifest (site-to-site CRC confirmation analog) and detects
+    corruption."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from nifi_ray.gen import GenConfig, write_base, write_events
+    from nifi_ray.pipelines.cdc import CDCLake
+
+    cfg = GenConfig(seed=77, n_docs=200, n_events=600)
+    b, e, l = (str(tmp_path / d) for d in ("b", "e", "l"))
+    write_base(cfg, b, shards=2)
+    write_events(cfg, e, shards=2)
+    lake = CDCLake(l)
+    lake.init_from(b, num_partitions=4)
+    lake.replay(e)
+    rep = lake.verify()
+    assert rep["ok"] and rep["partitions_checked"] == 4 and not rep["mismatches"]
+
+    # corrupt one partition file in place → verify must flag it
+    m = lake.manifest()
+    k, entry = next(iter(m.partitions.items()))
+    path = os.path.join(l, entry["file"])
+    t = pq.read_table(path)
+    pq.write_table(t.slice(0, max(t.num_rows - 1, 0)), path)
+    rep2 = lake.verify()
+    assert not rep2["ok"]
+    assert rep2["mismatches"][0]["partition_id"] == k
+
+    # delta partitions are skipped with a count
+    lake2 = CDCLake(str(tmp_path / "l2"))
+    lake2.init_from(b, num_partitions=4)
+    lake2.replay(e, lsn_hi=300, mode="delta")
+    rep3 = lake2.verify()
+    assert rep3["skipped_deltas"] > 0
+
+
+def test_large_p_grouped_init_and_replay(ray_session, tmp_path, monkeypatch):
+    """P=128 with NIFI_RAY_MAX_SHARDS=16: grouped exchange end-to-end
+    at a partition count far above the shard cap."""
+    from nifi_ray.gen import GenConfig, base_table, events_table, write_base, write_events
+    from nifi_ray.oracle import apply_events, state_from_base
+    from nifi_ray.pipelines.cdc import CDCLake
+
+    monkeypatch.setenv("NIFI_RAY_MAX_SHARDS", "16")
+    cfg = GenConfig(seed=78, n_docs=300, n_events=900)
+    b, e, l = (str(tmp_path / d) for d in ("b", "e", "l"))
+    write_base(cfg, b, shards=2)
+    write_events(cfg, e, shards=2)
+    lake = CDCLake(l)
+    lake.init_from(b, num_partitions=128)
+    st = lake.replay(e)
+    assert st.events_applied == 900
+    oracle = apply_events([events_table(cfg)], state_from_base(base_table(cfg)))
+    got = lake.read_table()
+    assert got.num_rows == len(oracle)
+    assert lake.verify()["ok"]
