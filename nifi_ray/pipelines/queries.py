@@ -209,12 +209,23 @@ def q_scan_filter(sf_dir: str):
     return pre_aggregate(kept, "source", {"n": ("source", "count")})
 
 
+def _distinct_count(ds, col: str) -> int:
+    """Distributed COUNT(DISTINCT col): per-batch local distinct (Arrow
+    group_by, shrinks the shuffle), one grouped count, then a metadata
+    row count — the distinct VALUES never land on the driver (unlike
+    Dataset.unique(), which returns them all as a Python list)."""
+    slim = ds.map_batches(
+        lambda t: t.select([col]).group_by([col]).aggregate([]),
+        batch_format="pyarrow",
+    )
+    return slim.groupby(col).count().count()
+
+
 def q_hash_content(sf_dir: str):
     """HashContent: content digest; distinct count (stages/dedup.py)."""
     ds = _t(sf_dir, "documents", columns=["text"])
     hashed = ds.map_batches(dd.content_hash("text"), batch_format="pyarrow")
-    n = hashed.unique("content_hash")
-    return pd.DataFrame({"n_distinct": [len(n)]})
+    return pd.DataFrame({"n_distinct": [_distinct_count(hashed, "content_hash")]})
 
 
 def q_json_path(sf_dir: str):
@@ -378,7 +389,7 @@ def q_fingerprint(sf_dir: str):
     ds = ds.map_batches(tx.replace_text("text", r"\s+", " "), batch_format="pyarrow")
     ds = ds.map_batches(tx.lower("text"), batch_format="pyarrow")
     hashed = ds.map_batches(dd.content_hash("text"), batch_format="pyarrow")
-    return pd.DataFrame({"n_distinct": [len(hashed.unique("content_hash"))]})
+    return pd.DataFrame({"n_distinct": [_distinct_count(hashed, "content_hash")]})
 
 
 def q_knn_cosine(sf_dir: str):
