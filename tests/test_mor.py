@@ -171,3 +171,39 @@ def test_rescale_compacts_deltas_first(ray_session, dirs):
     after = lake.read_table()
     assert after["doc_id"].to_pylist() == before["doc_id"].to_pylist()
     assert after["tokens"].to_pylist() == before["tokens"].to_pylist()
+
+
+def test_mixed_lifecycle_torture(ray_session, tmp_path):
+    """Medium-scale integration: cow tick → delta ticks → rescale (auto
+    compacts) → delta → compact → cow to head, with checksum verify and
+    full token-array oracle equality at the end. Exercises every lake
+    operation against one manifest lineage."""
+    from nifi_ray.oracle import apply_events, state_from_base, state_to_table
+
+    cfg = GenConfig(seed=41, n_docs=3000, n_events=20000)
+    b, e, l = (str(tmp_path / d) for d in ("b", "e", "l"))
+    write_base(cfg, b, shards=4)
+    write_events(cfg, e, shards=8)
+    lake = CDCLake(l)
+    lake.init_from(b, num_partitions=8)
+    assert lake.replay(e, lsn_hi=4000).events_applied == 4000          # cow
+    assert lake.replay(e, lsn_hi=8000, mode="delta").events_applied == 4000
+    assert lake.replay(e, lsn_hi=10000, mode="delta").events_applied == 2000
+    m = lake.rescale(16)                                               # compacts first
+    assert m.num_partitions == 16 and not m.has_deltas()
+    assert lake.replay(e, lsn_hi=14000, mode="delta").events_applied == 4000
+    assert lake.compact() is not None
+    assert lake.replay(e).events_applied == 6000                       # cow to head
+    rep = lake.verify()
+    assert rep["ok"], rep
+
+    oracle = apply_events([events_table(cfg)], state_from_base(base_table(cfg)))
+    got = lake.read_table()
+    want = state_to_table(oracle, lake.manifest().schema)
+    assert got.num_rows == want.num_rows
+    assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+    assert got["tokens"].to_pylist() == want["tokens"].to_pylist()
+    # lineage records the full operation history
+    kinds = [ln["kind"] for ln in lake.manifest().lineage]
+    assert kinds[0] == "INIT" and "RESCALE" in kinds and "COMPACT" in kinds
+    assert "APPLY" in kinds and "APPLY_DELTA" in kinds
