@@ -265,11 +265,11 @@ def lsh_candidate_pairs(band_rows, id_col: str = "doc_id", max_bucket: int = 256
     caps (a bucket that big is not near-dup signal; it is a degenerate
     key, the same reasoning as hot-key salting in SURVEY.md §4)."""
 
-    def pairs(group: pa.Table) -> pa.Table:
-        ids = pc.unique(group[id_col]).sort()
+    def bucket_pairs(ids: pa.Array) -> tuple[pa.Array, pa.Array] | None:
+        ids = pc.unique(ids).sort()
         n = len(ids)
         if n < 2:
-            return pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
+            return None
         if n > max_bucket:
             import logging
 
@@ -281,13 +281,19 @@ def lsh_candidate_pairs(band_rows, id_col: str = "doc_id", max_bucket: int = 256
             ids = ids.slice(0, max_bucket)
             n = max_bucket
         ii, jj = np.triu_indices(n, k=1)
-        return pa.table(
-            {
-                "a": ids.take(pa.array(ii, pa.int64())),
-                "b": ids.take(pa.array(jj, pa.int64())),
-            }
-        )
+        return ids.take(pa.array(ii, pa.int64())), ids.take(pa.array(jj, pa.int64()))
 
+    def pairs(group: pa.Table) -> pa.Table:
+        pr = bucket_pairs(group[id_col])
+        if pr is None:
+            return pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
+        return pa.table({"a": pr[0], "b": pr[1]})
+
+    # sort-based groupby: measured FASTER than a hash-shuffle exchange
+    # here — band rows are (int32, uint64, id) slivers, so the sort is
+    # cheap while hash-shuffle aggregator actors cost fixed seconds per
+    # execution (the hash exchange wins on wide payload rows — cdc.py —
+    # not on slim key streams)
     return band_rows.groupby(["band_id", "band_hash"]).map_groups(
         pairs, batch_format="pyarrow"
     )
