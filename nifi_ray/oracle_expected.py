@@ -23,7 +23,7 @@ import pyarrow.parquet as pq
 
 # Bump when any expected-value implementation (or the engine semantics
 # it mirrors) changes — keys the /tmp cache.
-_REV = 2
+_REV = 3
 
 _M64 = (1 << 64) - 1
 
@@ -210,6 +210,120 @@ def expected_multimodal_decode(n: int = 200, seed: int = 1) -> pa.Table:
     )
 
 
+# The real-codec mirrors below recompute each media query's output with
+# scalar python-int arithmetic straight from the synthetic-pattern SPEC
+# (pixel j of image key = mix64(j ^ key) % 256, etc.) — they never touch
+# the BMP/PPM/WAV encoders, numpy codecs, or Ray stages, so a bug in
+# encode→decode round-trip, row-padding/stride handling, channel order,
+# or the actor-pool plumbing shows up as a hash mismatch.
+
+_BMP_DIMS = [(32, 24), (48, 32), (40, 40), (64, 48)]  # synth_bmp_table
+
+
+def expected_image_decode(_sf: str, n: int = 96, seed: int = 7) -> pa.Table:
+    """Per-image exact channel sums (queries.q_image_decode over
+    synth_bmp_table(96, seed=7)), scalar from the pattern spec."""
+    ids, pws, phs, sums = [], [], [], []
+    for i in range(n):
+        w, h = _BMP_DIMS[i % len(_BMP_DIMS)]
+        key = seed * 1_000_003 + i
+        s = [0, 0, 0]
+        for j in range(h * w * 3):
+            s[j % 3] += _mix64(j ^ key) % 256
+        ids.append(f"img{i:06d}")
+        pws.append(w)
+        phs.append(h)
+        sums.append(s)
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "px_w": pa.array(pws, pa.int32()),
+            "px_h": pa.array(phs, pa.int32()),
+            "sum_r": pa.array([s[0] for s in sums], pa.int64()),
+            "sum_g": pa.array([s[1] for s in sums], pa.int64()),
+            "sum_b": pa.array([s[2] for s in sums], pa.int64()),
+        }
+    )
+
+
+def expected_image_resize(
+    _sf: str, n: int = 96, seed: int = 7, tw: int = 16, th: int = 16
+) -> pa.Table:
+    """Channel sums after nearest-neighbor resize with floor index
+    mapping src = dst_idx * src_len // dst_len (resize_nearest spec),
+    scalar per output pixel."""
+    ids, sums = [], []
+    for i in range(n):
+        sw, sh = _BMP_DIMS[i % len(_BMP_DIMS)]
+        key = seed * 1_000_003 + i
+        s = [0, 0, 0]
+        for y in range(th):
+            yi = (y * sh) // th
+            for x in range(tw):
+                xi = (x * sw) // tw
+                base = (yi * sw + xi) * 3
+                for c in range(3):
+                    s[c] += _mix64((base + c) ^ key) % 256
+        ids.append(f"img{i:06d}")
+        sums.append(s)
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "sum_r": pa.array([s[0] for s in sums], pa.int64()),
+            "sum_g": pa.array([s[1] for s in sums], pa.int64()),
+            "sum_b": pa.array([s[2] for s in sums], pa.int64()),
+        }
+    )
+
+
+def expected_audio_decode(_sf: str, n: int = 100, seed: int = 3) -> pa.Table:
+    """Exact audio features (queries.q_audio_decode over
+    synth_wav_table(100, seed=3)): sample t = mix64(t ^ key) % 20001 -
+    10000; zero crossings = sign(>=0) changes; abs amplitude sum."""
+    ids, rates, nsamps, zcs, asums = [], [], [], [], []
+    for i in range(n):
+        nsamp = 200 + (i % 5) * 40
+        key = seed * 2_000_003 + i
+        xs = [_mix64(t ^ key) % 20001 - 10000 for t in range(nsamp)]
+        zc = sum(1 for t in range(nsamp - 1) if (xs[t] >= 0) != (xs[t + 1] >= 0))
+        ids.append(f"aud{i:06d}")
+        rates.append(8000)
+        nsamps.append(nsamp)
+        zcs.append(zc)
+        asums.append(sum(abs(x) for x in xs))
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "sample_rate": pa.array(rates, pa.int32()),
+            "n_samples": pa.array(nsamps, pa.int64()),
+            "n_zero_cross": pa.array(zcs, pa.int64()),
+            "abs_sum": pa.array(asums, pa.int64()),
+        }
+    )
+
+
+def expected_video_frames(
+    _sf: str, n: int = 40, frames: int = 9, every: int = 3, seed: int = 5,
+    w: int = 16, h: int = 12,
+) -> pa.Table:
+    """Pixel sum of every sampled (0, every, 2*every, …) frame of each
+    concatenated-PPM video (queries.q_video_frames spec)."""
+    ids, fidx, psums = [], [], []
+    for i in range(n):
+        for f in range(0, frames, every):
+            key = seed * 3_000_017 + i * 1009 + f
+            ids.append(f"vid{i:06d}")
+            fidx.append(f)
+            psums.append(sum(_mix64(j ^ key) % 256 for j in range(h * w * 3)))
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "frame_idx": pa.array(fidx, pa.int64()),
+            "psum": pa.array(psums, pa.int64()),
+        }
+    )
+
+
 # --------------------------------------------------------------- minhash
 
 
@@ -381,6 +495,10 @@ EXPECTED_BUILDERS = {
     "lang_id": expected_lang_id,
     "embedding_neardup": expected_embedding_neardup,
     "multimodal_decode": lambda _sf: expected_multimodal_decode(),
+    "image_decode": expected_image_decode,
+    "image_resize": expected_image_resize,
+    "audio_decode": expected_audio_decode,
+    "video_frames": expected_video_frames,
     "minhash_pairs": expected_minhash_pairs,
     "minhash_dup_groups": expected_minhash_dup_groups,
     "knn_ivf": expected_knn_ivf,

@@ -696,6 +696,104 @@ def q_multimodal_decode(sf_dir: str):
     return decoded.map_batches(stats, batch_format="pyarrow")
 
 
+def q_image_decode(sf_dir: str):
+    """Real image decode: synthetic 24-bit BMP payloads → actor-pool
+    DecodeImage (pure-numpy BMP codec) → exact per-image integer pixel
+    stats. Oracle = sequential scalar mirror over the same generator
+    (oracle_expected.expected_image_decode) — the codec round-trip and
+    the distributed decode path are what's under test."""
+    import ray.data as rd
+
+    from ..stages.multimodal import DecodeImage, synth_bmp_table
+
+    ds = rd.from_arrow(synth_bmp_table(96, seed=7))
+    decoded = ds.map_batches(
+        DecodeImage, batch_format="pyarrow", batch_size=16, concurrency=2
+    )
+    return decoded.map_batches(
+        lambda t: t.select(["media_id", "px_w", "px_h", "sum_r", "sum_g", "sum_b"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_image_resize(sf_dir: str):
+    """ResizeImage analog with a REAL kernel: decode BMP → nearest-
+    neighbor resize to 16×16 (floor index map, integer-exact) →
+    re-encode BMP → decode again for stats. Chains two actor-pool
+    stages the way a NiFi flow would chain processors."""
+    import ray.data as rd
+
+    from ..stages.multimodal import DecodeImage, ResizeImage, synth_bmp_table
+
+    ds = rd.from_arrow(synth_bmp_table(96, seed=7))
+    resized = ds.map_batches(
+        ResizeImage,
+        fn_constructor_kwargs={"width": 16, "height": 16},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=2,
+    )
+    decoded = resized.map_batches(
+        DecodeImage, batch_format="pyarrow", batch_size=16, concurrency=2
+    )
+    return decoded.map_batches(
+        lambda t: t.select(["media_id", "sum_r", "sum_g", "sum_b"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_audio_decode(sf_dir: str):
+    """Real audio decode: 16-bit PCM mono WAV payloads (stdlib wave) →
+    actor-pool DecodeAudio → exact integer features (zero crossings,
+    abs amplitude sum)."""
+    import ray.data as rd
+
+    from ..stages.multimodal import DecodeAudio, synth_wav_table
+
+    ds = rd.from_arrow(synth_wav_table(100, seed=3))
+    decoded = ds.map_batches(
+        DecodeAudio, batch_format="pyarrow", batch_size=32, concurrency=2
+    )
+    return decoded.map_batches(
+        lambda t: t.select(
+            ["media_id", "sample_rate", "n_samples", "n_zero_cross", "abs_sum"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_video_frames(sf_dir: str):
+    """Video frame sampling: concatenated-P6 streams → SampleFrames
+    (every 3rd frame, skipped frames never decoded — header-span walk)
+    → per-frame pixel sum. One row per sampled frame."""
+    import ray.data as rd
+
+    from ..stages.multimodal import SampleFrames, decode_ppm, synth_video_table
+
+    ds = rd.from_arrow(synth_video_table(40, frames=9, seed=5))
+    frames = ds.map_batches(
+        SampleFrames,
+        fn_constructor_kwargs={"every": 3},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=2,
+    )
+
+    def frame_sum(t: pa.Table) -> pa.Table:
+        sums = [
+            int(decode_ppm(p).sum(dtype=np.int64)) for p in t["payload"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "frame_idx": t["frame_idx"],
+                "psum": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return frames.map_batches(frame_sum, batch_format="pyarrow")
+
+
 # Bump when replay/apply/summarize semantics change: the lake workdir is
 # keyed by this + the GenConfig fingerprint, so a stale-but-valid lake
 # built by older code is never silently reused (ADVICE r1).
@@ -851,6 +949,10 @@ QUERIES = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "embedding_neardup": q_embedding_neardup,
     "multimodal_decode": q_multimodal_decode,
+    "image_decode": q_image_decode,
+    "image_resize": q_image_resize,
+    "audio_decode": q_audio_decode,
+    "video_frames": q_video_frames,
     "cdc_replay": q_cdc_replay,
     "cdc_replay_delta": q_cdc_replay_delta,
 }
