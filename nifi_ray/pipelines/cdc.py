@@ -58,7 +58,7 @@ from ..state.manifest import (
     part_file,
     partition_dir,
 )
-from ..util.hashing import add_partition_column, state_checksum
+from ..util.hashing import add_partition_column, partition_of, state_checksum
 
 _EVENT_META_COLS = ("lsn", "op", "doc_id")
 
@@ -311,6 +311,48 @@ def _merge_partition(
         base = conform(base, schema)
     ev = conform(ev, _event_target(schema))
     return conform(merge_into_base(base, ev).sort_by("doc_id"), schema)
+
+
+def _diff_snapshots(old: pa.Table, new: pa.Table, key: str = "doc_id") -> pa.Table:
+    """Snapshot-diff kernel for the change feed: two ≤1-row-per-key
+    state tables (same schema) → one row per CHANGED key:
+
+        change_op 'I'  key in new only          (new image)
+        change_op 'U'  key in both, image differs (new image)
+        change_op 'D'  key in old only          (old image — Delta-CDF
+                                                 style delete preimage)
+
+    No-op writes (identical image) are excluded by construction — image
+    equality is the vectorized order-sensitive row_image_hash over every
+    non-key column. All Arrow/numpy kernels; no Python row loop."""
+    from ..util.hashing import row_image_hash
+
+    payload_cols = [n for n in new.schema.names if n != key]
+    old_ids = old[key].combine_chunks()
+    new_ids = new[key].combine_chunks()
+    in_old = pc.is_in(new_ids, value_set=old_ids)
+    in_new = pc.is_in(old_ids, value_set=new_ids)
+    inserts = new.filter(pc.invert(in_old))
+    deletes = old.filter(pc.invert(in_new))
+    new_c = new.filter(in_old).sort_by(key)
+    old_c = old.filter(in_new).sort_by(key)
+    if new_c.num_rows:
+        differs = row_image_hash(new_c, payload_cols) != row_image_hash(
+            old_c, payload_cols
+        )
+        updates = new_c.filter(pa.array(differs))
+    else:
+        updates = new_c
+    parts = []
+    for op, t in (("I", inserts), ("U", updates), ("D", deletes)):
+        if t.num_rows:
+            parts.append(
+                t.add_column(0, "change_op", pa.array([op] * t.num_rows, pa.string()))
+            )
+    if not parts:
+        empty = new.schema.empty_table()
+        return empty.add_column(0, "change_op", pa.array([], pa.string()))
+    return pa.concat_tables(parts)
 
 
 @ray.remote
@@ -662,6 +704,122 @@ class CDCLake:
         if not tables:
             return m.schema.empty_table()
         return pa.concat_tables(tables).sort_by("doc_id")
+
+    def changes(
+        self,
+        since_version: int,
+        version: int | None = None,
+        columns: list[str] | None = None,
+    ) -> "ray.data.Dataset":
+        """Change feed: Dataset of per-doc net changes between two
+        retained committed versions (snapshot diff, Delta-Lake-CDF
+        analog; NiFi analog: QueryDatabaseTable's watermark-bounded
+        incremental fetch pointed at our own lake).
+
+        One row per doc whose committed image changed from
+        ``since_version`` to ``version`` (default latest):
+        ``change_op`` 'I' new doc (new image) / 'U' image changed (new
+        image) / 'D' doc removed (old image). No-op writes are excluded
+        — consumers see exactly the docs they must re-process, which is
+        the point of a change feed at 100 TB: downstream reads O(changed
+        docs), never O(lake).
+
+        Scale shape: partitions whose manifest entry (base file + delta
+        list) is identical in both versions are pruned WITHOUT any file
+        I/O — a tick that touched 10 of 4096 partitions yields 10 diff
+        tasks. Across a rescale (P changed) entries aren't comparable;
+        each new-partition task then reads the P_old/gcd(P_old,P_new)
+        old partitions that can hold its docs (hash partitioning is
+        stable, so doc→partition is congruence-structured) and filters
+        to its own key range — worst case (coprime P) degrades to a
+        full cross-read, so rescale by multiples.
+        """
+        import math
+
+        import ray.data as rd
+
+        m_old = self.manifest(since_version)
+        m_new = self.manifest(version)
+        if m_old is None or m_new is None:
+            raise FileNotFoundError(
+                f"changes({since_version}, {version}): version not retained "
+                f"in {self.lake_dir} (expired or never committed)"
+            )
+        p_old, p_new = m_old.num_partitions, m_new.num_partitions
+        g = math.gcd(p_old, p_new) or 1
+        same_p = p_old == p_new
+        items = []
+        for k in range(p_new):
+            e_new = m_new.partitions.get(k)
+            nf = e_new["file"] if e_new else None
+            nd = list(e_new.get("deltas", [])) if e_new else []
+            if same_p:
+                e_old = m_old.partitions.get(k)
+                of_ = [e_old["file"]] if e_old else []
+                od = [list(e_old.get("deltas", []))] if e_old else [[]]
+                # manifest-level pruning: identical entry → no diff I/O
+                if e_old and e_new and e_old["file"] == nf and od[0] == nd:
+                    continue
+            else:
+                js = [j for j in range(p_old) if j % g == k % g and j in m_old.partitions]
+                of_ = [m_old.partitions[j]["file"] for j in js]
+                od = [list(m_old.partitions[j].get("deltas", [])) for j in js]
+            items.append(
+                {"k": k, "new_file": nf, "new_deltas": nd, "old_files": of_, "old_deltas": od}
+            )
+
+        schema = m_new.schema
+        out_schema = schema.empty_table().add_column(
+            0, "change_op", pa.array([], pa.string())
+        ).schema
+        if not items:
+            empty = out_schema.empty_table()
+            return rd.from_arrow(empty.select(columns) if columns else empty)
+
+        lake_dir = self.lake_dir
+        schema_b64 = schema.serialize().to_pybytes()
+
+        def diff_items(batch: pa.Table) -> pa.Table:
+            tgt = pa.ipc.read_schema(pa.BufferReader(schema_b64))
+
+            def snap(file: str | None, deltas: list[str]) -> pa.Table:
+                base = (
+                    pq.read_table(os.path.join(lake_dir, file))
+                    if file
+                    else tgt.empty_table()
+                )
+                parts = [pq.read_table(os.path.join(lake_dir, d)) for d in deltas]
+                return _merge_partition(base, parts, tgt)
+
+            outs = []
+            for row in batch.to_pylist():
+                k = int(row["k"])
+                new_t = snap(row["new_file"], row["new_deltas"])
+                olds = [
+                    snap(f, d) for f, d in zip(row["old_files"], row["old_deltas"])
+                ]
+                old_t = (
+                    pa.concat_tables(olds, promote_options="permissive")
+                    if olds
+                    else tgt.empty_table()
+                )
+                if not same_p and old_t.num_rows:
+                    # keep only docs this NEW partition owns (an old
+                    # partition feeds p_new/g new partitions)
+                    old_t = old_t.filter(
+                        pa.array(partition_of(old_t["doc_id"], p_new) == k)
+                    )
+                outs.append(_diff_snapshots(old_t, new_t))
+            out = (
+                pa.concat_tables(outs)
+                if outs
+                else out_schema.empty_table()
+            )
+            return out.select(columns) if columns else out
+
+        return rd.from_items(items, override_num_blocks=len(items)).map_batches(
+            diff_items, batch_format="pyarrow"
+        )
 
     # ----------------------------------------------------------- apply
     def replay(

@@ -825,16 +825,13 @@ def cdc_fixture(sf_tag: str):
     return cfg, base_dir, ev_dir, lake_dir
 
 
-def q_cdc_replay(sf_dir: str):
-    """Flagship: full CDC replay on deterministic synthetic tokens data
-    (scaled by sf); returns the final lake state summary. Oracle: SQL
-    over the same base/events parquet (see cdc_replay_oracle_sql) —
-    last event per doc by LSN over base ∪ events, deletes excluded;
-    the pytest suite additionally checks full token-array equality vs
-    the sequential oracle (nifi_ray/oracle.py)."""
+def _built_cow_lake(sf_tag: str):
+    """The shared graded COW lake for a sf tag: version 1 = init from
+    base, version 2 = one full-replay tick. Idempotent (no-op when the
+    lake is already current); rebuilt from scratch if a previous call
+    was interrupted mid-build."""
     from .cdc import CDCLake
 
-    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     cfg, base_dir, ev_dir, lake_dir = cdc_fixture(sf_tag)
 
     def build():
@@ -845,15 +842,40 @@ def q_cdc_replay(sf_dir: str):
         return lake
 
     try:
-        lake = build()
+        return build()
     except Exception:
         # half-built lake from an interrupted earlier call → rebuild
         import shutil
 
         shutil.rmtree(lake_dir, ignore_errors=True)
-        lake = build()
+        return build()
 
+
+def q_cdc_replay(sf_dir: str):
+    """Flagship: full CDC replay on deterministic synthetic tokens data
+    (scaled by sf); returns the final lake state summary. Oracle: SQL
+    over the same base/events parquet (see cdc_replay_oracle_sql) —
+    last event per doc by LSN over base ∪ events, deletes excluded;
+    the pytest suite additionally checks full token-array equality vs
+    the sequential oracle (nifi_ray/oracle.py)."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    lake = _built_cow_lake(sf_tag)
     return lake.read().map_batches(_cdc_summarize, batch_format="pyarrow")
+
+
+def q_cdc_changes(sf_dir: str):
+    """Change feed over the graded COW lake: lake.changes(1, 2) =
+    snapshot diff init→final (one row per doc whose image changed —
+    'I'/'U' new image, 'D' delete preimage; no-op writes excluded).
+    Oracle: SQL full-outer diff of the base parquet vs the LWW
+    final-state CTE over the same fixture (_cdc_changes_oracle_sql)."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    lake = _built_cow_lake(sf_tag)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        return _cdc_summarize(t).add_column(0, "change_op", t["change_op"])
+
+    return lake.changes(1, 2).map_batches(summarize, batch_format="pyarrow")
 
 
 def q_cdc_replay_delta(sf_dir: str):
@@ -955,6 +977,7 @@ QUERIES = {
     "video_frames": q_video_frames,
     "cdc_replay": q_cdc_replay,
     "cdc_replay_delta": q_cdc_replay_delta,
+    "cdc_changes": q_cdc_changes,
 }
 
 
@@ -1177,6 +1200,53 @@ def _cdc_replay_oracle_sql(base_dir: str, ev_dir: str) -> str:
     """
 
 
+def _cdc_changes_oracle_sql(base_dir: str, ev_dir: str) -> str:
+    """DuckDB oracle for the change feed: full-outer snapshot diff of
+    the base parquet (state at version 1) vs the LWW final state (same
+    CTE as the cdc_replay oracle; state at version 2). IS DISTINCT FROM
+    on the tokens list matches the engine's order-sensitive row-image
+    comparison; no-op updates drop out of both sides."""
+    return f"""
+        WITH ev AS (
+          SELECT doc_id, tokens, n_tok, source, lsn, op
+          FROM read_parquet('{ev_dir}/*.parquet')
+        ),
+        last_ev AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+            FROM ev) t
+          WHERE rn = 1
+        ),
+        final AS (
+          SELECT doc_id, tokens, n_tok, source FROM last_ev WHERE op <> 'D'
+          UNION ALL
+          SELECT b.doc_id, b.tokens, b.n_tok, b.source
+          FROM read_parquet('{base_dir}/*.parquet') b
+          WHERE b.doc_id NOT IN (SELECT doc_id FROM ev)
+        ),
+        old AS (
+          SELECT doc_id, tokens, n_tok, source
+          FROM read_parquet('{base_dir}/*.parquet')
+        )
+        SELECT 'I' AS change_op, n.doc_id, n.n_tok, n.source,
+               CAST(coalesce(list_sum(n.tokens), 0) AS BIGINT) AS token_sum
+        FROM final n LEFT JOIN old o ON n.doc_id = o.doc_id
+        WHERE o.doc_id IS NULL
+        UNION ALL
+        SELECT 'U', n.doc_id, n.n_tok, n.source,
+               CAST(coalesce(list_sum(n.tokens), 0) AS BIGINT)
+        FROM final n JOIN old o ON n.doc_id = o.doc_id
+        WHERE n.tokens IS DISTINCT FROM o.tokens
+           OR n.n_tok IS DISTINCT FROM o.n_tok
+           OR n.source IS DISTINCT FROM o.source
+        UNION ALL
+        SELECT 'D', o.doc_id, o.n_tok, o.source,
+               CAST(coalesce(list_sum(o.tokens), 0) AS BIGINT)
+        FROM old o LEFT JOIN final n ON o.doc_id = n.doc_id
+        WHERE n.doc_id IS NULL
+    """
+
+
 # sf the driver grades oracles at (override for local checks at other sf)
 ORACLE_SF_DIR = os.environ.get("NIFI_RAY_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
@@ -1193,6 +1263,7 @@ def oracle_sql_dict() -> dict[str, str]:
         _cfg, base_dir, ev_dir, _lake = cdc_fixture(sf_tag)
         out["cdc_replay"] = _cdc_replay_oracle_sql(base_dir, ev_dir)
         out["cdc_replay_delta"] = out["cdc_replay"]
+        out["cdc_changes"] = _cdc_changes_oracle_sql(base_dir, ev_dir)
     except Exception:
         pass
     try:

@@ -160,6 +160,69 @@ def mix_u64(x: np.ndarray) -> np.ndarray:
     return x
 
 
+def row_image_hash(table: pa.Table, cols: list[str]) -> np.ndarray:
+    """Per-row ORDER-SENSITIVE uint64 hash of the named columns — the
+    row-image equality test for the change feed (CDCLake.changes):
+    equal images always hash equal (no false 'U' rows); a collision can
+    only HIDE a change (probability ~2^-64 per doc pair).
+
+    Column kernels (all vectorized, no Python row loop):
+      string          — table-driven CRC32 (crc32_of_strings)
+      int/float       — uint64 reinterpretation of the value
+      list<int>       — splitmix of (value, position-in-row), XOR-reduced
+                        per row, mixed with the row length so [] vs null
+                        and permutations all hash apart
+    Columns are chained through splitmix with per-column multipliers so
+    (a=1,b=2) and (a=2,b=1) differ.
+    """
+    n = table.num_rows
+    h = np.zeros(n, dtype=np.uint64)
+    for ci, name in enumerate(cols):
+        col = table[name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        t = col.type
+        null_mask = np.asarray(col.is_null()) if col.null_count else None
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            ch = crc32_of_strings(col).astype(np.uint64)
+        elif pa.types.is_list(t) or pa.types.is_large_list(t):
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+            lens = (
+                pc.coalesce(pc.list_value_length(col), pa.scalar(0, pa.int32()))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            pos = np.arange(flat.size, dtype=np.uint64) - np.repeat(
+                starts.astype(np.uint64), lens
+            )
+            mixed = mix_u64(flat * np.uint64(0x9E3779B97F4A7C15) ^ pos)
+            ch = np.zeros(n, dtype=np.uint64)
+            nz = lens > 0
+            if flat.size:
+                red = np.bitwise_xor.reduceat(mixed, np.clip(starts, 0, flat.size - 1))
+                ch[nz] = red[nz]
+            ch = mix_u64(ch ^ lens.astype(np.uint64) * np.uint64(0xBF58476D1CE4E5B9))
+        elif pa.types.is_floating(t):
+            ch = (
+                col.to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .view(np.uint64)
+                .copy()
+            )
+        else:  # ints / bools / timestamps
+            ch = (
+                pc.cast(col.fill_null(0) if col.null_count else col, pa.int64())
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+            )
+        if null_mask is not None:
+            ch = ch.copy()
+            ch[null_mask] = _U64_NULL
+        h = mix_u64(h * np.uint64(0x94D049BB133111EB) ^ ch ^ np.uint64(ci * 0x9E3779B9))
+    return h
+
+
 def token_state_hash(doc_ids: list[str], tokens: list[list[int] | None]) -> int:
     """Order-insensitive content hash of a {doc_id: tokens} state — used
     in manifests/lineage as the verification checksum (NiFi analog:
