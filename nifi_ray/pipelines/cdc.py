@@ -103,10 +103,65 @@ def _use_hash_shuffle(ds):
     return ds
 
 
-def _premerge_fn(num_partitions: int, applied_through: int):
+_VALID_OPS = pa.array(["I", "U", "D"])
+
+
+def _validate_events(t: pa.Table) -> tuple[pa.Table, pa.Table]:
+    """Split an event batch into (valid, quarantined): an event is
+    quarantined when it cannot be applied AT ALL — null doc_id (no key),
+    null lsn (no position in the log), or an op outside I/U/D. The NiFi
+    'failure' relationship: malformed records are routed, counted, and
+    kept inspectable — never silently dropped, never poisoning the tick
+    (reference nifi-api/.../Relationship.java + every standard
+    processor's REL_FAILURE)."""
+    bad = pc.is_null(t["doc_id"])
+    bad = pc.or_(bad, pc.is_null(t["lsn"]))
+    bad = pc.or_(
+        bad, pc.invert(pc.is_in(t["op"].combine_chunks(), value_set=_VALID_OPS))
+    )
+    if not pc.any(bad).as_py():
+        return t, t.schema.empty_table()
+    return t.filter(pc.invert(bad)), t.filter(bad)
+
+
+def _write_quarantine(quarantine_dir: str, bad: pa.Table) -> str:
+    """Write quarantined rows as a CONTENT-addressed parquet part —
+    q-{md5(rows)}.parquet — so a retried task (or a re-replay of a
+    not-yet-watermarked file) rewrites the same file instead of
+    duplicating rows. Atomic rename, same protocol as data parts."""
+    import hashlib
+    import io as _io
+
+    sink = _io.BytesIO()
+    pq.write_table(bad.replace_schema_metadata(None), sink)
+    name = f"q-{hashlib.md5(sink.getvalue()).hexdigest()[:16]}.parquet"
+    os.makedirs(quarantine_dir, exist_ok=True)
+    out = os.path.join(quarantine_dir, name)
+    tmp = out + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(sink.getvalue())
+    os.replace(tmp, out)
+    return out
+
+
+def _quarantine_row_count(quarantine_dir: str) -> int:
+    """Total quarantined rows (footer metadata only, no data read)."""
+    if not os.path.isdir(quarantine_dir):
+        return 0
+    return sum(
+        pq.read_metadata(os.path.join(quarantine_dir, f)).num_rows
+        for f in os.listdir(quarantine_dir)
+        if f.endswith(".parquet")
+    )
+
+
+def _premerge_fn(num_partitions: int, applied_through: int, quarantine_dir: str | None = None):
     """Stateless map_batches body for the pre-shuffle stage."""
 
     def premerge(batch: pa.Table) -> pa.Table:
+        batch, bad = _validate_events(batch)
+        if bad.num_rows and quarantine_dir:
+            _write_quarantine(quarantine_dir, bad)
         if applied_through > 0:
             batch = batch.filter(pc.greater(batch["lsn"], applied_through))
         # drop file-level schema metadata (e.g. pandas dicts): Ray's
@@ -203,19 +258,52 @@ def _apply_partition_fn(
 
 @ray.remote
 def _cdc_map_task(
-    files: list[str], P: int, lo: int, lsn_hi: int | None, G: int | None = None
+    files: list[str],
+    P: int,
+    lo: int,
+    lsn_hi: int | None,
+    G: int | None = None,
+    quarantine_dir: str | None = None,
 ) -> tuple:
     """Direct-exchange map side: read events (row-group filter pushdown),
-    premerge (dedup + partition stamp + LWW collapse), split into G
-    grouped shards (G = P when ungrouped) returned as separate objects.
-    Pure → retryable."""
+    premerge (validate/quarantine + dedup + partition stamp + LWW
+    collapse), split into G grouped shards (G = P when ungrouped)
+    returned as separate objects. Pure → retryable (quarantine parts are
+    content-addressed, so a retry rewrites rather than duplicates).
+
+    The lsn row filter silently drops NULL-lsn rows at read time, so
+    those are recovered separately: files whose footer reports lsn
+    nulls (metadata check only — zero cost on clean files) get a second
+    is_null-filtered read routed straight to quarantine."""
     _limit_arrow_threads()
     filters = [("lsn", ">", lo)]
     if lsn_hi is not None:
         filters.append(("lsn", "<=", lsn_hi))
     tables = [pq.read_table(f, filters=filters) for f in files]
+    if quarantine_dir:
+        null_lsn = []
+        for f in files:
+            md = pq.read_metadata(f)
+            ci = md.schema.to_arrow_schema().get_field_index("lsn")
+            if ci < 0:
+                continue
+            if any(
+                (md.row_group(rg).column(ci).statistics is None)
+                or (md.row_group(rg).column(ci).statistics.null_count or 0) > 0
+                for rg in range(md.num_row_groups)
+            ):
+                import pyarrow.dataset as pads
+
+                bad = pads.dataset(f).to_table(filter=pc.field("lsn").is_null())
+                if bad.num_rows:
+                    null_lsn.append(bad)
+        if null_lsn:
+            _write_quarantine(
+                quarantine_dir,
+                pa.concat_tables(null_lsn, promote_options="permissive"),
+            )
     t = pa.concat_tables(tables, promote_options="permissive").combine_chunks()
-    t = _premerge_fn(P, lo)(t)
+    t = _premerge_fn(P, lo, quarantine_dir)(t)
     return _scatter_by_partition(t, P, G)
 
 
@@ -485,6 +573,7 @@ class TickStats:
     dups_dropped: int
     rows_total: int
     wall_sec: float
+    quarantined: int = 0
 
 
 class CDCLake:
@@ -686,6 +775,26 @@ class CDCLake:
 
         return rd.from_items(items, override_num_blocks=len(items)).map_batches(
             merge_items, batch_format="pyarrow"
+        )
+
+    def quarantine(self) -> pa.Table:
+        """All quarantined (malformed, never-applied) event rows — the
+        inspectable NiFi 'failure' relationship. Small by construction
+        (bad records, not data); driver-side read is fine."""
+        qdir = os.path.join(self.lake_dir, "_quarantine")
+        files = (
+            [
+                os.path.join(qdir, f)
+                for f in sorted(os.listdir(qdir))
+                if f.endswith(".parquet")
+            ]
+            if os.path.isdir(qdir)
+            else []
+        )
+        if not files:
+            return pa.table({})
+        return pa.concat_tables(
+            [pq.read_table(f) for f in files], promote_options="permissive"
         )
 
     def read_table(self) -> pa.Table:
@@ -893,6 +1002,8 @@ class CDCLake:
 
         base_files = {k: e["file"] for k, e in m.partitions.items()}
         next_version = m.version + 1
+        qdir = os.path.join(self.lake_dir, "_quarantine")
+        q_before = _quarantine_row_count(qdir)
 
         if mode == "delta":
             stats_rows = self._exchange_direct(
@@ -930,6 +1041,7 @@ class CDCLake:
                 }
         events_applied = sum(int(r["events_applied"]) for r in stats_rows)
         dups = sum(int(r["dups_dropped"]) for r in stats_rows)
+        quarantined = _quarantine_row_count(qdir) - q_before
         wall = _time.perf_counter() - t0
         lineage = {
             "kind": "APPLY" if mode == "cow" else "APPLY_DELTA",
@@ -939,6 +1051,7 @@ class CDCLake:
             "files_in": prune_stats.kept,
             "files_skipped_by_footer": prune_stats.skipped_by_footer,
             "partitions_touched": len(stats_rows),
+            "quarantined": quarantined,
             "deletes": sum(int(r["deletes"]) for r in stats_rows),
             "bytes_written": sum(int(r["bytes_written"]) for r in stats_rows),
             "wall_sec": round(wall, 3),
@@ -966,6 +1079,7 @@ class CDCLake:
             dups_dropped=dups,
             rows_total=sum(p["rows"] for p in partitions.values()),
             wall_sec=wall,
+            quarantined=quarantined,
         )
 
     def rescale(self, new_num_partitions: int) -> Manifest:
@@ -1047,7 +1161,7 @@ class CDCLake:
         return (
             _use_hash_shuffle(ds)
             .map_batches(
-                _premerge_fn(m.num_partitions, lo),
+                _premerge_fn(m.num_partitions, lo, os.path.join(self.lake_dir, "_quarantine")),
                 batch_format="pyarrow",
                 batch_size=batch_size,
             )
@@ -1084,8 +1198,9 @@ class CDCLake:
         # (one apply task per group; it splits pids locally — same
         # within-task path as the Dataset exchange's apply_block)
         G = min(P, int(os.environ.get("NIFI_RAY_MAX_SHARDS", "512")))
+        qdir = os.path.join(self.lake_dir, "_quarantine")
         map_refs = [
-            _cdc_map_task.options(num_returns=G).remote(chunk, P, lo, lsn_hi, G)
+            _cdc_map_task.options(num_returns=G).remote(chunk, P, lo, lsn_hi, G, qdir)
             for chunk in chunks
         ]
         if G == 1:  # num_returns=1 returns a bare ref, normalize

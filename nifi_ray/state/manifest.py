@@ -208,6 +208,9 @@ def gc_orphans(lake_dir: str) -> list[str]:
             live |= {os.path.normpath(d) for d in e.get("deltas", [])}
     removed = []
     for root, _dirs, files in os.walk(lake_dir):
+        # quarantined-event parts live outside manifest accounting by
+        # design (diagnostic side-channel, content-addressed) — never GC
+        _dirs[:] = [d for d in _dirs if d != "_quarantine"]
         for f in files:
             if not f.endswith(".parquet"):
                 continue
