@@ -576,6 +576,49 @@ def q_minhash_pairs(sf_dir: str):
     # (pool actors + join aggregators pin every slot)
     pairs = dd.distinct_pairs(dd.lsh_candidate_pairs(bands)).materialize()
 
+    # Semi-join fast path: the candidate-pair set is LSH-reduced and
+    # tiny by design, so fetch ONLY the candidate ids' texts (filter
+    # pushed into the parquet read) and broadcast that O(pairs) dict —
+    # never the corpus. The two-corpus-scan hash-join path below stays
+    # as the fallback when the pair set is genuinely large (logged).
+    n_pairs = pairs.count()
+    if n_pairs <= 500_000:
+        ids: set = set()
+        for b in pairs.iter_batches(batch_format="pyarrow", batch_size=65536):
+            ids.update(b["a"].to_pylist())
+            ids.update(b["b"].to_pylist())
+        if not ids:
+            return pairs
+        import ray as _ray
+        import ray.data as rd
+
+        idarr = pa.array(sorted(ids), pa.string())
+        cand = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+            filter=pc.field("doc_id").isin(idarr),
+        )
+        texts: dict = {}
+        for b in cand.iter_batches(batch_format="pyarrow", batch_size=65536):
+            texts.update(zip(b["doc_id"].to_pylist(), b["text"].to_pylist()))
+        ref = _ray.put(texts)
+        verified = pairs.map_batches(
+            dd.PairVerifier,
+            fn_constructor_kwargs={"texts_ref": ref, "threshold": 0.5},
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+        return verified.map_batches(
+            lambda t: t.select(["a", "b"]), batch_format="pyarrow"
+        )
+
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "minhash_pairs: %d candidate pairs exceed the semi-join cap; "
+        "falling back to partitioned hash joins",
+        n_pairs,
+    )
     with_a = pairs.join(
         docs, "inner", num_partitions=2, on=("a",), right_on=("doc_id",),
         aggregator_ray_remote_args={"num_cpus": 0.1},
