@@ -938,11 +938,19 @@ class CDCLake:
         batch_size: int = 65536,
         exchange: str = "direct",
         mode: str = "cow",
+        from_lsn: int | None = None,
     ) -> TickStats | None:
         """Apply all events with ``applied_through < lsn <= lsn_hi``.
 
         One tick = one manifest version. Returns None if there was
         nothing to apply (watermark already covers the range).
+
+        ``from_lsn``: override the dedup low bound (default: the
+        manifest watermark). Sources that track their own delivery
+        cursor — e.g. the segment consumer's per-partition offsets,
+        which a single scalar watermark cannot represent — pass 0 so
+        every spooled event applies; re-application of identical images
+        in the crash window is LWW-idempotent on state.
 
         mode="cow" (default): each touched partition's file is fully
         rewritten (reads see one file per partition; per-tick write cost
@@ -977,7 +985,7 @@ class CDCLake:
         m = self.manifest()
         if m is None:
             raise FileNotFoundError("lake not initialized (no manifest)")
-        lo = m.applied_through
+        lo = m.applied_through if from_lsn is None else from_lsn
 
         # binlog-tail: footer-stat prune → whole already-applied files
         # are never opened (sources/binlog.py)
@@ -1023,6 +1031,9 @@ class CDCLake:
 
         max_lsn_seen = max(int(r["max_lsn"]) for r in stats_rows)
         hi = lsn_hi if lsn_hi is not None else max_lsn_seen
+        # a from_lsn override may apply events below the committed
+        # watermark — the watermark itself never regresses
+        hi = max(hi, m.applied_through)
 
         partitions = dict(m.partitions)
         for r in stats_rows:
