@@ -954,6 +954,48 @@ def q_cdc_replay_delta(sf_dir: str):
     return lake.read().map_batches(_cdc_summarize, batch_format="pyarrow")
 
 
+def q_cdc_consume(sf_dir: str):
+    """ConsumeKafka-analog path to the SAME final state: fixture events
+    spread into a 4-partition offset-keyed topic (key-sticky, original
+    lsn dropped), consumed via per-partition offsets + commit-after-
+    session into a fresh lake. Graded against the cdc_replay SQL oracle
+    — proving the offset→LSN mapping preserves per-doc ordering
+    end-to-end (sources/segments.py)."""
+    import shutil
+
+    from ..gen import events_table
+    from ..sources.segments import SegmentConsumer, consume_into_lake, write_topic
+    from .cdc import CDCLake
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    cfg, base_dir, _ev_dir, lake_dir = cdc_fixture(sf_tag)
+    work = os.path.dirname(lake_dir)
+    topic_dir = os.path.join(work, f"topic_r{_CDC_QUERY_REV}")
+    lake_dir = os.path.join(work, f"consume_lake_r{_CDC_QUERY_REV}")
+
+    def build():
+        if not os.path.isdir(topic_dir):
+            tmp = topic_dir + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            write_topic(events_table(cfg), tmp, n_partitions=4, segment_rows=4096)
+            os.replace(tmp, topic_dir)
+        lake = CDCLake(lake_dir)
+        if lake.manifest() is None:
+            lake.init_from(base_dir, num_partitions=16)
+        consumer = SegmentConsumer(topic_dir, os.path.join(lake_dir, "group.json"))
+        consume_into_lake(consumer, lake, os.path.join(work, "spool"))
+        return lake
+
+    try:
+        lake = build()
+    except Exception:
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        shutil.rmtree(topic_dir, ignore_errors=True)
+        lake = build()
+
+    return lake.read().map_batches(_cdc_summarize, batch_format="pyarrow")
+
+
 def _cdc_summarize(t: pa.Table) -> pa.Table:
     toks = t["tokens"].combine_chunks()
     flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1020,6 +1062,7 @@ QUERIES = {
     "video_frames": q_video_frames,
     "cdc_replay": q_cdc_replay,
     "cdc_replay_delta": q_cdc_replay_delta,
+    "cdc_consume": q_cdc_consume,
     "cdc_changes": q_cdc_changes,
 }
 
@@ -1306,6 +1349,7 @@ def oracle_sql_dict() -> dict[str, str]:
         _cfg, base_dir, ev_dir, _lake = cdc_fixture(sf_tag)
         out["cdc_replay"] = _cdc_replay_oracle_sql(base_dir, ev_dir)
         out["cdc_replay_delta"] = out["cdc_replay"]
+        out["cdc_consume"] = out["cdc_replay"]
         out["cdc_changes"] = _cdc_changes_oracle_sql(base_dir, ev_dir)
     except Exception:
         pass
