@@ -522,6 +522,57 @@ def q_syslog_roundtrip(sf_dir: str):
     return pre_aggregate(parsed, "syslog_severity", {"n": ("syslog_severity", "count")})
 
 
+def q_listen_ingest(sf_dir: str):
+    """Push-ingest edge end-to-end: render events as RFC3164 syslog
+    lines, push them over a REAL loopback TCP socket into ListenTCP's
+    offset-keyed segment spool, read the spool back as a Dataset, parse
+    with the actor-pool ParseSyslog, aggregate counts per (severity,
+    host) — oracle is plain SQL over the original events
+    (sources/listen.py; reference STD/ListenTCP.java, ListenSyslog.java).
+    The driver-side render/push is the traffic PRODUCER fixture (the
+    senders are external in a real deployment); the graded pipeline is
+    everything after the socket."""
+    import socket
+    import tempfile
+    import time
+
+    import pyarrow.parquet as pq
+
+    from ..sources.listen import ListenTCP, spool_dataset
+    from ..stages.parsers import ParseSyslog
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type"],
+    )
+    eid = t["event_id"].to_numpy(zero_copy_only=False)
+    uid = t["user_id"].to_numpy(zero_copy_only=False)
+    payload = "".join(
+        f"<{32 + (e % 8)}>Oct 11 22:14:15 h{u % 7} app[{e}]: type={et}\n"
+        for e, u, et in zip(eid, uid, t["event_type"].to_pylist())
+    ).encode()
+
+    spool = tempfile.mkdtemp(prefix="nifi_ray_listen_")
+    with ListenTCP(spool, segment_rows=65536) as srv:
+        c = socket.create_connection(("127.0.0.1", srv.port))
+        c.sendall(payload)
+        c.close()
+        deadline = time.time() + 60
+        while srv.writer.rows_written + srv.writer.rows_buffered < t.num_rows:
+            if time.time() > deadline:
+                raise TimeoutError("listener did not receive all pushed lines")
+            time.sleep(0.05)
+
+    parsed = spool_dataset(spool, columns=["payload"]).map_batches(
+        ParseSyslog("payload"), batch_format="pyarrow", concurrency=2
+    )
+    return pre_aggregate(
+        parsed,
+        ["syslog_severity", "syslog_hostname"],
+        {"n": ("syslog_severity", "count")},
+    )
+
+
 def q_systematic_sample(sf_dir: str):
     """Deterministic hash sampling (the replayable form of ds.
     random_sample): keep docs whose md5(doc_id) starts 0-3 (≈25%),
@@ -1049,6 +1100,7 @@ QUERIES = {
     "topk_per_group": q_topk_per_group,
     "minhash_dup_groups": q_minhash_dup_groups,
     "syslog_roundtrip": q_syslog_roundtrip,
+    "listen_ingest": q_listen_ingest,
     "systematic_sample": q_systematic_sample,
     "lang_id": q_lang_id,
     "minhash_pairs": q_minhash_pairs,
@@ -1163,6 +1215,12 @@ ORACLE_SQL = {
     "syslog_roundtrip": """
         SELECT CAST(event_id % 8 AS INTEGER) AS syslog_severity, count(*) AS n
         FROM events GROUP BY 1
+    """,
+    "listen_ingest": """
+        SELECT CAST(event_id % 8 AS INTEGER) AS syslog_severity,
+               'h' || CAST(user_id % 7 AS VARCHAR) AS syslog_hostname,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
     """,
     "systematic_sample": """
         SELECT source, count(*) AS n FROM documents

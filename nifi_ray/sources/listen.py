@@ -1,0 +1,268 @@
+"""Push-protocol ingest edges — ListenTCP / ListenUDP / ListenSyslog /
+ListenHTTP analogs (reference nifi-standard-processors/src/main/java/
+org/apache/nifi/processors/standard/ListenTCP.java, ListenUDP.java,
+ListenSyslog.java, ListenHTTP.java).
+
+A push edge cannot be a Dataset transform — records arrive on the
+sender's schedule, not the reader's. Every listener here is a thin
+protocol framer in front of ONE durable spool: the same partitioned
+offset-keyed segment layout the SegmentConsumer reads
+(sources/segments.py), so pushed records flow through the identical
+consume → process machinery as any broker topic, with commit-after-
+session offsets and at-least-once delivery. The reference's internal
+flowfile queue between a Listen* processor and the rest of the graph
+plays the same role; here the queue is spelled as parquet segments, so
+it is durable, partitioned, and distributed-readable by construction.
+
+Scale notes: one listener instance is one ingest NODE (the reference
+runs a Listen* processor per node behind a load balancer — the admin
+guide's recommended HA pattern). Run N listeners writing N disjoint
+spool partitions (``partition=`` arg); downstream reads scale as
+segment-count × size math, not a listener redesign. The write path is
+append-buffer + atomic segment rotation; readers only ever see sealed
+segments, so a crashed listener loses at most its unflushed buffer —
+the same bound as the reference's max-batch-size socket buffer.
+"""
+
+from __future__ import annotations
+
+import glob
+import http.server
+import os
+import socketserver
+import threading
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+class SpoolWriter:
+    """Durable append spool: buffered records → offset-keyed parquet
+    segment files under ``spool_dir/partition=P/``, rotated every
+    ``segment_rows`` and sealed atomically (tmp + rename — the same
+    PutFile contract as the lake's part writes). Thread-safe; every
+    protocol handler thread appends through one writer. Offsets are
+    dense per partition and resume from existing segments, so a
+    restarted listener continues the stream instead of forking it."""
+
+    def __init__(self, spool_dir: str, partition: int = 0, segment_rows: int = 4096):
+        self.dir = os.path.join(spool_dir, f"partition={partition}")
+        os.makedirs(self.dir, exist_ok=True)
+        self.segment_rows = segment_rows
+        self._lock = threading.Lock()
+        self._buf: list[dict] = []
+        self._next_offset = 0
+        self._next_seg = 0
+        for f in sorted(glob.glob(os.path.join(self.dir, "segment-*.parquet"))):
+            md = pq.read_metadata(f)
+            self._next_offset += md.num_rows
+            self._next_seg += 1
+
+    def append(self, record: dict) -> None:
+        with self._lock:
+            self._buf.append(record)
+            if len(self._buf) >= self.segment_rows:
+                self._flush_locked()
+
+    def flush(self) -> None:
+        with self._lock:
+            self._flush_locked()
+
+    def _flush_locked(self) -> None:
+        if not self._buf:
+            return
+        t = pa.Table.from_pylist(self._buf)
+        t = t.append_column(
+            "offset",
+            pa.array(range(self._next_offset, self._next_offset + t.num_rows), pa.int64()),
+        )
+        path = os.path.join(self.dir, f"segment-{self._next_seg:05d}.parquet")
+        tmp = path + f".tmp.{os.getpid()}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        self._next_offset += t.num_rows
+        self._next_seg += 1
+        self._buf = []
+
+    @property
+    def rows_written(self) -> int:
+        with self._lock:
+            return self._next_offset
+
+    @property
+    def rows_buffered(self) -> int:
+        with self._lock:
+            return len(self._buf)
+
+
+class _Listener:
+    """Common lifecycle: serve on a daemon thread, flush-on-close."""
+
+    server: socketserver.BaseServer
+    writer: SpoolWriter
+
+    def _start(self) -> None:
+        self._thread = threading.Thread(target=self.server.serve_forever, daemon=True)
+        self._thread.start()
+
+    @property
+    def port(self) -> int:
+        return self.server.server_address[1]
+
+    def close(self) -> None:
+        self.server.shutdown()
+        self.server.server_close()
+        self._thread.join()
+        self.writer.flush()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class ListenTCP(_Listener):
+    """Newline-framed TCP listener (ListenTCP.java): each line is one
+    record ``{payload, sender, proto}`` — the reference's flowfile
+    content + ``tcp.sender`` attribute. Many concurrent connections;
+    per-connection order is preserved by the single spool lock (the
+    reference's max-concurrent-connections + event queue)."""
+
+    def __init__(
+        self,
+        spool_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        partition: int = 0,
+        segment_rows: int = 4096,
+        max_line: int = 1 << 20,
+    ):
+        self.writer = SpoolWriter(spool_dir, partition, segment_rows)
+        writer, proto = self.writer, "tcp"
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self):
+                sender = self.client_address[0]
+                while True:
+                    line = self.rfile.readline(max_line)
+                    if not line:
+                        return
+                    writer.append(
+                        {
+                            "payload": line.rstrip(b"\r\n").decode("utf-8", "replace"),
+                            "sender": sender,
+                            "proto": proto,
+                        }
+                    )
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self.server = Server((host, port), Handler)
+        self._start()
+
+
+class ListenUDP(_Listener):
+    """Datagram listener (ListenUDP.java): one datagram = one record.
+    Loopback/test transport — a production deployment fronts this with
+    the same load-balancer pattern as the reference."""
+
+    def __init__(
+        self,
+        spool_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        partition: int = 0,
+        segment_rows: int = 4096,
+    ):
+        self.writer = SpoolWriter(spool_dir, partition, segment_rows)
+        writer = self.writer
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                data, _sock = self.request
+                writer.append(
+                    {
+                        "payload": data.decode("utf-8", "replace"),
+                        "sender": self.client_address[0],
+                        "proto": "udp",
+                    }
+                )
+
+        class Server(socketserver.ThreadingUDPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self.server = Server((host, port), Handler)
+        self._start()
+
+
+def ListenSyslog(spool_dir: str, proto: str = "tcp", **kw):
+    """ListenSyslog.java in parse-free mode: spool raw syslog lines
+    (TCP newline-framed or one datagram per message); parsing into
+    severity/facility/host columns is the downstream ``ParseSyslog``
+    actor-pool stage (stages/parsers.py) — separating the I/O edge from
+    the parse keeps the parse distributed and re-runnable, where the
+    reference parses on the ingest node."""
+    cls = ListenTCP if proto == "tcp" else ListenUDP
+    return cls(spool_dir, **kw)
+
+
+class ListenHTTP(_Listener):
+    """HTTP POST listener (ListenHTTP.java): each POST body is one
+    record with ``{payload, path, sender, content_type}`` — the
+    reference's flowfile + http.* attributes. Responds 200 after the
+    record is accepted into the spool buffer (the reference ACKs after
+    the session transfer; durability to a sealed segment is the
+    commit-after-session boundary downstream consumers see)."""
+
+    def __init__(
+        self,
+        spool_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        partition: int = 0,
+        segment_rows: int = 4096,
+    ):
+        self.writer = SpoolWriter(spool_dir, partition, segment_rows)
+        writer = self.writer
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                writer.append(
+                    {
+                        "payload": body.decode("utf-8", "replace"),
+                        "path": self.path,
+                        "sender": self.client_address[0],
+                        "content_type": self.headers.get("Content-Type", ""),
+                    }
+                )
+                self.send_response(200)
+                self.end_headers()
+
+            def log_message(self, *a):  # no stderr chatter per request
+                pass
+
+        class Server(socketserver.ThreadingMixIn, http.server.HTTPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self.server = Server((host, port), Handler)
+        self._start()
+
+
+def spool_dataset(spool_dir: str, columns: list[str] | None = None):
+    """Read every sealed segment of a spool as a Dataset (offset column
+    included). For offset-tracked incremental consumption use
+    ``SegmentConsumer(spool_dir, group_path)`` — the spool layout is a
+    single-producer topic."""
+    import ray.data
+
+    files = sorted(glob.glob(os.path.join(spool_dir, "partition=*", "segment-*.parquet")))
+    if not files:
+        return ray.data.from_items([])
+    return ray.data.read_parquet(files, columns=columns)

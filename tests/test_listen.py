@@ -1,0 +1,208 @@
+"""Push-source edges (ListenTCP/UDP/Syslog/HTTP) and the HTTP fetch
+stage — loopback end-to-end: push over the real socket, read the spool
+back as a Dataset, and consume it with the offset-tracking consumer."""
+
+import http.client
+import os
+import socket
+import threading
+import time
+
+import pyarrow as pa
+import pytest
+
+from nifi_ray.sources.listen import (
+    ListenHTTP,
+    ListenSyslog,
+    ListenTCP,
+    ListenUDP,
+    SpoolWriter,
+    spool_dataset,
+)
+
+
+def _wait_rows(writer, n, timeout=10.0):
+    t0 = time.time()
+    while writer.rows_written + writer.rows_buffered < n:
+        if time.time() - t0 > timeout:
+            raise TimeoutError(
+                f"{writer.rows_written}+{writer.rows_buffered} < {n}"
+            )
+        time.sleep(0.02)
+
+
+def test_tcp_roundtrip_multi_connection(tmp_path, ray_session):
+    spool = str(tmp_path / "spool")
+    with ListenTCP(spool, segment_rows=100) as srv:
+        def push(k):
+            c = socket.create_connection(("127.0.0.1", srv.port))
+            c.sendall(b"".join(f"conn{k} line{i}\n".encode() for i in range(150)))
+            c.close()
+
+        ts = [threading.Thread(target=push, args=(k,)) for k in range(3)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        _wait_rows(srv.writer, 450)
+    ds = spool_dataset(spool)
+    rows = ds.take_all()
+    assert len(rows) == 450
+    assert {r["payload"] for r in rows} == {
+        f"conn{k} line{i}" for k in range(3) for i in range(150)
+    }
+    # offsets dense 0..449, sender recorded, rotation sealed full segments
+    assert sorted(r["offset"] for r in rows) == list(range(450))
+    assert all(r["sender"] == "127.0.0.1" for r in rows)
+    segs = os.listdir(os.path.join(spool, "partition=0"))
+    assert len([s for s in segs if s.endswith(".parquet")]) >= 4
+
+
+def test_spool_writer_resumes_offsets(tmp_path):
+    spool = str(tmp_path / "spool")
+    w = SpoolWriter(spool, segment_rows=10)
+    for i in range(25):
+        w.append({"payload": f"a{i}"})
+    w.flush()
+    # "restarted listener" continues the offset stream
+    w2 = SpoolWriter(spool, segment_rows=10)
+    assert w2.rows_written == 25
+    w2.append({"payload": "resumed"})
+    w2.flush()
+    import pyarrow.parquet as pq
+    import glob
+
+    t = pa.concat_tables(
+        pq.read_table(f)
+        for f in sorted(glob.glob(os.path.join(spool, "partition=0", "*.parquet")))
+    )
+    assert t.num_rows == 26
+    assert t["offset"].to_pylist() == list(range(26))
+
+
+def test_udp_datagrams(tmp_path, ray_session):
+    spool = str(tmp_path / "spool")
+    with ListenUDP(spool) as srv:
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for i in range(40):
+            s.sendto(f"dgram {i}".encode(), ("127.0.0.1", srv.port))
+        s.close()
+        _wait_rows(srv.writer, 40)
+    rows = spool_dataset(spool).take_all()
+    assert {r["payload"] for r in rows} == {f"dgram {i}" for i in range(40)}
+    assert all(r["proto"] == "udp" for r in rows)
+
+
+def test_syslog_listener_parses_downstream(tmp_path, ray_session):
+    from nifi_ray.stages.parsers import ParseSyslog
+
+    spool = str(tmp_path / "spool")
+    with ListenSyslog(spool, proto="tcp") as srv:
+        c = socket.create_connection(("127.0.0.1", srv.port))
+        c.sendall(
+            b"<34>Oct 11 22:14:15 web01 su[123]: auth failure\n"
+            b"<165>1 2024-01-01T00:00:00Z app02 myapp 77 ID47 - started\n"
+            b"not syslog at all\n"
+        )
+        c.close()
+        _wait_rows(srv.writer, 3)
+    parsed = (
+        spool_dataset(spool)
+        .map_batches(ParseSyslog("payload"), batch_format="pyarrow")
+        .take_all()
+    )
+    by_host = {r["syslog_hostname"]: r for r in parsed if r["syslog_valid"]}
+    assert by_host["web01"]["syslog_severity"] == 34 % 8
+    assert by_host["web01"]["syslog_facility"] == 34 // 8
+    assert by_host["app02"]["syslog_body"] == "started"
+    assert sum(not r["syslog_valid"] for r in parsed) == 1
+
+
+def test_http_listener_post(tmp_path, ray_session):
+    spool = str(tmp_path / "spool")
+    with ListenHTTP(spool) as srv:
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port)
+        for i in range(20):
+            conn.request(
+                "POST",
+                f"/ingest/{i % 3}",
+                body=f"doc {i}".encode(),
+                headers={"Content-Type": "text/plain"},
+            )
+            assert conn.getresponse().status == 200
+        conn.close()
+        _wait_rows(srv.writer, 20)
+    rows = spool_dataset(spool).take_all()
+    assert len(rows) == 20
+    assert {r["payload"] for r in rows} == {f"doc {i}" for i in range(20)}
+    assert {r["path"] for r in rows} == {"/ingest/0", "/ingest/1", "/ingest/2"}
+    assert all(r["content_type"] == "text/plain" for r in rows)
+
+
+def test_spool_feeds_segment_consumer(tmp_path, ray_session):
+    """The spool IS a single-producer topic: offset-tracked incremental
+    consumption with commit-after-session, second poll empty."""
+    from nifi_ray.sources.segments import SegmentConsumer
+
+    spool = str(tmp_path / "spool")
+    with ListenTCP(spool, segment_rows=50) as srv:
+        c = socket.create_connection(("127.0.0.1", srv.port))
+        c.sendall(b"".join(f"m{i}\n".encode() for i in range(120)))
+        c.close()
+        _wait_rows(srv.writer, 120)
+    cons = SegmentConsumer(spool, str(tmp_path / "group.json"))
+    ds, hi = cons.poll()
+    assert ds.count() == 120
+    cons.commit(hi)
+    ds2, _ = cons.poll()
+    assert ds2 is None or ds2.count() == 0
+
+
+def test_http_fetch_stage(tmp_path, ray_session):
+    """InvokeHTTP analog against a loopback server: statuses, bodies,
+    and record-level error capture (unreachable port ⇒ -1, no raise)."""
+    import http.server
+    import socketserver
+
+    import ray.data
+
+    from nifi_ray.stages.http import HttpFetch
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path.startswith("/missing"):
+                self.send_response(404)
+                self.end_headers()
+                return
+            body = f"content of {self.path}".encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    class Srv(socketserver.ThreadingMixIn, http.server.HTTPServer):
+        daemon_threads = True
+
+    srv = Srv(("127.0.0.1", 0), H)
+    port = srv.server_address[1]
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    try:
+        urls = [f"http://127.0.0.1:{port}/doc/{i}" for i in range(10)]
+        urls += [f"http://127.0.0.1:{port}/missing", "http://127.0.0.1:1/dead"]
+        ds = ray.data.from_items([{"url": u} for u in urls]).map_batches(
+            HttpFetch("url"), batch_format="pyarrow", concurrency=2, batch_size=4
+        )
+        rows = sorted(ds.take_all(), key=lambda r: r["url"])
+        ok = [r for r in rows if r["status_code"] == 200]
+        assert len(ok) == 10
+        for r in ok:
+            path = r["url"].split(str(port), 1)[1]
+            assert r["response_body"] == f"content of {path}".encode()
+        assert sum(r["status_code"] == 404 for r in rows) == 1
+        dead = [r for r in rows if r["url"].endswith("/dead")]
+        assert dead[0]["status_code"] == -1 and dead[0]["error"]
+    finally:
+        srv.shutdown()
+        srv.server_close()
