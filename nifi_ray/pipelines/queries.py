@@ -40,12 +40,18 @@ def _t(sf_dir: str, name: str, columns=None, filter=None):
 
 
 def _round(ds, cols: dict[str, int]):
+    """Round float columns with DuckDB's exact algorithm
+    (round-half-away then one fp division: rint(x*10^n)/10^n) so the
+    stringified value hashes match the SQL oracle bit-for-bit —
+    pc.round(ndigits=) can land 1 ulp away from round(x*100)/100."""
+
     def fn(batch: pa.Table) -> pa.Table:
         for c, nd in cols.items():
+            v = pc.cast(batch[c], pa.float64()).to_numpy(zero_copy_only=False)
+            scale = 10.0**nd
+            r = np.sign(v) * np.floor(np.abs(v) * scale + 0.5) / scale
             batch = batch.set_column(
-                batch.schema.get_field_index(c),
-                c,
-                pc.round(pc.cast(batch[c], pa.float64()), ndigits=nd),
+                batch.schema.get_field_index(c), c, pa.array(r, pa.float64())
             )
         return batch
 
@@ -520,6 +526,126 @@ def q_syslog_roundtrip(sf_dir: str):
         ParseSyslog, batch_format="pyarrow", concurrency=2
     )
     return pre_aggregate(parsed, "syslog_severity", {"n": ("syslog_severity", "count")})
+
+
+def _rates_fixture(sf_dir: str) -> str:
+    """Deterministic per-sf 'rates' dimension (5 regions × 16 updates
+    spanning the events ts range) shared by q_asof_enrich and its ASOF
+    JOIN oracle — written once, atomically, under /tmp."""
+    import pyarrow.parquet as pq
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = f"/tmp/nifi_ray_rates_{sf_tag}.parquet"
+    if os.path.exists(path):
+        return path
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+    ts = pc.cast(t["ts"], pa.int64())
+    lo, hi = pc.min(ts).as_py(), pc.max(ts).as_py()
+    span = max(hi - lo, 1)
+    regions, tss, rates = [], [], []
+    for r in range(5):
+        for i in range(16):
+            regions.append(r)
+            tss.append(lo + (span * i) // 16)
+            rates.append((r * 31 + i * 7) % 97 + 1)
+    out = pa.table(
+        {
+            "region": pa.array(regions, pa.int64()),
+            "ts": pc.cast(pa.array(tss, pa.int64()), t["ts"].type),
+            "rate": pa.array(rates, pa.int64()),
+        }
+    )
+    tmp = path + f".tmp.{os.getpid()}"
+    pq.write_table(out, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def q_asof_enrich(sf_dir: str):
+    """Backward as-of join: each event picks the rate that was CURRENT
+    for its region at its timestamp (stages/joins.py AsofLookup —
+    broadcast dim, one searchsorted per batch; the event-time-correct
+    form of FetchDistributedMapCache enrichment). Oracle: DuckDB native
+    ASOF JOIN over the same rates parquet."""
+    import pyarrow.parquet as pq
+
+    import ray as _ray
+
+    from ..stages.joins import AsofLookup
+
+    rates = pq.read_table(_rates_fixture(sf_dir))
+    ds = _t(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def add_region(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("region", pa.array(uid % 5, pa.int64()))
+
+    enriched = ds.map_batches(add_region, batch_format="pyarrow").map_batches(
+        AsofLookup,
+        fn_constructor_args=(_ray.put(rates), "region", "ts"),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    def weight(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "w", pc.multiply(t["value"], pc.cast(t["rate"], pa.float64()))
+        )
+
+    agg = pre_aggregate(
+        enriched.map_batches(weight, batch_format="pyarrow"),
+        "region",
+        {"weighted": ("w", "sum"), "n": ("region", "count")},
+    )
+    return _round(agg, {"weighted": 2})
+
+
+def q_range_enrich(sf_dir: str):
+    """Interval-containment lookup (GeoEnrichIP shape): hash each event
+    to a synthetic IPv4, resolve it against nation-owned /5 ranges via
+    one broadcast searchsorted (stages/joins.py RangeLookup), count +
+    sum per owner; ~22% of the space is unowned → 'unassigned'."""
+    import pyarrow.parquet as pq
+
+    import ray as _ray
+
+    from ..stages.joins import RangeLookup
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    width = 134217728  # 2^27
+    nk = nation["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ranges = pa.table(
+        {
+            "lo": pa.array(nk * width, pa.int64()),
+            "hi": pa.array((nk + 1) * width, pa.int64()),
+            "n_name": nation["n_name"],
+        }
+    )
+    ds = _t(sf_dir, "events", columns=["event_id", "value"])
+
+    def add_ip(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("ip", pa.array((eid * 2654435761) % 4294967296, pa.int64()))
+
+    looked = ds.map_batches(add_ip, batch_format="pyarrow").map_batches(
+        RangeLookup,
+        fn_constructor_args=(_ray.put(ranges), "ip"),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("n_name")
+        return t.set_column(i, "n_name", pc.fill_null(t["n_name"], "unassigned"))
+
+    agg = pre_aggregate(
+        looked.map_batches(fill, batch_format="pyarrow"),
+        "n_name",
+        {"n": ("n_name", "count"), "sum_val": ("value", "sum")},
+    )
+    return _round(agg, {"sum_val": 2})
 
 
 def q_listen_ingest(sf_dir: str):
@@ -1101,6 +1227,8 @@ QUERIES = {
     "minhash_dup_groups": q_minhash_dup_groups,
     "syslog_roundtrip": q_syslog_roundtrip,
     "listen_ingest": q_listen_ingest,
+    "asof_enrich": q_asof_enrich,
+    "range_enrich": q_range_enrich,
     "systematic_sample": q_systematic_sample,
     "lang_id": q_lang_id,
     "minhash_pairs": q_minhash_pairs,
@@ -1221,6 +1349,15 @@ ORACLE_SQL = {
                'h' || CAST(user_id % 7 AS VARCHAR) AS syslog_hostname,
                count(*) AS n
         FROM events GROUP BY 1, 2
+    """,
+    "range_enrich": """
+        SELECT coalesce(n.n_name, 'unassigned') AS n_name,
+               count(*) AS n,
+               round(sum(e.value), 2) AS sum_val
+        FROM (SELECT (event_id * 2654435761) % 4294967296 AS ip, value
+              FROM events) e
+        LEFT JOIN nation n ON CAST(e.ip // 134217728 AS BIGINT) = n.n_nationkey
+        GROUP BY 1
     """,
     "systematic_sample": """
         SELECT source, count(*) AS n FROM documents
@@ -1409,6 +1546,18 @@ def oracle_sql_dict() -> dict[str, str]:
         out["cdc_replay_delta"] = out["cdc_replay"]
         out["cdc_consume"] = out["cdc_replay"]
         out["cdc_changes"] = _cdc_changes_oracle_sql(base_dir, ev_dir)
+    except Exception:
+        pass
+    try:
+        rates_path = _rates_fixture(ORACLE_SF_DIR)
+        out["asof_enrich"] = f"""
+            SELECT CAST(e.user_id % 5 AS BIGINT) AS region,
+                   round(sum(e.value * r.rate), 2) AS weighted,
+                   count(*) AS n
+            FROM events e ASOF JOIN read_parquet('{rates_path}') r
+              ON (e.user_id % 5) = r.region AND e.ts >= r.ts
+            GROUP BY 1
+        """
     except Exception:
         pass
     try:

@@ -1,0 +1,151 @@
+"""Temporal and interval joins — as-of join and range(interval) lookup.
+
+NiFi 1.1.2 has no relational join (SURVEY.md §2.7); its join-shaped
+enrichers fetch the dimension value that was CURRENT for a record:
+- GeoEnrichIP (nifi-enrich-bundle/.../GeoEnrichIP.java) — IP → the
+  range of a MaxMind interval table that contains it = range join.
+- FetchDistributedMapCache (FetchDistributedMapCache.java) at event
+  time — the keyed dimension value as-of the record's timestamp =
+  as-of join (the reference approximates it with whatever the cache
+  holds NOW; a replayable engine must use event time).
+
+Both are BROADCAST implementations: the dimension side (rates, geo
+ranges, configs) is MBs — ``ray.put`` once, resolved once per actor in
+``__init__``, one vectorized ``np.searchsorted`` per batch. No shuffle.
+For a dimension too big to broadcast, apply the same searchsorted
+inside ``groupby(key).map_groups`` after co-partitioning both sides by
+key — the partitioning assumption is key-disjointness, identical to the
+CDC apply's (pipelines/cdc.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+
+class AsofLookup:
+    """Actor-pool stage: for each row, append the dimension row with the
+    greatest ``dim_ts <= ts`` within the same key (backward as-of join,
+    DuckDB/pandas ``merge_asof`` semantics; rows before the first
+    dimension entry of their key get nulls).
+
+    Vectorized across the whole batch: dimension keys are factorized to
+    dense ids, both sides' timestamps are offset into per-key disjoint
+    composite ranges, and ONE ``np.searchsorted`` over the composite
+    array resolves every row.
+
+        dim_ref = ray.put(rates)   # pa.Table(key, ts, ...values)
+        ds.map_batches(AsofLookup, fn_constructor_args=(dim_ref, "user_id", "ts", "region", "ts"),
+                       batch_format="pyarrow", concurrency=4)
+    """
+
+    def __init__(
+        self,
+        dim_ref,
+        key_col: str,
+        ts_col: str,
+        dim_key: str | None = None,
+        dim_ts: str | None = None,
+        columns: list[str] | None = None,
+    ):
+        dim: pa.Table = ray.get(dim_ref) if isinstance(dim_ref, ray.ObjectRef) else dim_ref
+        self.key_col, self.ts_col = key_col, ts_col
+        dim_key, dim_ts = dim_key or key_col, dim_ts or ts_col
+        dim = dim.sort_by([(dim_key, "ascending"), (dim_ts, "ascending")]).combine_chunks()
+        self.columns = columns or [
+            n for n in dim.schema.names if n not in (dim_key, dim_ts)
+        ]
+        self.dim = dim
+        self.dim_keys = dim[dim_key].combine_chunks()  # sorted unique-able
+        kd = self.dim_keys.dictionary_encode()
+        self.key_values = kd.dictionary  # distinct keys, first-appearance = sorted
+        k_idx = kd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = self._ts_i64(dim[dim_ts])
+        # per-key composite: k_idx * span + (ts - lo). span covers every
+        # ts either side can present (int64 µs fits: keys < 2^20, span < 2^43)
+        self.lo = int(ts.min()) if len(ts) else 0
+        self.span = (int(ts.max()) - self.lo + 2) if len(ts) else 2
+        self.composite = k_idx * self.span + (ts - self.lo)
+
+    @staticmethod
+    def _ts_i64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        if pa.types.is_timestamp(col.type):
+            col = pc.cast(col, pa.int64())
+        return col.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch[self.key_col], value_set=self.key_values)
+        known = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        k_idx = (
+            pc.fill_null(pc.cast(idx, pa.int64()), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ts = self._ts_i64(batch[self.ts_col])
+        # clamp into the key's composite range so an out-of-range ts
+        # still resolves within its own key's slice
+        off = np.clip(ts - self.lo, 0, self.span - 1)
+        comp = k_idx * self.span + off
+        pos = np.searchsorted(self.composite, comp, side="right") - 1
+        # valid = found a dim row of the SAME key at or before ts
+        valid = known & (pos >= 0) & (self.composite[np.clip(pos, 0, None)] // self.span == k_idx)
+        # rows whose real ts predates the key's first entry: searchsorted
+        # already lands them in the previous key (invalidated above) or
+        # at clamp 0 — recheck true ts against the matched dim ts
+        matched_ts = np.where(valid, self.composite[np.clip(pos, 0, None)] % self.span + self.lo, 0)
+        valid &= ts >= matched_ts
+        take = pa.array(
+            np.where(valid, np.clip(pos, 0, None), -1), pa.int64()
+        )
+        take = pc.if_else(pc.equal(take, pa.scalar(-1, pa.int64())), pa.scalar(None, pa.int64()), take)
+        for c in self.columns:
+            batch = batch.append_column(c, self.dim[c].take(take))
+        return batch
+
+
+class RangeLookup:
+    """Actor-pool stage: map a numeric column into the interval of a
+    broadcast range table that contains it (GeoEnrichIP's
+    IP-in-CIDR-range lookup shape). ``ranges`` is a pa.Table with a
+    sorted ``lo`` column (interval = [lo_i, lo_{i+1}) with an optional
+    explicit ``hi`` on the last/all rows); label columns are appended,
+    null when the value falls outside every interval.
+
+        ranges = pa.table({"lo": [...], "hi": [...], "n_name": [...]})
+        ds.map_batches(RangeLookup, fn_constructor_args=(ray.put(ranges), "ip"),
+                       batch_format="pyarrow", concurrency=4)
+    """
+
+    def __init__(self, ranges_ref, col: str, columns: list[str] | None = None):
+        r: pa.Table = (
+            ray.get(ranges_ref) if isinstance(ranges_ref, ray.ObjectRef) else ranges_ref
+        )
+        r = r.sort_by("lo").combine_chunks()
+        self.col = col
+        self.lo = r["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        self.hi = (
+            r["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if "hi" in r.schema.names
+            else np.append(self.lo[1:], np.iinfo(np.int64).max)
+        )
+        self.ranges = r
+        self.columns = columns or [
+            n for n in r.schema.names if n not in ("lo", "hi")
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        v = batch[self.col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(self.lo, v, side="right") - 1
+        cl = np.clip(pos, 0, None)
+        valid = (pos >= 0) & (v < self.hi[cl])
+        take = pa.array(np.where(valid, cl, -1), pa.int64())
+        take = pc.if_else(
+            pc.equal(take, pa.scalar(-1, pa.int64())), pa.scalar(None, pa.int64()), take
+        )
+        for c in self.columns:
+            batch = batch.append_column(c, self.ranges[c].take(take))
+        return batch
