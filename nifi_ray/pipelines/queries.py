@@ -32,9 +32,11 @@ from ..stages.split_merge import merge_ordered, split_text
 
 
 def _t(sf_dir: str, name: str, columns=None, filter=None):
-    import ray.data as rd
+    # metadata-stripped read: driver-written testdata carries a pandas
+    # schema blob that makes schemas unhashable (see util/io.py)
+    from ..util.io import read_parquet_clean
 
-    return rd.read_parquet(
+    return read_parquet_clean(
         os.path.join(sf_dir, f"{name}.parquet"), columns=columns, filter=filter
     )
 
@@ -770,7 +772,9 @@ def q_minhash_pairs(sf_dir: str):
         import ray.data as rd
 
         idarr = pa.array(sorted(ids), pa.string())
-        cand = rd.read_parquet(
+        from ..util.io import read_parquet_clean
+
+        cand = read_parquet_clean(
             os.path.join(sf_dir, "documents.parquet"),
             columns=["doc_id", "text"],
             filter=pc.field("doc_id").isin(idarr),

@@ -1,0 +1,45 @@
+"""Parquet read helper that strips schema metadata at the source.
+
+pyarrow schemas whose ``metadata`` dict is populated (e.g. the
+``b'pandas'`` blob every pandas-written file carries) are UNHASHABLE
+(``hash(schema)`` raises ``unhashable type: 'dict'``), which defeats
+Ray Data's block-schema deduplication cache — every unify logs
+"Failed to hash the schemas" and pays the slow path on each reduce.
+Reading with an explicit metadata-free schema makes every downstream
+block schema hashable and silences the warning for good.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+
+
+def clean_schema(path_or_paths, columns: list[str] | None = None) -> pa.Schema:
+    """Metadata-free (projected) arrow schema from one parquet footer."""
+    import pyarrow.parquet as pq
+
+    p = path_or_paths
+    if isinstance(p, (list, tuple)):
+        p = p[0]
+    if os.path.isdir(p):
+        p = sorted(glob.glob(os.path.join(p, "*.parquet")))[0]
+    full = pq.read_metadata(p).schema.to_arrow_schema().remove_metadata()
+    if columns is None:
+        return full
+    return pa.schema([full.field(c) for c in columns])
+
+
+def read_parquet_clean(path_or_paths, *, columns=None, filter=None, **kwargs):
+    """``ray.data.read_parquet`` with schema metadata stripped at the
+    read task (one driver-side footer fetch; blocks come out with
+    hashable schemas). Ray requires the schema pre-projected when
+    ``columns=`` is passed."""
+    import ray.data as rd
+
+    schema = clean_schema(path_or_paths, columns)
+    return rd.read_parquet(
+        path_or_paths, schema=schema, columns=columns, filter=filter, **kwargs
+    )
