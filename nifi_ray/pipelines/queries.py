@@ -117,6 +117,59 @@ def q_update_attribute_revenue(sf_dir: str):
     return _round(out, {"sum_qty": 2, "revenue": 2})
 
 
+def q_json_to_sql(sf_dir: str):
+    """ConvertJSONToSQL (stages/json_sql.py): render each event as a
+    JSON doc, convert to a parameterized UPDATE against an events table
+    keyed by event_id, then aggregate over the statement text and its
+    positional args (SET args first, WHERE key last — the reference's
+    arg ordering is what the checksum verifies)."""
+    import json as _json
+
+    from ..stages.json_sql import TableSchema, convert_json_to_sql
+
+    ds = _t(sf_dir, "events", columns=["event_id", "event_type", "props"])
+
+    def to_doc(t: pa.Table) -> pa.Table:
+        docs = [
+            _json.dumps(
+                {"event_type": et, "k": _json.loads(p)["k"], "event_id": eid},
+                separators=(", ", ": "),
+            )
+            for eid, et, p in zip(
+                t["event_id"].to_pylist(),
+                t["event_type"].to_pylist(),
+                t["props"].to_pylist(),
+            )
+        ]
+        return t.append_column("doc", pa.array(docs, pa.string()))
+
+    schema = TableSchema(
+        columns={"event_id": "bigint", "event_type": "varchar", "k": "integer"},
+        primary_keys=("event_id",),
+    )
+    stmts = ds.map_batches(to_doc, batch_format="pyarrow").map_batches(
+        convert_json_to_sql("doc", "events_t", schema, "UPDATE"),
+        batch_format="pyarrow",
+    )
+
+    def extract(t: pa.Table) -> pa.Table:
+        vals = t["sql_args_values"]
+        return pa.table(
+            {
+                "sql": t["sql"],
+                "set_val": pc.list_element(vals, 0),
+                "k": pc.cast(pc.list_element(vals, 1), pa.int64()),
+                "eid": pc.cast(pc.list_element(vals, 2), pa.int64()),
+            }
+        )
+
+    return pre_aggregate(
+        stmts.map_batches(extract, batch_format="pyarrow"),
+        ["sql", "set_val"],
+        {"n": ("sql", "count"), "sum_k": ("k", "sum"), "sum_id": ("eid", "sum")},
+    )
+
+
 def q_merge_defragment(sf_dir: str):
     """MergeContent: ordered fan-in per correlation key
     (stages/split_merge.py)."""
@@ -1203,6 +1256,7 @@ QUERIES = {
     "route_events": q_route_events,
     "update_attribute_revenue": q_update_attribute_revenue,
     "merge_defragment": q_merge_defragment,
+    "json_to_sql": q_json_to_sql,
     "merge_binpack": q_merge_binpack,
     "detect_duplicate": q_detect_duplicate,
     "validate_route": q_validate_route,
@@ -1258,6 +1312,14 @@ ORACLE_SQL = {
                  row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
           FROM events) t
         WHERE rn = 1
+    """,
+    "json_to_sql": """
+        SELECT 'UPDATE events_t SET event_type = ?, k = ? WHERE event_id = ?' AS sql,
+               event_type AS set_val,
+               count(*) AS n,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+               CAST(sum(event_id) AS BIGINT) AS sum_id
+        FROM events GROUP BY 1, 2
     """,
     "route_events": """
         SELECT CASE WHEN event_type = 'error' THEN 'error'
