@@ -255,6 +255,100 @@ class ListenHTTP(_Listener):
         self._start()
 
 
+class ListenSMTP(_Listener):
+    """SMTP listener (nifi-email-bundle ListenSMTP.java): a minimal
+    RFC 5321 receiver — HELO/EHLO, MAIL FROM, RCPT TO, DATA with
+    dot-unstuffing, RSET, QUIT — spooling one record per accepted
+    message: ``{payload (raw RFC-822 text), mail_from, rcpt_to,
+    sender, proto}``. Parsing headers/attachments stays the
+    downstream distributed ``ParseEmail`` stage (stages/parsers.py),
+    same edge/parse split as ListenSyslog."""
+
+    def __init__(
+        self,
+        spool_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        partition: int = 0,
+        segment_rows: int = 4096,
+        max_message_bytes: int = 16 << 20,
+    ):
+        self.writer = SpoolWriter(spool_dir, partition, segment_rows)
+        writer = self.writer
+
+        class Handler(socketserver.StreamRequestHandler):
+            def _say(self, line: str):
+                self.wfile.write((line + "\r\n").encode())
+
+            def handle(self):
+                self._say("220 nifi_ray ESMTP")
+                mail_from, rcpts = None, []
+                while True:
+                    raw = self.rfile.readline(4096)
+                    if not raw:
+                        return
+                    line = raw.decode("utf-8", "replace").strip()
+                    verb = line.split(" ", 1)[0].upper() if line else ""
+                    if verb in ("HELO", "EHLO"):
+                        self._say("250 ok")
+                    elif verb == "MAIL":
+                        mail_from = line.partition(":")[2].strip().strip("<>")
+                        self._say("250 ok")
+                    elif verb == "RCPT":
+                        rcpts.append(line.partition(":")[2].strip().strip("<>"))
+                        self._say("250 ok")
+                    elif verb == "RSET":
+                        mail_from, rcpts = None, []
+                        self._say("250 ok")
+                    elif verb == "NOOP":
+                        self._say("250 ok")
+                    elif verb == "DATA":
+                        if not rcpts:
+                            self._say("503 need RCPT first")
+                            continue
+                        self._say("354 end data with <CRLF>.<CRLF>")
+                        chunks, total, overflow = [], 0, False
+                        while True:
+                            dl = self.rfile.readline(1 << 20)
+                            if not dl or dl.rstrip(b"\r\n") == b".":
+                                break
+                            if dl.startswith(b".."):  # dot-unstuffing
+                                dl = dl[1:]
+                            total += len(dl)
+                            if total > max_message_bytes:
+                                overflow = True
+                                continue  # drain to terminator
+                            chunks.append(dl)
+                        if overflow:
+                            self._say("552 message too large")
+                        else:
+                            writer.append(
+                                {
+                                    "payload": b"".join(chunks).decode(
+                                        "utf-8", "replace"
+                                    ),
+                                    "mail_from": mail_from,
+                                    "rcpt_to": ",".join(rcpts),
+                                    "sender": self.client_address[0],
+                                    "proto": "smtp",
+                                }
+                            )
+                            self._say("250 ok: queued")
+                        mail_from, rcpts = None, []
+                    elif verb == "QUIT":
+                        self._say("221 bye")
+                        return
+                    else:
+                        self._say("502 not implemented")
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self.server = Server((host, port), Handler)
+        self._start()
+
+
 def spool_dataset(spool_dir: str, columns: list[str] | None = None):
     """Read every sealed segment of a spool as a Dataset (offset column
     included). For offset-tracked incremental consumption use

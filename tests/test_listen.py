@@ -206,3 +206,63 @@ def test_http_fetch_stage(tmp_path, ray_session):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_smtp_listener_to_parse_email(tmp_path, ray_session):
+    """smtplib → ListenSMTP spool → ParseEmail stage: the email-bundle
+    ingest edge composed with the distributed parse."""
+    import smtplib
+    from email.message import EmailMessage
+
+    from nifi_ray.sources.listen import ListenSMTP, spool_dataset
+    from nifi_ray.stages.parsers import ParseEmail
+
+    spool = str(tmp_path / "smtp_spool")
+    with ListenSMTP(spool, segment_rows=2) as srv:
+        with smtplib.SMTP("127.0.0.1", srv.port, timeout=10) as c:
+            for i in range(3):
+                msg = EmailMessage()
+                msg["From"] = f"sender{i}@example.com"
+                msg["To"] = "dest@example.com"
+                msg["Subject"] = f"subject {i}"
+                msg.set_content(f"body line {i}\n.leading dot survives")
+                c.send_message(msg)
+    ds = spool_dataset(spool)
+    rows = ds.take_all()
+    assert len(rows) == 3
+    assert all(r["proto"] == "smtp" for r in rows)
+    assert sorted(r["mail_from"] for r in rows) == [
+        f"sender{i}@example.com" for i in range(3)
+    ]
+    assert all(r["rcpt_to"] == "dest@example.com" for r in rows)
+    # dot-unstuffed body intact, then the distributed parse extracts headers
+    parsed = ds.map_batches(
+        ParseEmail, fn_constructor_args=("payload",), batch_format="pyarrow",
+        concurrency=1,
+    ).take_all()
+    assert sorted(p["email_subject"] for p in parsed) == [f"subject {i}" for i in range(3)]
+    assert any(".leading dot survives" in p["email_body"] for p in parsed)
+
+
+def test_smtp_rset_and_oversize(tmp_path):
+    import smtplib
+
+    from nifi_ray.sources.listen import ListenSMTP, spool_dataset
+
+    spool = str(tmp_path / "smtp2")
+    with ListenSMTP(spool, max_message_bytes=64) as srv:
+        c = smtplib.SMTP("127.0.0.1", srv.port, timeout=10)
+        c.helo()
+        c.mail("a@x"); c.rcpt("b@y")
+        c.rset()  # abandons the envelope
+        c.mail("c@x"); c.rcpt("d@y")
+        code, _ = c.data(b"tiny")
+        assert code == 250
+        # oversize → 552, nothing spooled
+        c.mail("e@x"); c.rcpt("f@y")
+        code2, _ = c.data(b"Z" * 1000)
+        assert code2 == 552
+        c.quit()
+    rows = spool_dataset(spool).take_all()
+    assert len(rows) == 1
+    assert rows[0]["mail_from"] == "c@x" and rows[0]["payload"].strip() == "tiny"
