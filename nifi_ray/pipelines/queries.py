@@ -117,6 +117,37 @@ def q_update_attribute_revenue(sf_dir: str):
     return _round(out, {"sum_qty": 2, "revenue": 2})
 
 
+def q_html_extract(sf_dir: str):
+    """GetHTMLElement (stages/html.py): render each event as an HTML
+    card, select `div.event span.type` back out (descendant + class
+    selectors), aggregate count and user_id checksum per extracted
+    text — the extraction, not the rendering, is what the oracle
+    checks."""
+    from ..stages.html import get_html_element
+
+    ds = _t(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def render(t: pa.Table) -> pa.Table:
+        docs = [
+            f'<div class="event"><span class="type">{et}</span>'
+            f'<span class="uid">{uid}</span></div>'
+            for uid, et in zip(t["user_id"].to_pylist(), t["event_type"].to_pylist())
+        ]
+        return t.append_column("html", pa.array(docs, pa.string()))
+
+    extracted = ds.map_batches(render, batch_format="pyarrow").map_batches(
+        get_html_element(
+            "html", "div.event span.type", out="etype", keep_cols=["user_id"]
+        ),
+        batch_format="pyarrow",
+    )
+    return pre_aggregate(
+        extracted,
+        "etype",
+        {"n": ("etype", "count"), "sum_uid": ("user_id", "sum")},
+    )
+
+
 def q_json_to_sql(sf_dir: str):
     """ConvertJSONToSQL (stages/json_sql.py): render each event as a
     JSON doc, convert to a parameterized UPDATE against an events table
@@ -1257,6 +1288,7 @@ QUERIES = {
     "update_attribute_revenue": q_update_attribute_revenue,
     "merge_defragment": q_merge_defragment,
     "json_to_sql": q_json_to_sql,
+    "html_extract": q_html_extract,
     "merge_binpack": q_merge_binpack,
     "detect_duplicate": q_detect_duplicate,
     "validate_route": q_validate_route,
@@ -1312,6 +1344,12 @@ ORACLE_SQL = {
                  row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
           FROM events) t
         WHERE rn = 1
+    """,
+    "html_extract": """
+        SELECT event_type AS etype,
+               count(*) AS n,
+               CAST(sum(user_id) AS BIGINT) AS sum_uid
+        FROM events GROUP BY 1
     """,
     "json_to_sql": """
         SELECT 'UPDATE events_t SET event_type = ?, k = ? WHERE event_id = ?' AS sql,
