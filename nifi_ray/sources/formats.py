@@ -89,3 +89,48 @@ def events_to_csv_table(events: pa.Table) -> pa.Table:
     joined = pc.binary_join(pc.cast(toks, pa.list_(pa.string())), " ")
     out = events.drop_columns(["tokens"]).append_column("tokens_str", joined)
     return out
+
+
+def read_orc(paths, columns: list[str] | None = None):
+    """ORC ingestion (ConvertAvroToORC's output side, reference
+    nifi-hive-bundle/.../ConvertAvroToORC.java — the lake speaks ORC
+    too). One read task per file via ``read_binary_files`` →
+    ``pyarrow.orc`` decode keeps the read distributed and
+    column-pruned without a dedicated datasource."""
+    import io
+
+    import ray.data as rd
+
+    def decode(batch: pa.Table) -> pa.Table:
+        from pyarrow import orc
+
+        tables = [
+            orc.ORCFile(io.BytesIO(b)).read(columns=columns)
+            for b in batch["bytes"].to_pylist()
+        ]
+        return pa.concat_tables(tables) if tables else pa.table({})
+
+    return rd.read_binary_files(paths).map_batches(
+        decode, batch_format="pyarrow", batch_size=1
+    )
+
+
+def write_orc(ds, out_dir: str):
+    """Dataset → one ORC file per block under ``out_dir`` (tmp-write +
+    atomic rename, PutFile's two-phase contract). Returns file count."""
+    import os
+    import uuid
+
+    from pyarrow import orc
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        name = f"part-{uuid.uuid4().hex}.orc"
+        tmp = os.path.join(out_dir, f".{name}.tmp")
+        orc.write_table(batch, tmp)
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pa.table({"rows": pa.array([batch.num_rows], pa.int64())})
+
+    counts = ds.map_batches(write_block, batch_format="pyarrow").take_all()
+    return len(counts)

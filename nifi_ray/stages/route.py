@@ -68,3 +68,43 @@ def split_routes(ds, routes: Mapping[str, Predicate]) -> dict[str, object]:
             (lambda p: lambda t: t.filter(p(t)))(pred), batch_format="pyarrow"
         )
     return out
+
+
+def distribute_load(weights: list[int], out: str = "bucket", key: str | None = None):
+    """DistributeLoad analog (reference nifi-standard-processors/.../
+    standard/DistributeLoad.java): assign each row to one of
+    ``len(weights)`` buckets proportionally to the weights. With
+    ``key`` the assignment is DETERMINISTIC (hash(key) into the
+    cumulative-weight wheel — replays land identically and the bucket
+    doubles as a partition key); without it, round-robin by row
+    position within each batch (the reference's rotating strategy —
+    stateless across batches by design: weighted balance holds per
+    batch, which is what matters when batches are large)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    w = np.asarray(weights, np.int64)
+    if len(w) == 0 or (w <= 0).any():
+        raise ValueError("weights must be positive")
+    total = int(w.sum())
+    cum = np.cumsum(w)  # wheel boundaries
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if key is not None:
+            h = pc.cast(
+                pc.bit_wise_and(
+                    pc.multiply_checked(
+                        pc.cast(batch[key], pa.int64()), pa.scalar(2654435761, pa.int64())
+                    ),
+                    pa.scalar((1 << 62) - 1, pa.int64()),
+                ),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False)
+            slot = h % total
+        else:
+            slot = np.arange(n, dtype=np.int64) % total
+        bucket = np.searchsorted(cum, slot, side="right")
+        return batch.append_column(out, pa.array(bucket, pa.int64()))
+
+    return fn

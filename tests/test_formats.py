@@ -46,3 +46,31 @@ def test_convert_record():
     assert out.schema.equals(target)
     assert out["b"].to_pylist() == [1, 2]
     assert out["c"].null_count == 2
+
+
+def test_orc_roundtrip(ray_session, tmp_path):
+    """parquet → Dataset → ORC files → distributed ORC read → same data
+    (ConvertAvroToORC analog)."""
+    import ray.data as rd
+
+    from nifi_ray.sources.formats import read_orc, write_orc
+
+    t = pa.table(
+        {
+            "id": pa.array(range(500), pa.int64()),
+            "v": pa.array([i * 0.5 for i in range(500)], pa.float64()),
+            "s": pa.array([f"row{i}" for i in range(500)], pa.string()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4)
+    out = str(tmp_path / "orc_out")
+    nfiles = write_orc(ds, out)
+    assert nfiles == 4
+    import glob
+    files = sorted(glob.glob(out + "/*.orc"))
+    assert len(files) == 4 and not glob.glob(out + "/.*tmp")
+    back = read_orc(files, columns=["id", "v"])
+    got = back.to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(got.columns) == ["id", "v"]
+    assert got["id"].tolist() == list(range(500))
+    assert got["v"].sum() == t["v"].to_pandas().sum()

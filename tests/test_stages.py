@@ -194,3 +194,28 @@ def test_bin_pack_entries_size_and_partial():
         "k", "ord", size_col="sz", min_entries=1, max_entries=2, min_size=15
     )(g)
     assert out3["relationship"].to_pylist() == ["merged", "merged", "merged", "partial"]
+
+
+def test_distribute_load_weighted_and_deterministic():
+    import numpy as np
+
+    from nifi_ray.stages.route import distribute_load
+
+    t = pa.table({"id": pa.array(range(10000), pa.int64())})
+    # keyless round-robin honors 1:2:1 weights exactly per batch
+    fn = distribute_load([1, 2, 1])
+    out = fn(t)
+    counts = np.bincount(out["bucket"].to_numpy(), minlength=3)
+    assert counts[1] == 2 * counts[0] == 2 * counts[2]
+    # keyed: deterministic and roughly weighted
+    fk = distribute_load([1, 3], key="id")
+    a = fk(t)["bucket"].to_pylist()
+    assert a == fk(t)["bucket"].to_pylist()
+    frac = sum(a) / len(a)  # share of bucket 1 ≈ 3/4
+    assert 0.65 < frac < 0.85
+    import pytest
+
+    with pytest.raises(ValueError):
+        distribute_load([])
+    with pytest.raises(ValueError):
+        distribute_load([1, 0])
