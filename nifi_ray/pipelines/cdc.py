@@ -797,6 +797,67 @@ class CDCLake:
             [pq.read_table(f) for f in files], promote_options="permissive"
         )
 
+    def lookup(
+        self,
+        doc_ids: list[str],
+        columns: list[str] | None = None,
+        version: int | None = None,
+    ) -> pa.Table:
+        """Point reads (the GetHBase/FetchHBaseRow random-read shape):
+        fetch exactly these doc_ids from the committed state.
+
+        Scale path: the requested ids hash to their partitions
+        (util/hashing.partition_of — the SAME function the write
+        exchange uses), so only touched partitions spawn a task, and
+        each task pushes ``doc_id IN (...)`` into the parquet read
+        (row-group stat pruning + dictionary filtering), merging the
+        partition's deltas LWW over just the surviving rows. A k-id
+        lookup on a P-partition lake costs ≤ min(k, P) tasks and
+        row-group-sized I/O, never a lake scan."""
+        import ray as _ray
+
+        from ..util.hashing import partition_of
+
+        m = self.manifest(version)
+        if m is None or not m.partitions:
+            raise FileNotFoundError(f"no committed manifest in {self.lake_dir}")
+        ids = sorted(set(doc_ids))
+        if not ids:
+            return m.schema.empty_table().select(columns) if columns else m.schema.empty_table()
+        pids = partition_of(pa.array(ids, pa.string()), m.num_partitions)
+        by_part: dict[int, list[str]] = {}
+        for i, p in zip(ids, pids):
+            by_part.setdefault(int(p), []).append(i)
+
+        lake_dir = self.lake_dir
+        schema_b64 = m.schema.serialize().to_pybytes()
+
+        @_ray.remote(num_cpus=1)
+        def _lookup_task(file, deltas, want, want_cols):
+            _limit_arrow_threads()
+            schema = pa.ipc.read_schema(pa.BufferReader(schema_b64))
+            flt = [("doc_id", "in", want)]
+            base = pq.read_table(os.path.join(lake_dir, file), filters=flt)
+            ds_ = [
+                pq.read_table(os.path.join(lake_dir, d), filters=flt)
+                for d in deltas
+            ]
+            t = _merge_partition(base, ds_, schema)
+            return t.select(want_cols) if want_cols else t
+
+        refs = []
+        for p, want in sorted(by_part.items()):
+            e = m.partitions.get(str(p)) or m.partitions.get(p)
+            if e is None:
+                continue
+            refs.append(
+                _lookup_task.remote(e["file"], list(e.get("deltas", [])), want, columns)
+            )
+        parts = _ray.get(refs)
+        if not parts:
+            return m.schema.empty_table()
+        return pa.concat_tables(parts).sort_by("doc_id")
+
     def read_table(self) -> pa.Table:
         """Driver-side full materialization — TESTS ONLY (small lakes)."""
         m = self.manifest()

@@ -120,3 +120,39 @@ def test_large_p_grouped_init_and_replay(ray_session, tmp_path, monkeypatch):
     got = lake.read_table()
     assert got.num_rows == len(oracle)
     assert lake.verify()["ok"]
+
+
+def test_lookup_point_reads(ray_session, tmp_path):
+    """lookup() fetches exactly the requested ids, partition-pruned,
+    equal to the full-state rows — in COW and merge-on-read modes,
+    across versions, with deleted/missing ids absent."""
+    base_dir, ev_dir, lake_dir = (str(tmp_path / d) for d in ("b", "e", "lk"))
+    cfg = GenConfig(seed=31, n_docs=120, n_events=800)
+    write_base(cfg, base_dir, shards=1)
+    write_events(cfg, ev_dir, shards=2)
+    lake = CDCLake(lake_dir)
+    lake.init_from(base_dir, num_partitions=4)
+    lake.replay(ev_dir, mode="delta")  # leave live deltas → overlay path
+
+    full = lake.read_table()
+    alive = full["doc_id"].to_pylist()
+    want = [alive[0], alive[7], alive[-1]]
+    got = lake.lookup(want + ["doc-does-not-exist"])
+    assert got["doc_id"].to_pylist() == sorted(want)
+    fm = {d: t for d, t in zip(full["doc_id"].to_pylist(), full["tokens"].to_pylist())}
+    for d, t in zip(got["doc_id"].to_pylist(), got["tokens"].to_pylist()):
+        assert fm[d] == t
+
+    # column pruning
+    cols = lake.lookup(want, columns=["doc_id", "n_tok"])
+    assert cols.schema.names == ["doc_id", "n_tok"]
+
+    # time travel: version 1 = base state
+    v1 = lake.lookup(want, version=1)
+    base_full = lake.read(version=1).take_all()
+    base_map = {r["doc_id"]: r["n_tok"] for r in base_full}
+    for d, n in zip(v1["doc_id"].to_pylist(), v1["n_tok"].to_pylist()):
+        assert base_map[d] == n
+
+    # empty request
+    assert lake.lookup([]).num_rows == 0
