@@ -117,6 +117,29 @@ def q_update_attribute_revenue(sf_dir: str):
     return _round(out, {"sum_qty": 2, "revenue": 2})
 
 
+def q_curation_pipeline(sf_dir: str):
+    """Flagship LLM-data curation composition: quality gate →
+    exact near-first dedup (projected shuffle: only (hash, doc_id)
+    move through the groupby, payloads restored by one hash join) →
+    token accounting per language. Every stage is an existing graded
+    operator (quality.quality_stats, dedup.exact_dedup,
+    quality.token_count) — this query grades their COMPOSITION against
+    one SQL oracle."""
+    ds = _t(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    ds = ds.map_batches(quality_stats("text"), batch_format="pyarrow")
+    passing = ds.map_batches(
+        lambda t: t.filter(t["passes"]).select(["doc_id", "lang", "text"]),
+        batch_format="pyarrow",
+    )
+    winners = dd.exact_dedup(passing, "text", "doc_id", project=True)
+    toks = winners.map_batches(token_count("text"), batch_format="pyarrow")
+    return pre_aggregate(
+        toks,
+        "lang",
+        {"n_docs": ("lang", "count"), "total_tokens": ("n_tokens", "sum")},
+    )
+
+
 def q_html_extract(sf_dir: str):
     """GetHTMLElement (stages/html.py): render each event as an HTML
     card, select `div.event span.type` back out (descendant + class
@@ -1289,6 +1312,7 @@ QUERIES = {
     "merge_defragment": q_merge_defragment,
     "json_to_sql": q_json_to_sql,
     "html_extract": q_html_extract,
+    "curation_pipeline": q_curation_pipeline,
     "merge_binpack": q_merge_binpack,
     "detect_duplicate": q_detect_duplicate,
     "validate_route": q_validate_route,
@@ -1344,6 +1368,21 @@ ORACLE_SQL = {
                  row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
           FROM events) t
         WHERE rn = 1
+    """,
+    "curation_pipeline": """
+        WITH q AS (
+          SELECT doc_id, lang, text FROM documents
+          WHERE len(regexp_extract_all(text, '\\S+')) BETWEEN 5 AND 100000
+            AND CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                  / greatest(length(text), 1) < 0.2
+        ), w AS (
+          SELECT * FROM q
+          QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_tokens
+        FROM w GROUP BY lang
     """,
     "html_extract": """
         SELECT event_type AS etype,
