@@ -131,6 +131,12 @@ def run_bench() -> dict:
 
     sf_tag = os.path.basename(os.path.normpath(SF_DIR))
     n_docs, n_events, parts = SCALES.get(sf_tag, SCALES["sf0.1"])
+    # workload overrides: on fast host windows the default stream
+    # finishes in ~2 s at the hi level and per-tick fixed costs skew a
+    # scaling ratio — scale the stream up so compute dominates
+    n_docs = int(os.environ.get("BENCH_DOCS", "0")) or n_docs
+    n_events = int(os.environ.get("BENCH_EVENTS", "0")) or n_events
+    parts = int(os.environ.get("BENCH_PARTS", "0")) or parts
     # BENCH_MAX_TOKENS: payload-size override for the bandwidth-ceiling
     # experiment (halve the payload; if events/s rises ~proportionally
     # the box is bytes-bound, not per-event-CPU-bound)
@@ -141,6 +147,8 @@ def run_bench() -> dict:
     else:
         cfg = GenConfig(seed=42, n_docs=n_docs, n_events=n_events)
         work = f"/tmp/nifi_ray_bench_{sf_tag}"
+    if os.environ.get("BENCH_DOCS") or os.environ.get("BENCH_EVENTS"):
+        work += f"_d{n_docs}_e{n_events}"  # cache key must cover overrides
     base_dir, ev_dir = f"{work}/base", f"{work}/events"
     warm_workers(NCPU)
     gen_bench_data(cfg, base_dir, ev_dir)

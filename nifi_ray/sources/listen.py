@@ -255,6 +255,118 @@ class ListenHTTP(_Listener):
         self._start()
 
 
+class ListenWebSocket(_Listener):
+    """WebSocket listener (nifi-websocket-bundle ListenWebSocket.java /
+    JettyWebSocketServer.java): RFC 6455 server side — HTTP Upgrade
+    handshake (Sec-WebSocket-Accept), client-masked frame decode with
+    continuation reassembly, ping→pong, close handshake — spooling one
+    record per complete text/binary message:
+    ``{payload, opcode, path, sender, proto}``. The Jetty machinery is
+    replaced by ~60 lines of stdlib framing; everything downstream is
+    the same durable spool every other listener feeds."""
+
+    _GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+    def __init__(
+        self,
+        spool_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        partition: int = 0,
+        segment_rows: int = 4096,
+        max_message_bytes: int = 16 << 20,
+    ):
+        import base64
+        import hashlib
+        import struct
+
+        self.writer = SpoolWriter(spool_dir, partition, segment_rows)
+        writer, guid = self.writer, self._GUID
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self):
+                # --- HTTP Upgrade handshake
+                request = self.rfile.readline().decode("latin-1").strip()
+                parts = request.split(" ")
+                path = parts[1] if len(parts) > 1 else "/"
+                headers = {}
+                while True:
+                    line = self.rfile.readline().decode("latin-1").strip()
+                    if not line:
+                        break
+                    k, _, v = line.partition(":")
+                    headers[k.strip().lower()] = v.strip()
+                key = headers.get("sec-websocket-key")
+                if headers.get("upgrade", "").lower() != "websocket" or not key:
+                    self.wfile.write(b"HTTP/1.1 400 Bad Request\r\n\r\n")
+                    return
+                accept = base64.b64encode(
+                    hashlib.sha1((key + guid).encode()).digest()
+                ).decode()
+                self.wfile.write(
+                    (
+                        "HTTP/1.1 101 Switching Protocols\r\n"
+                        "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                        f"Sec-WebSocket-Accept: {accept}\r\n\r\n"
+                    ).encode()
+                )
+                # --- frame loop
+                frags: list[bytes] = []
+                frag_op = 1
+                while True:
+                    hdr = self.rfile.read(2)
+                    if len(hdr) < 2:
+                        return
+                    fin = bool(hdr[0] & 0x80)
+                    op = hdr[0] & 0x0F
+                    masked = bool(hdr[1] & 0x80)
+                    ln = hdr[1] & 0x7F
+                    if ln == 126:
+                        (ln,) = struct.unpack(">H", self.rfile.read(2))
+                    elif ln == 127:
+                        (ln,) = struct.unpack(">Q", self.rfile.read(8))
+                    if ln > max_message_bytes:
+                        return  # protocol violation: drop connection
+                    mask = self.rfile.read(4) if masked else b""
+                    data = self.rfile.read(ln)
+                    if masked:
+                        data = bytes(b ^ mask[i % 4] for i, b in enumerate(data))
+                    if op == 0x8:  # close: echo + stop
+                        self.wfile.write(b"\x88\x00")
+                        return
+                    if op == 0x9:  # ping → pong with same payload
+                        self.wfile.write(bytes([0x8A, len(data)]) + data)
+                        continue
+                    if op in (0x1, 0x2):
+                        frag_op = op
+                        frags = [data]
+                    elif op == 0x0:  # continuation
+                        frags.append(data)
+                    else:
+                        continue
+                    if fin:
+                        whole = b"".join(frags)
+                        writer.append(
+                            {
+                                "payload": whole.decode("utf-8", "replace")
+                                if frag_op == 0x1
+                                else whole.hex(),
+                                "opcode": "text" if frag_op == 0x1 else "binary",
+                                "path": path,
+                                "sender": self.client_address[0],
+                                "proto": "ws",
+                            }
+                        )
+                        frags = []
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self.server = Server((host, port), Handler)
+        self._start()
+
+
 class ListenSMTP(_Listener):
     """SMTP listener (nifi-email-bundle ListenSMTP.java): a minimal
     RFC 5321 receiver — HELO/EHLO, MAIL FROM, RCPT TO, DATA with

@@ -266,3 +266,73 @@ def test_smtp_rset_and_oversize(tmp_path):
     rows = spool_dataset(spool).take_all()
     assert len(rows) == 1
     assert rows[0]["mail_from"] == "c@x" and rows[0]["payload"].strip() == "tiny"
+
+
+def _ws_client_connect(port, path="/feed"):
+    """Minimal RFC 6455 client: handshake + masked-frame send."""
+    import base64
+    import os as _os
+    import socket
+    import struct
+
+    s = socket.create_connection(("127.0.0.1", port), timeout=10)
+    key = base64.b64encode(_os.urandom(16)).decode()
+    s.sendall(
+        (
+            f"GET {path} HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n"
+            f"Connection: Upgrade\r\nSec-WebSocket-Key: {key}\r\n"
+            "Sec-WebSocket-Version: 13\r\n\r\n"
+        ).encode()
+    )
+    resp = b""
+    while b"\r\n\r\n" not in resp:
+        resp += s.recv(4096)
+    assert b"101" in resp.split(b"\r\n")[0]
+    assert b"Sec-WebSocket-Accept" in resp
+
+    def send(payload: bytes, op=0x1, fin=True, mask=b"\x01\x02\x03\x04"):
+        b0 = (0x80 if fin else 0) | op
+        ln = len(payload)
+        if ln < 126:
+            hdr = struct.pack("!BB", b0, 0x80 | ln)
+        else:
+            hdr = struct.pack("!BBH", b0, 0x80 | 126, ln)
+        body = bytes(c ^ mask[i % 4] for i, c in enumerate(payload))
+        s.sendall(hdr + mask + body)
+
+    return s, send
+
+
+def test_websocket_listener(tmp_path, ray_session):
+    from nifi_ray.sources.listen import ListenWebSocket, spool_dataset
+
+    spool = str(tmp_path / "ws_spool")
+    with ListenWebSocket(spool, segment_rows=2) as srv:
+        s, send = _ws_client_connect(srv.port)
+        send(b"hello one")
+        send(b"frag-", op=0x1, fin=False)
+        send(b"mented", op=0x0, fin=True)   # continuation reassembly
+        send(b"\x00\x01\x02", op=0x2)        # binary message
+        # ping → pong comes back with the payload
+        send(b"pp", op=0x9)
+        pong = s.recv(4)
+        assert pong[:2] == b"\x8a\x02" and pong[2:4] == b"pp"
+        send(b"", op=0x8)                     # close handshake
+        assert s.recv(2) == b"\x88\x00"
+        s.close()
+    rows = sorted(spool_dataset(spool).take_all(), key=lambda r: r["offset"])
+    assert [r["payload"] for r in rows] == ["hello one", "frag-mented", "000102"]
+    assert [r["opcode"] for r in rows] == ["text", "text", "binary"]
+    assert all(r["path"] == "/feed" and r["proto"] == "ws" for r in rows)
+
+
+def test_websocket_rejects_plain_http(tmp_path):
+    import socket
+
+    from nifi_ray.sources.listen import ListenWebSocket
+
+    with ListenWebSocket(str(tmp_path / "ws2")) as srv:
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=5)
+        s.sendall(b"GET / HTTP/1.1\r\nHost: x\r\n\r\n")
+        assert b"400" in s.recv(1024)
+        s.close()
