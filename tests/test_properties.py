@@ -124,3 +124,59 @@ def test_crc32_matches_zlib(strings):
     got = crc32_of_strings(pa.array(strings, pa.string()))
     want = np.array([zlib.crc32(s.encode()) for s in strings], dtype=np.uint32)
     assert (got == want).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 4),            # key
+            st.integers(-1000, 1000),     # ts
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(-1200, 1200)),
+        min_size=1,
+        max_size=80,
+    ),
+)
+def test_asof_lookup_matches_merge_asof(dim_rows, fact_rows):
+    """AsofLookup's composite-searchsorted == pandas merge_asof for any
+    key/ts multiset (duplicate timestamps, unknown keys, out-of-range
+    ts included)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from nifi_ray.stages.joins import AsofLookup
+
+    dim = pa.table(
+        {
+            "k": pa.array([k for k, _ in dim_rows], pa.int64()),
+            "ts": pa.array([t for _, t in dim_rows], pa.int64()),
+            "v": pa.array(range(len(dim_rows)), pa.int64()),
+        }
+    )
+    fact = pa.table(
+        {
+            "k": pa.array([k for k, _ in fact_rows], pa.int64()),
+            "ts": pa.array([t for _, t in fact_rows], pa.int64()),
+        }
+    )
+    got = AsofLookup(dim, "k", "ts")(fact).to_pandas()
+
+    fd = fact.to_pandas().reset_index().sort_values(["ts", "index"], kind="stable")
+    dd_ = (
+        dim.to_pandas()
+        .sort_values(["ts", "v"], kind="stable")
+        .drop_duplicates(["k", "ts"], keep="last")  # merge_asof needs unique (k, ts)
+    )
+    exp = pd.merge_asof(fd, dd_, on="ts", by="k", direction="backward")
+    exp = exp.sort_values("index").reset_index(drop=True)
+    # AsofLookup also keeps the LAST dim row at a tied (k, ts) (sort is
+    # stable ascending; searchsorted side='right' lands after ties)
+    assert (
+        got["v"].fillna(-1).astype(int).tolist()
+        == exp["v"].fillna(-1).astype(int).tolist()
+    )
