@@ -367,6 +367,101 @@ class ListenWebSocket(_Listener):
         self._start()
 
 
+class ListenMQTT(_Listener):
+    """MQTT ingest edge (nifi-mqtt-bundle ConsumeMQTT.java consumes
+    from an external broker; this sandbox has none, so the engine IS
+    the broker edge): an MQTT 3.1.1 server subset — CONNECT→CONNACK,
+    PUBLISH QoS0 (spool) and QoS1 (spool then PUBACK — ack-after-
+    accept, the commit-after-session ordering), SUBSCRIBE→SUBACK
+    (accepted; no outbound push), PINGREQ→PINGRESP, DISCONNECT —
+    spooling ``{payload, topic, qos, sender, proto}`` per PUBLISH."""
+
+    def __init__(
+        self,
+        spool_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        partition: int = 0,
+        segment_rows: int = 4096,
+        max_message_bytes: int = 16 << 20,
+    ):
+        self.writer = SpoolWriter(spool_dir, partition, segment_rows)
+        writer = self.writer
+
+        class Handler(socketserver.StreamRequestHandler):
+            def _varint(self):
+                mult, val = 1, 0
+                for _ in range(4):
+                    b = self.rfile.read(1)
+                    if not b:
+                        raise EOFError
+                    val += (b[0] & 0x7F) * mult
+                    if not b[0] & 0x80:
+                        return val
+                    mult *= 128
+                raise ValueError("malformed remaining-length")
+
+            def handle(self):
+                try:
+                    while True:
+                        h = self.rfile.read(1)
+                        if not h:
+                            return
+                        ptype, flags = h[0] >> 4, h[0] & 0x0F
+                        ln = self._varint()
+                        if ln > max_message_bytes:
+                            return
+                        body = self.rfile.read(ln)
+                        if ptype == 1:  # CONNECT → CONNACK accepted
+                            self.wfile.write(b"\x20\x02\x00\x00")
+                        elif ptype == 3:  # PUBLISH
+                            tlen = int.from_bytes(body[0:2], "big")
+                            topic = body[2 : 2 + tlen].decode("utf-8", "replace")
+                            p = 2 + tlen
+                            qos = (flags >> 1) & 0x3
+                            pid = None
+                            if qos > 0:
+                                pid = int.from_bytes(body[p : p + 2], "big")
+                                p += 2
+                            writer.append(
+                                {
+                                    "payload": body[p:].decode("utf-8", "replace"),
+                                    "topic": topic,
+                                    "qos": qos,
+                                    "sender": self.client_address[0],
+                                    "proto": "mqtt",
+                                }
+                            )
+                            if qos == 1:  # ack AFTER the spool accept
+                                self.wfile.write(
+                                    b"\x40\x02" + pid.to_bytes(2, "big")
+                                )
+                        elif ptype == 8:  # SUBSCRIBE → SUBACK (QoS0 grants)
+                            pid = body[0:2]
+                            n_topics = 0
+                            p = 2
+                            while p < len(body):
+                                tl = int.from_bytes(body[p : p + 2], "big")
+                                p += 2 + tl + 1
+                                n_topics += 1
+                            self.wfile.write(
+                                bytes([0x90, 2 + n_topics]) + pid + b"\x00" * n_topics
+                            )
+                        elif ptype == 12:  # PINGREQ → PINGRESP
+                            self.wfile.write(b"\xd0\x00")
+                        elif ptype == 14:  # DISCONNECT
+                            return
+                except (EOFError, ValueError, ConnectionError):
+                    return
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self.server = Server((host, port), Handler)
+        self._start()
+
+
 class ListenSMTP(_Listener):
     """SMTP listener (nifi-email-bundle ListenSMTP.java): a minimal
     RFC 5321 receiver — HELO/EHLO, MAIL FROM, RCPT TO, DATA with

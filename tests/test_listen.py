@@ -336,3 +336,41 @@ def test_websocket_rejects_plain_http(tmp_path):
         s.sendall(b"GET / HTTP/1.1\r\nHost: x\r\n\r\n")
         assert b"400" in s.recv(1024)
         s.close()
+
+
+def test_mqtt_listener(tmp_path, ray_session):
+    """Raw MQTT 3.1.1 client: CONNECT/CONNACK, QoS0+QoS1 PUBLISH (PUBACK
+    after spool accept), PING, DISCONNECT."""
+    from nifi_ray.sources.listen import ListenMQTT, spool_dataset
+
+    def enc_str(s):
+        b = s.encode()
+        return len(b).to_bytes(2, "big") + b
+
+    spool = str(tmp_path / "mqtt_spool")
+    with ListenMQTT(spool) as srv:
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=10)
+        # CONNECT (protocol name MQTT, level 4, clean session)
+        vh = enc_str("MQTT") + bytes([4, 0x02, 0, 60]) + enc_str("client-1")
+        s.sendall(bytes([0x10, len(vh)]) + vh)
+        assert s.recv(4) == b"\x20\x02\x00\x00"
+        # QoS0 publishes on two topics
+        for i in range(3):
+            body = enc_str(f"sensors/t{i % 2}") + f"reading {i}".encode()
+            s.sendall(bytes([0x30, len(body)]) + body)
+        # QoS1 publish → PUBACK with the packet id
+        body = enc_str("sensors/t9") + (42).to_bytes(2, "big") + b"qos1 payload"
+        s.sendall(bytes([0x32, len(body)]) + body)
+        assert s.recv(4) == b"\x40\x02\x00\x2a"
+        # PINGREQ → PINGRESP, then DISCONNECT
+        s.sendall(b"\xc0\x00")
+        assert s.recv(2) == b"\xd0\x00"
+        s.sendall(b"\xe0\x00")
+        s.close()
+        _wait_rows(srv.writer, 4)
+    rows = sorted(spool_dataset(spool).take_all(), key=lambda r: r["offset"])
+    assert [r["payload"] for r in rows] == [
+        "reading 0", "reading 1", "reading 2", "qos1 payload",
+    ]
+    assert rows[0]["topic"] == "sensors/t0" and rows[3]["qos"] == 1
+    assert all(r["proto"] == "mqtt" for r in rows)
