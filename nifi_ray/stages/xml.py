@@ -115,8 +115,8 @@ def transform_xml(
     out: str | None = None,
 ):
     """map_batches body: declarative XML→XML transform — rename tags,
-    strip (remove) tags. The XSLT-stylesheet form of NiFi's TransformXml
-    needs lxml and raises NotImplementedError via ``xslt_transform``."""
+    strip (remove) tags. For the stylesheet form of NiFi's TransformXml
+    use ``xslt_transform`` (XSLT 1.0 subset interpreter below)."""
     import xml.etree.ElementTree as ET
 
     rename = rename or {}
@@ -149,12 +149,197 @@ def transform_xml(
     return fn
 
 
-def xslt_transform(*_a, **_k):
-    raise NotImplementedError(
-        "XSLT requires lxml, which is not in this container; use "
-        "transform_xml's rename/strip subset or swap in lxml.etree.XSLT "
-        "in production"
-    )
+_XSL = "{http://www.w3.org/1999/XSL/Transform}"
+
+
+class _Xslt:
+    """XSLT 1.0 subset interpreter (TransformXml's stylesheet form,
+    reference STD/TransformXml.java — javax XSLT there; here the
+    constructs real NiFi flows use): ``template match`` (``/``, tag,
+    ``parent/child``, ``*``), ``apply-templates [select]``,
+    ``value-of`` (path, ``@attr``, ``.``), ``for-each``, ``if test``
+    (existence, ``path='v'``, ``@attr='v'``), ``choose/when/otherwise``,
+    ``element/attribute``, ``text``, ``copy-of select='.'``, literal
+    result elements with ``{path}`` attribute value templates, and the
+    built-in rules (elements recurse, text copies). Full XSLT (keys,
+    xpath axes, numbering) still wants lxml in production."""
+
+    def __init__(self, stylesheet: str):
+        import xml.etree.ElementTree as ET
+
+        self.ET = ET
+        sheet = ET.fromstring(stylesheet)
+        self.templates = []  # (match, node)
+        for t in sheet.findall(f"{_XSL}template"):
+            self.templates.append((t.get("match", ""), t))
+
+    # ---- node selection / tests
+    def _select(self, ctx, path):
+        if path in (".", ""):
+            return [ctx]
+        if path == "/":
+            return [ctx]
+        out = [ctx]
+        for step in path.split("/"):
+            nxt = []
+            for n in out:
+                if step == "*":
+                    nxt.extend(list(n))
+                else:
+                    nxt.extend(n.findall(step))
+            out = nxt
+        return out
+
+    def _string(self, ctx, sel):
+        if sel.startswith("@"):
+            return ctx.get(sel[1:], "")
+        if sel in (".", "text()"):
+            return "".join(ctx.itertext())
+        nodes = self._select(ctx, sel)
+        return "".join(nodes[0].itertext()) if nodes else ""
+
+    def _test(self, ctx, expr):
+        if "=" in expr:
+            lhs, rhs = expr.split("=", 1)
+            return self._string(ctx, lhs.strip()) == rhs.strip().strip("'\"")
+        if expr.startswith("@"):
+            return ctx.get(expr[1:]) is not None
+        return bool(self._select(ctx, expr.strip())) if expr.strip() not in (".",) else True
+
+    def _match(self, node, pattern, is_root):
+        if pattern == "/":
+            return is_root
+        if pattern == "*":
+            return True
+        if "/" in pattern:
+            return pattern.split("/")[-1] in (node.tag, "*")
+        return node.tag == pattern
+
+    def _best_template(self, node, is_root=False):
+        exact, star = None, None
+        for pat, t in self.templates:
+            if self._match(node, pat, is_root):
+                if pat in (node.tag,) or "/" in pat or pat == "/":
+                    exact = exact or t
+                elif pat == "*":
+                    star = star or t
+        return exact or star
+
+    # ---- instantiation
+    def _avt(self, ctx, value):
+        import re
+
+        return re.sub(r"\{([^}]+)\}", lambda m: self._string(ctx, m.group(1)), value)
+
+    def _instantiate(self, body, ctx, parent):
+        ET = self.ET
+        if body.text and body.text.strip():
+            self._append_text(parent, body.text)
+        for child in body:
+            tag = child.tag
+            if tag == f"{_XSL}value-of":
+                txt = self._string(ctx, child.get("select", "."))
+                self._append_text(parent, txt)
+            elif tag == f"{_XSL}text":
+                self._append_text(parent, child.text or "")
+            elif tag == f"{_XSL}apply-templates":
+                sel = child.get("select")
+                targets = self._select(ctx, sel) if sel else list(ctx)
+                for t in targets:
+                    self._apply(t, parent)
+            elif tag == f"{_XSL}for-each":
+                for t in self._select(ctx, child.get("select", ".")):
+                    self._instantiate(child, t, parent)
+            elif tag == f"{_XSL}if":
+                if self._test(ctx, child.get("test", "")):
+                    self._instantiate(child, ctx, parent)
+            elif tag == f"{_XSL}choose":
+                done = False
+                for when in child.findall(f"{_XSL}when"):
+                    if self._test(ctx, when.get("test", "")):
+                        self._instantiate(when, ctx, parent)
+                        done = True
+                        break
+                if not done:
+                    oth = child.find(f"{_XSL}otherwise")
+                    if oth is not None:
+                        self._instantiate(oth, ctx, parent)
+            elif tag == f"{_XSL}element":
+                el = ET.SubElement(parent, self._avt(ctx, child.get("name")))
+                self._instantiate(child, ctx, el)
+            elif tag == f"{_XSL}attribute":
+                tmp = ET.Element("t")
+                self._instantiate(child, ctx, tmp)
+                parent.set(self._avt(ctx, child.get("name")), "".join(tmp.itertext()))
+            elif tag == f"{_XSL}copy-of":
+                for t in self._select(ctx, child.get("select", ".")):
+                    parent.append(self._deep_copy(t))
+            elif tag.startswith(_XSL):
+                continue  # unsupported instruction: skip, stay total
+            else:  # literal result element
+                el = ET.SubElement(
+                    parent, tag, {k: self._avt(ctx, v) for k, v in child.attrib.items()}
+                )
+                self._instantiate(child, ctx, el)
+            if child.tail and child.tail.strip():
+                self._append_text(parent, child.tail)
+
+    def _deep_copy(self, node):
+        import copy
+
+        return copy.deepcopy(node)
+
+    def _append_text(self, parent, txt):
+        kids = list(parent)
+        if kids:
+            kids[-1].tail = (kids[-1].tail or "") + txt
+        else:
+            parent.text = (parent.text or "") + txt
+
+    def _apply(self, node, parent):
+        t = self._best_template(node)
+        if t is not None:
+            self._instantiate(t, node, parent)
+        else:  # built-in rule: recurse into children, copy text
+            if node.text and node.text.strip():
+                self._append_text(parent, node.text)
+            for c in node:
+                self._apply(c, parent)
+                if c.tail and c.tail.strip():
+                    self._append_text(parent, c.tail)
+
+    def __call__(self, doc: str) -> str | None:
+        ET = self.ET
+        root = _parse(doc)
+        if root is None:
+            return None
+        out = ET.Element("_result")
+        t = self._best_template(root, is_root=True)
+        if t is not None:
+            self._instantiate(t, root, out)
+        else:
+            self._apply(root, out)
+        inner = (out.text or "") + "".join(
+            ET.tostring(c, encoding="unicode") for c in out
+        )
+        return inner
+
+
+def xslt_transform(col: str, stylesheet: str, out: str | None = None):
+    """map_batches body: apply the XSLT-subset stylesheet to each XML
+    document (one compiled ``_Xslt`` per call — reuse across batches by
+    passing this callable to map_batches once)."""
+    xf = _Xslt(stylesheet)
+    out_col = out or col
+
+    def fn(batch: pa.Table) -> pa.Table:
+        res = [xf(t) if t is not None else None for t in batch[col].to_pylist()]
+        arr = pa.array(res, pa.string())
+        if out_col in batch.schema.names:
+            return batch.set_column(batch.schema.get_field_index(out_col), out_col, arr)
+        return batch.append_column(out_col, arr)
+
+    return fn
 
 
 def rows_to_xml(cols: list[str], root_tag: str = "record", out: str = "xml"):

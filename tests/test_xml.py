@@ -45,12 +45,10 @@ def test_validate_xml():
     assert out2["xml_valid"].to_pylist() == [True, False, False, True]
 
 
-def test_transform_xml_rename_strip_and_xslt_stub():
+def test_transform_xml_rename_strip(  ):
     t = pa.table({"xml": [DOC]})
     out = transform_xml("xml", rename={"name": "who"}, strip=["tags"])(t)
     assert out["xml"].to_pylist() == ["<r><who>ada</who><n>7</n></r>"]
-    with pytest.raises(NotImplementedError):
-        xslt_transform("xml")
 
 
 def test_rows_to_xml_roundtrip():
@@ -59,3 +57,76 @@ def test_rows_to_xml_roundtrip():
     parsed = evaluate_xpath("xml", {"a2": "a", "b2": "b"}, types={"b2": pa.float64()})(out)
     assert parsed["a2"].to_pylist() == ["x <&>", ""]
     assert parsed["b2"].to_pylist() == [1.5, 2.0]
+
+
+SHEET = """
+<xsl:stylesheet version="1.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+  <xsl:template match="/">
+    <report id="{@gen}">
+      <xsl:apply-templates select="order"/>
+    </report>
+  </xsl:template>
+  <xsl:template match="order">
+    <line sku="{item/sku}">
+      <xsl:attribute name="status">
+        <xsl:choose>
+          <xsl:when test="@qty='0'">empty</xsl:when>
+          <xsl:otherwise>ok</xsl:otherwise>
+        </xsl:choose>
+      </xsl:attribute>
+      <xsl:value-of select="item/name"/>
+      <xsl:if test="note"> (<xsl:value-of select="note"/>)</xsl:if>
+    </line>
+  </xsl:template>
+</xsl:stylesheet>
+"""
+
+XSLT_DOC = (
+    '<orders gen="g7">'
+    '<order qty="2"><item><sku>A1</sku><name>widget</name></item><note>rush</note></order>'
+    '<order qty="0"><item><sku>B2</sku><name>gadget</name></item></order>'
+    "</orders>"
+)
+
+
+def test_xslt_subset_transform():
+    import pyarrow as pa
+
+    from nifi_ray.stages.xml import xslt_transform
+
+    out = xslt_transform("doc", SHEET, out="res")(pa.table({"doc": [XSLT_DOC, None]}))
+    got = out["res"].to_pylist()
+    assert got[1] is None
+    assert got[0] == (
+        '<report id="g7">'
+        '<line sku="A1" status="ok">widget (rush)</line>'
+        '<line sku="B2" status="empty">gadget</line>'
+        "</report>"
+    )
+
+
+def test_xslt_builtin_rules_and_foreach():
+    import pyarrow as pa
+
+    from nifi_ray.stages.xml import xslt_transform
+
+    # no template matches the root → built-in rules copy text through
+    sheet = """
+    <xsl:stylesheet version="1.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="b"><B><xsl:value-of select="."/></B></xsl:template>
+    </xsl:stylesheet>"""
+    out = xslt_transform("doc", sheet)(
+        pa.table({"doc": ["<a>pre<b>one</b>mid<b>two</b></a>"]})
+    )
+    assert out["doc"].to_pylist() == ["pre<B>one</B>mid<B>two</B>"]
+
+    sheet2 = """
+    <xsl:stylesheet version="1.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="/">
+        <ul><xsl:for-each select="i"><li><xsl:value-of select="@v"/></li></xsl:for-each></ul>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    out2 = xslt_transform("doc", sheet2)(
+        pa.table({"doc": ['<l><i v="1"/><i v="2"/><i v="3"/></l>']})
+    )
+    assert out2["doc"].to_pylist() == ["<ul><li>1</li><li>2</li><li>3</li></ul>"]
