@@ -157,6 +157,70 @@ class FtpFetch:
         ).append_column("error", pa.array(errors, pa.string()))
 
 
+class FtpPut:
+    """Actor-pool egress stage (PutFTP, reference
+    nifi-standard-processors/.../standard/PutFTP.java via
+    FTPTransfer.java): upload each row's ``content`` to
+    ``path_col`` using the reference's DOT-RENAME two-phase commit —
+    STOR to ``.name`` then rename to ``name`` once the transfer
+    completed, so a reader never lists a half-written file. One control
+    connection per actor; failures go to an ``error`` column."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        path_col: str = "path",
+        content_col: str = "content",
+        user: str = "anonymous",
+        password: str = "",
+        timeout: float = 30.0,
+    ):
+        self.host, self.port = host, port
+        self.user, self.password = user, password
+        self.path_col, self.content_col, self.timeout = path_col, content_col, timeout
+        self._connect()
+
+    def _connect(self):
+        import ftplib
+
+        self._ftp = ftplib.FTP()
+        self._ftp.connect(self.host, self.port, timeout=self.timeout)
+        self._ftp.login(self.user, self.password)
+
+    def _one(self, path: str | None, content: bytes | None):
+        import io
+
+        if not path or content is None:
+            return "empty path or content"
+        d, _, name = path.rpartition("/")
+        tmp = f"{d}/.{name}" if d else f".{name}"
+        for attempt in (0, 1):
+            try:
+                self._ftp.storbinary(f"STOR {tmp}", io.BytesIO(content))
+                self._ftp.rename(tmp, path)
+                return None
+            except (OSError, EOFError) as e:
+                if attempt == 0:
+                    try:
+                        self._connect()
+                        continue
+                    except Exception as e2:  # noqa: BLE001
+                        return f"reconnect failed: {e2}"
+                return f"{type(e).__name__}: {e}"
+            except Exception as e:  # noqa: BLE001
+                return f"{type(e).__name__}: {e}"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        errs = [
+            self._one(p, c)
+            for p, c in zip(
+                batch[self.path_col].to_pylist(), batch[self.content_col].to_pylist()
+            )
+        ]
+        return batch.append_column("error", pa.array(errs, pa.string()))
+
+
 # ---------------------------------------------------- loopback test server
 
 
@@ -190,6 +254,7 @@ class _FtpHandler(socketserver.StreamRequestHandler):
 
     def handle(self):
         self._pasv = None
+        self._rnfr = None
         self._reply("220 mini ftp ready")
         cwd = "/"
         while True:
@@ -243,6 +308,32 @@ class _FtpHandler(socketserver.StreamRequestHandler):
                     self._reply("150 sending")
                     self._send_data(payload)
                     self._reply("226 done")
+                elif cmd == "STOR":
+                    full = self._resolve(arg)
+                    self._reply("150 receiving")
+                    conn, _ = self._pasv.accept()
+                    try:
+                        with open(full, "wb") as f:
+                            while True:
+                                chunk = conn.recv(65536)
+                                if not chunk:
+                                    break
+                                f.write(chunk)
+                    finally:
+                        conn.close()
+                        self._pasv.close()
+                        self._pasv = None
+                    self._reply("226 stored")
+                elif cmd == "RNFR":
+                    self._rnfr = self._resolve(arg)
+                    self._reply("350 ready")
+                elif cmd == "RNTO":
+                    os.replace(self._rnfr, self._resolve(arg))
+                    self._rnfr = None
+                    self._reply("250 renamed")
+                elif cmd == "DELE":
+                    os.remove(self._resolve(arg))
+                    self._reply("250 deleted")
                 elif cmd == "QUIT":
                     self._reply("221 bye")
                     return

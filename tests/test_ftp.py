@@ -86,3 +86,55 @@ def test_fetch_survives_reconnect(ftp_root):
     assert out["content"].to_pylist() == [b"payload-0"]
     assert out["error"].to_pylist() == [None]
     srv2.close()
+
+
+def test_put_dot_rename_roundtrip(ray_session, tmp_path):
+    """PutFTP two-phase upload (STOR .name → rename) then fetch back."""
+    from nifi_ray.sources.ftp import FtpPut
+
+    root = tmp_path / "putroot"
+    root.mkdir()
+    with MiniFtpServer(str(root)) as srv:
+        rows = pa.table(
+            {
+                "path": [f"/out{i}.bin" for i in range(6)],
+                "content": pa.array(
+                    [f"payload {i}".encode() * (i + 1) for i in range(6)], pa.binary()
+                ),
+            }
+        )
+        out = ray.data.from_arrow(rows).map_batches(
+            FtpPut,
+            fn_constructor_args=("127.0.0.1", srv.port),
+            batch_format="pyarrow",
+            concurrency=2,
+            batch_size=2,
+        ).take_all()
+        assert all(r["error"] is None for r in out)
+        names = sorted(p.name for p in root.iterdir())
+        assert names == [f"out{i}.bin" for i in range(6)]  # no dot-temps left
+        for i in range(6):
+            assert (root / f"out{i}.bin").read_bytes() == f"payload {i}".encode() * (i + 1)
+        # and the fetch side reads them back over the same wire
+        got = FtpFetch("127.0.0.1", srv.port)(pa.table({"path": ["/out3.bin"]}))
+        assert got["content"].to_pylist() == [b"payload 3" * 4]
+
+
+def test_put_error_routes(tmp_path):
+    from nifi_ray.sources.ftp import FtpPut
+
+    root = tmp_path / "putroot2"
+    root.mkdir()
+    with MiniFtpServer(str(root)) as srv:
+        stage = FtpPut("127.0.0.1", srv.port)
+        out = stage(
+            pa.table(
+                {
+                    "path": ["/no_dir_here/x.bin", "/ok.bin"],
+                    "content": pa.array([b"a", b"b"], pa.binary()),
+                }
+            )
+        )
+        errs = out["error"].to_pylist()
+        assert errs[0] is not None and errs[1] is None
+        assert (root / "ok.bin").read_bytes() == b"b"
