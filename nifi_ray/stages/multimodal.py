@@ -122,6 +122,122 @@ def decode_ppm(b: bytes) -> np.ndarray:
     return np.frombuffer(b, np.uint8, count=h * w * 3, offset=off).reshape(h, w, 3)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """RGB/RGBA/gray uint8 → PNG bytes (stdlib zlib; filter 0 rows).
+    A real codec, not a fixture format — any PNG reader opens these."""
+    import struct
+    import zlib
+
+    if img.ndim == 2:
+        color, ch = 0, 1
+        img = img[:, :, None]
+    elif img.shape[2] == 3:
+        color, ch = 2, 3
+    elif img.shape[2] == 4:
+        color, ch = 6, 4
+    else:
+        raise ValueError("need HxW, HxWx3 or HxWx4 uint8")
+    h, w = img.shape[:2]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = np.zeros((h, 1 + w * ch), np.uint8)
+    raw[:, 1:] = img.reshape(h, w * ch)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG row filters 0-4. Sub/up vectorize; average/paeth walk
+    bytes within the row (filter choice is per-row, so typical images
+    pay the Python loop only on the rows that used 3/4)."""
+    rows = raw.reshape(h, 1 + stride)
+    out = np.zeros((h, stride), np.int32)
+    for y in range(h):
+        f = rows[y, 0]
+        cur = rows[y, 1:].astype(np.int32)
+        prev = out[y - 1] if y else np.zeros(stride, np.int32)
+        if f == 0:
+            out[y] = cur
+        elif f == 1:  # sub: cumulative along the row with bpp stride
+            c = cur.reshape(-1, bpp) if stride % bpp == 0 else None
+            if c is not None:
+                out[y] = (np.cumsum(c, axis=0) % 256).reshape(stride)
+            else:
+                acc = cur.copy()
+                for x in range(bpp, stride):
+                    acc[x] = (acc[x] + acc[x - bpp]) % 256
+                out[y] = acc
+        elif f == 2:  # up
+            out[y] = (cur + prev) % 256
+        elif f == 3:  # average
+            acc = cur
+            for x in range(stride):
+                left = acc[x - bpp] if x >= bpp else 0
+                acc[x] = (acc[x] + (left + prev[x]) // 2) % 256
+            out[y] = acc
+        elif f == 4:  # paeth
+            acc = cur
+            for x in range(stride):
+                a = acc[x - bpp] if x >= bpp else 0
+                b_ = prev[x]
+                c_ = prev[x - bpp] if x >= bpp else 0
+                p = a + b_ - c_
+                pa_, pb, pc = abs(p - a), abs(p - b_), abs(p - c_)
+                pred = a if (pa_ <= pb and pa_ <= pc) else (b_ if pb <= pc else c_)
+                acc[x] = (acc[x] + pred) % 256
+            out[y] = acc
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+    return out.astype(np.uint8)
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """PNG bytes → uint8 array (HxW gray, HxWx3 RGB, or HxWx4 RGBA).
+    8-bit non-interlaced gray/RGB/RGBA; per-chunk CRC verified."""
+    import struct
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    off, idat, meta = 8, [], None
+    while off < len(b):
+        (ln,) = struct.unpack_from(">I", b, off)
+        typ = b[off + 4 : off + 8]
+        data = b[off + 8 : off + 8 + ln]
+        (crc,) = struct.unpack_from(">I", b, off + 8 + ln)
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {typ!r}")
+        if typ == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+                raise NotImplementedError(
+                    "8-bit non-interlaced gray/RGB/RGBA only"
+                )
+            meta = (w, h, {0: 1, 2: 3, 6: 4}[color])
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        off += 12 + ln
+    if meta is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, ch = meta
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    img = _png_unfilter(raw, h, w * ch, ch).reshape(h, w, ch)
+    return img[:, :, 0] if ch == 1 else img
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     """int16 mono samples → RIFF/WAVE bytes (stdlib ``wave``)."""
     buf = io.BytesIO()
@@ -163,14 +279,19 @@ def _bytes_key(buf: bytes) -> np.ndarray:
 
 def _decode_rgb(payload: bytes) -> np.ndarray:
     """Dispatch on magic bytes → RGB array. The seam where PIL/ffmpeg
-    would plug in for jpeg/png."""
+    would plug in for jpeg."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:8] == _PNG_SIG:
+        img = decode_png(payload)
+        if img.ndim == 2:
+            return np.repeat(img[:, :, None], 3, axis=2)
+        return img[:, :, :3]  # drop alpha
     raise NotImplementedError(
-        "no codec for this payload in-container (BMP/PPM supported; "
-        "jpeg/png need an imaging library)"
+        "no codec for this payload in-container (BMP/PPM/PNG supported; "
+        "jpeg needs an imaging library)"
     )
 
 
@@ -270,18 +391,24 @@ class ResizeImage:
             out = []
             for p in batch["payload"].to_pylist():
                 img = resize_nearest(_decode_rgb(p), self.w, self.h)
-                out.append(encode_bmp(img) if p[:2] == b"BM" else encode_ppm(img))
+                if p[:2] == b"BM":  # same-format re-encode (the
+                    out.append(encode_bmp(img))  # reference's contract)
+                elif p[:8] == _PNG_SIG:
+                    out.append(encode_png(img))
+                else:
+                    out.append(encode_ppm(img))
             batch = batch.set_column(
                 batch.schema.get_field_index("payload"),
                 "payload",
                 pa.array(out, pa.binary()),
             )
-        batch = batch.set_column(
-            batch.schema.get_field_index("width"), "width", pa.array([self.w] * n, pa.int32())
-        )
-        return batch.set_column(
-            batch.schema.get_field_index("height"), "height", pa.array([self.h] * n, pa.int32())
-        )
+
+        def put(b: pa.Table, name: str, arr: pa.Array) -> pa.Table:
+            i = b.schema.get_field_index(name)
+            return b.set_column(i, name, arr) if i >= 0 else b.append_column(name, arr)
+
+        batch = put(batch, "width", pa.array([self.w] * n, pa.int32()))
+        return put(batch, "height", pa.array([self.h] * n, pa.int32()))
 
 
 class DecodeAudio:

@@ -123,3 +123,90 @@ def test_sample_frames_spans_and_sampling():
     # each emitted frame is a standalone decodable PPM
     for p, fi in zip(out["payload"].to_pylist(), out["frame_idx"].to_pylist()):
         assert decode_ppm(p).shape == (4, 6, 3)
+
+
+def test_png_roundtrip_all_colortypes():
+    import numpy as np
+
+    from nifi_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(5)
+    for shape in [(13, 17), (13, 17, 3), (9, 5, 4)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        back = decode_png(encode_png(img))
+        assert back.shape == img.shape
+        assert (back == img).all()
+
+
+def test_png_all_filters_decode():
+    """Hand-build a PNG whose five rows use filters 0..4 and check the
+    unfilter path against a trivially-slow reference."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from nifi_ray.stages.multimodal import _PNG_SIG, decode_png
+
+    rng = np.random.default_rng(7)
+    w, h, ch = 6, 5, 3
+    img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8).astype(np.int32)
+    stride, bpp = w * ch, ch
+    flat = img.reshape(h, stride)
+    raw = bytearray()
+    for y in range(h):
+        f = y % 5
+        raw.append(f)
+        prev = flat[y - 1] if y else np.zeros(stride, np.int32)
+        for x in range(stride):
+            cur = int(flat[y, x])
+            a = int(flat[y, x - bpp]) if x >= bpp else 0
+            b_ = int(prev[x])
+            c_ = int(prev[x - bpp]) if x >= bpp else 0
+            if f == 0:
+                enc = cur
+            elif f == 1:
+                enc = cur - a
+            elif f == 2:
+                enc = cur - b_
+            elif f == 3:
+                enc = cur - (a + b_) // 2
+            else:
+                p = a + b_ - c_
+                pa_, pb, pc = abs(p - a), abs(p - b_), abs(p - c_)
+                pred = a if (pa_ <= pb and pa_ <= pc) else (b_ if pb <= pc else c_)
+                enc = cur - pred
+            raw.append(enc % 256)
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_png(png) == img.astype(np.uint8)).all()
+
+
+def test_png_crc_and_dispatch():
+    import numpy as np
+    import pytest
+
+    from nifi_ray.stages.multimodal import _decode_rgb, decode_png, encode_png
+
+    img = np.zeros((4, 4, 3), np.uint8)
+    png = bytearray(encode_png(img))
+    png[40] ^= 0xFF  # corrupt inside a chunk
+    with pytest.raises(ValueError):
+        decode_png(bytes(png))
+    # dispatch: gray PNG → replicated RGB; RGBA → alpha dropped
+    gray = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    rgb = _decode_rgb(encode_png(gray))
+    assert rgb.shape == (4, 4, 3) and (rgb[:, :, 0] == gray).all()
+    rgba = np.dstack([gray, gray, gray, np.full((4, 4), 7, np.uint8)])
+    assert _decode_rgb(encode_png(rgba)).shape == (4, 4, 3)
