@@ -496,15 +496,24 @@ def _synth_rgb(w: int, h: int, key: int) -> np.ndarray:
 
 
 def synth_bmp_table(n: int, seed: int = 0) -> pa.Table:
-    """n real 24-bit BMP payloads with varied small dims."""
+    """n real image payloads with varied small dims — format rotates
+    BMP / PNG / PPM per row so every codec path is graded (the
+    expected-table oracle recomputes pixel sums from the pattern SPEC,
+    format-independent — oracle_expected.expected_image_decode)."""
     dims = [(32, 24), (48, 32), (40, 40), (64, 48)]
+    encoders = [
+        (encode_bmp, "image/bmp"),
+        (encode_png, "image/png"),
+        (encode_ppm, "image/x-portable-pixmap"),
+    ]
     ids, types, payloads, ws, hs = [], [], [], [], []
     for i in range(n):
         w, h = dims[i % len(dims)]
         img = _synth_rgb(w, h, seed * 1_000_003 + i)
+        enc, mime = encoders[i % 3]
         ids.append(f"img{i:06d}")
-        types.append("image/bmp")
-        payloads.append(encode_bmp(img))
+        types.append(mime)
+        payloads.append(enc(img))
         ws.append(w)
         hs.append(h)
     return pa.table(

@@ -91,13 +91,15 @@ def test_resize_nearest_identity_and_downscale():
 
 
 def test_resize_stage_reencodes_same_format():
-    t = synth_bmp_table(4, seed=2)
+    from nifi_ray.stages.multimodal import _decode_rgb
+
+    t = synth_bmp_table(6, seed=2)  # rotates BMP/PNG/PPM payloads
     out = ResizeImage(10, 6)(t)
-    for p in out["payload"].to_pylist():
-        img = decode_bmp(p)
-        assert img.shape == (6, 10, 3)
-    assert out["width"].to_pylist() == [10] * 4
-    assert out["height"].to_pylist() == [6] * 4
+    for orig, p in zip(t["payload"].to_pylist(), out["payload"].to_pylist()):
+        assert p[:2] == orig[:2]  # same container format back
+        assert _decode_rgb(p).shape == (6, 10, 3)
+    assert out["width"].to_pylist() == [10] * 6
+    assert out["height"].to_pylist() == [6] * 6
 
 
 def test_decode_audio_features():
