@@ -9,13 +9,15 @@ nifi-media-bundle/.../ResizeImage.java, ExtractMediaMetadata.java).
 Decode is REAL for the formats this container can decode without
 external libraries:
 
+- ``image/png``   — full stdlib-zlib codec: all five row filters,
+  gray/RGB/RGBA, per-chunk CRC verification (encode + decode)
 - ``image/bmp``   — 24-bit uncompressed BITMAPINFOHEADER, numpy codec
 - ``image/x-portable-pixmap`` (P6 PPM) — numpy codec
 - ``audio/wav``   — 16-bit PCM mono, stdlib ``wave``
 - ``video/x-ppm-stream`` — concatenated P6 frames (the shape ffmpeg's
   image2pipe emits), frame-sampled without decoding skipped frames
 
-Compressed formats (jpeg/png/mp3/mp4) still raise
+Transform-coded formats (jpeg/mp3/mp4) still raise
 ``NotImplementedError`` — their codecs are not in this container; the
 dispatch seam (`_decode_rgb`) is where PIL/ffmpeg would plug in. The
 legacy ``fake=True`` mode (CRC-seeded pseudo-features) is kept for
