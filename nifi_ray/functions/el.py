@@ -51,6 +51,19 @@ def substring_after(col, sep: str):  # substringAfter
     return pa.array(out.where(ser.str.contains(sep, regex=False), ser))
 
 
+def substring_before_last(col, sep: str):  # substringBeforeLast
+    s = pa.chunked_array([col]) if isinstance(col, pa.Array) else col
+    ser = s.to_pandas()
+    return pa.array(ser.str.rsplit(sep, n=1).str[0].where(ser.str.contains(sep, regex=False), ser))
+
+
+def substring_after_last(col, sep: str):  # substringAfterLast
+    s = pa.chunked_array([col]) if isinstance(col, pa.Array) else col
+    ser = s.to_pandas()
+    out = ser.str.rsplit(sep, n=1).str[1]
+    return pa.array(out.where(ser.str.contains(sep, regex=False), ser))
+
+
 def replace(col, find: str, repl: str):  # replace (literal)
     return pc.replace_substring(col, pattern=find, replacement=repl)
 
@@ -422,3 +435,36 @@ def any_matching_attribute(batch: pa.Table, pattern: str, pred):  # anyMatchingA
 
     cols = [c for c in batch.schema.names if _re.fullmatch(pattern, c)]
     return any_attribute(batch, cols, pred)
+
+
+def any_delineated_value(col, sep: str, pred):  # anyDelineatedValue
+    """True where ``pred`` holds for ANY ``sep``-delimited piece of the
+    value (evaluation/selection/MultiAttributeEvaluator.java's
+    delineated form). Vectorized: split → flatten → pred once over all
+    pieces → segmented OR back to rows."""
+    import numpy as np
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    parts = pc.split_pattern(pc.fill_null(arr, ""), pattern=sep)
+    flat = pc.list_flatten(parts)
+    hits = pc.fill_null(pred(flat), False).to_numpy(zero_copy_only=False)
+    offs = parts.offsets.to_numpy(zero_copy_only=False)
+    out = np.logical_or.reduceat(
+        np.append(hits, False), np.clip(offs[:-1], 0, len(hits))
+    ) & (offs[1:] > offs[:-1])
+    return pa.array(out)
+
+
+def all_delineated_values(col, sep: str, pred):  # allDelineatedValues
+    import numpy as np
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    parts = pc.split_pattern(pc.fill_null(arr, ""), pattern=sep)
+    flat = pc.list_flatten(parts)
+    hits = pc.fill_null(pred(flat), False).to_numpy(zero_copy_only=False)
+    offs = parts.offsets.to_numpy(zero_copy_only=False)
+    nonempty = offs[1:] > offs[:-1]
+    out = np.logical_and.reduceat(
+        np.append(hits, True), np.clip(offs[:-1], 0, len(hits))
+    ) & nonempty
+    return pa.array(out)

@@ -55,3 +55,26 @@ def test_dates():
 def test_replace_null_empty():
     assert el.replace_null(S, "N")[3].as_py() == "N"
     assert el.replace_empty(pa.array([" ", "x"]), "E").to_pylist() == ["E", "x"]
+
+
+def test_substring_before_after_last():
+    from nifi_ray.functions.el import substring_after_last, substring_before_last
+
+    col = pa.array(["a.b.c", "nodot", "x.y", None])
+    assert substring_before_last(col, ".").to_pylist() == ["a.b", "nodot", "x", None]
+    assert substring_after_last(col, ".").to_pylist() == ["c", "nodot", "y", None]
+
+
+def test_delineated_value_quantifiers():
+    import pyarrow.compute as pc
+
+    from nifi_ray.functions.el import all_delineated_values, any_delineated_value
+
+    col = pa.array(["red,green", "blue", "green,green", "", None])
+    is_green = lambda a: pc.equal(a, "green")
+    assert any_delineated_value(col, ",", is_green).to_pylist() == [
+        True, False, True, False, False,
+    ]
+    assert all_delineated_values(col, ",", is_green).to_pylist() == [
+        False, False, True, False, False,
+    ]
