@@ -556,6 +556,179 @@ class ListenSMTP(_Listener):
         self._start()
 
 
+class ListenRELP(_Listener):
+    """RELP listener (ListenRELP.java + relp/frame/RELPFrame.java,
+    relp/handler/RELPFrameHandler.java, relp/response/RELPResponse.java).
+
+    Frame wire format: ``TXNR SP COMMAND SP DATALEN [SP DATA] LF``.
+    Commands handled exactly as the reference's RELPFrameHandler:
+
+    - ``open``  → echo the client's offers back in a ``rsp`` frame
+      (``200 OK\\n<offers>``) immediately (RELPFrameHandler.java:75-79).
+    - ``close`` → ``rsp 200 OK`` immediately, then end the connection
+      (RELPFrameHandler.java:80-85).
+    - anything else (normally ``syslog``) → spool one record
+      ``{payload, txnr, command, sender, proto}``, and ack with
+      ``rsp 200 OK`` only AFTER the event is committed — the
+      reference acks in postProcess() *after* session.commit()
+      (ListenRELP.java:127-135), which is what makes RELP reliable:
+      an unacked event is retransmitted by the client, and LWW replay
+      makes the retransmit idempotent downstream.
+
+    ``ack_policy``:
+      - ``"durable"`` (default; the reference's ordering): pending
+        events are sealed to a parquet segment (``writer.flush()``)
+        before their acks are written. Acks are batched per read-loop
+        drain — pipelining clients get one fsync per window, not per
+        event (NiFi similarly commits a whole batch of events per
+        session before acking each).
+      - ``"accept"``: ack after the spool append (the ListenMQTT QoS1
+        bound — at most the unflushed buffer is lost, and those events
+        were acked). Cheaper; use when the client redelivers anyway.
+    """
+
+    def __init__(
+        self,
+        spool_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        partition: int = 0,
+        segment_rows: int = 4096,
+        max_frame_bytes: int = 16 << 20,
+        ack_policy: str = "durable",
+    ):
+        if ack_policy not in ("durable", "accept"):
+            raise ValueError(f"ack_policy must be durable|accept, got {ack_policy!r}")
+        self.writer = SpoolWriter(spool_dir, partition, segment_rows)
+        writer = self.writer
+
+        class Handler(socketserver.StreamRequestHandler):
+            def _rsp(self, txnr: int, data: bytes):
+                # RELPResponse.toFrame: TXNR SP "rsp" SP LEN SP DATA LF
+                self.wfile.write(
+                    b"%d rsp %d %s\n" % (txnr, len(data), data)
+                )
+
+            @staticmethod
+            def _parse_frame(buf: bytearray):
+                """Parse one complete frame off the front of ``buf``.
+                Returns (txnr, command, data, n_consumed) or None if the
+                buffer doesn't yet hold a whole frame. Raises ValueError
+                on a malformed header."""
+                # header: TXNR SP COMMAND SP DATALEN then SP+data LF | LF
+                limit = min(len(buf), 257)
+                s1 = buf.find(b" ", 0, limit)
+                s2 = buf.find(b" ", s1 + 1, limit) if s1 >= 0 else -1
+                if s1 < 0 or s2 < 0:
+                    if len(buf) > 256:
+                        raise ValueError("malformed RELP header")
+                    return None
+                p = s2 + 1
+                while p < len(buf) and buf[p : p + 1].isdigit():
+                    p += 1
+                if p == s2 + 1 or p - s2 > 20:
+                    if p < len(buf) or len(buf) > 256:
+                        raise ValueError("malformed RELP header")
+                    return None
+                if p >= len(buf):
+                    return None  # datalen digits may continue
+                txnr_b, command_b = buf[:s1], buf[s1 + 1 : s2]
+                if not txnr_b.isdigit():
+                    raise ValueError("malformed RELP header")
+                dlen = int(buf[s2 + 1 : p])
+                if dlen > max_frame_bytes:
+                    raise ValueError("frame too large")
+                sep = buf[p : p + 1]
+                if dlen == 0:
+                    if sep != b"\n":
+                        raise ValueError("datalen 0 needs LF trailer")
+                    return int(txnr_b), command_b.decode("ascii"), b"", p + 1
+                if sep != b" ":
+                    raise ValueError("datalen > 0 but no data")
+                end = p + 1 + dlen
+                if len(buf) < end + 1:
+                    return None  # wait for data + trailer
+                if buf[end : end + 1] != b"\n":
+                    raise ValueError("missing frame trailer")
+                return (
+                    int(txnr_b),
+                    command_b.decode("ascii"),
+                    bytes(buf[p + 1 : end]),
+                    end + 1,
+                )
+
+            def handle(self):
+                import select as _select
+
+                sender = self.client_address[0]
+                pending: list[int] = []  # spooled but unacked txnrs
+                buf = bytearray()
+
+                def drain_acks():
+                    if not pending:
+                        return
+                    if ack_policy == "durable":
+                        writer.flush()  # seal BEFORE acking (session.commit analog)
+                    for t in pending:
+                        self._rsp(t, b"200 OK")
+                    pending.clear()
+
+                try:
+                    while True:
+                        parsed = self._parse_frame(buf)
+                        if parsed is None:
+                            # need more bytes; before blocking, give a
+                            # quiescent pipelining client its window acks
+                            if pending:
+                                r, _, _ = _select.select([self.connection], [], [], 0.05)
+                                if not r:
+                                    drain_acks()
+                                    continue
+                            chunk = self.connection.recv(65536)
+                            if not chunk:
+                                return
+                            buf += chunk
+                            continue
+                        txnr, command, data, consumed = parsed
+                        del buf[:consumed]
+                        if command == "open":
+                            drain_acks()
+                            self._rsp(txnr, b"200 OK\n" + data)
+                        elif command == "close":
+                            drain_acks()
+                            self._rsp(txnr, b"200 OK")
+                            # serverclose frame ends the session (RELP spec)
+                            self.wfile.write(b"0 serverclose 0\n")
+                            return
+                        else:
+                            writer.append(
+                                {
+                                    "payload": data.decode("utf-8", "replace"),
+                                    "txnr": txnr,
+                                    "command": command,
+                                    "sender": sender,
+                                    "proto": "relp",
+                                }
+                            )
+                            if ack_policy == "accept":
+                                self._rsp(txnr, b"200 OK")
+                            else:
+                                pending.append(txnr)
+                                if len(pending) >= 256:
+                                    drain_acks()
+                except (ValueError, ConnectionError):
+                    # abnormal exit: the pending window stays unacked (never
+                    # ack what wasn't sealed) → the client retransmits
+                    return
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self.server = Server((host, port), Handler)
+        self._start()
+
+
 def spool_dataset(spool_dir: str, columns: list[str] | None = None):
     """Read every sealed segment of a spool as a Dataset (offset column
     included). For offset-tracked incremental consumption use

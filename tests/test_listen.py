@@ -374,3 +374,84 @@ def test_mqtt_listener(tmp_path, ray_session):
     ]
     assert rows[0]["topic"] == "sensors/t0" and rows[3]["qos"] == 1
     assert all(r["proto"] == "mqtt" for r in rows)
+
+
+def _relp_frame(txnr, command, data=b""):
+    if data:
+        return b"%d %s %d %s\n" % (txnr, command.encode(), len(data), data)
+    return b"%d %s 0\n" % (txnr, command.encode())
+
+
+def _read_relp_rsp(f):
+    """Read one rsp frame off a socket file; returns (txnr, cmd, data)."""
+    head = b""
+    while head.count(b" ") < 3 and not head.endswith(b"\n"):
+        b = f.read(1)
+        assert b, f"EOF mid-rsp after {head!r}"
+        head += b
+    txnr, cmd, dlen = head.strip().split(b" ")[:3]
+    data = b""
+    if not head.endswith(b"\n"):
+        data = f.read(int(dlen))
+        assert f.read(1) == b"\n"
+    return int(txnr), cmd.decode(), data
+
+
+def test_relp_listener_durable_ack(tmp_path, ray_session):
+    """RELP session: open (offers echoed), pipelined syslog frames
+    acked only after the spool segment is sealed, close → serverclose."""
+    from nifi_ray.sources.listen import ListenRELP, spool_dataset
+
+    spool = str(tmp_path / "relp_spool")
+    with ListenRELP(spool, ack_policy="durable") as srv:
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=10)
+        f = s.makefile("rb")
+        offers = b"relp_version=0\nrelp_software=test\ncommands=syslog"
+        s.sendall(_relp_frame(1, "open", offers))
+        txnr, cmd, data = _read_relp_rsp(f)
+        assert (txnr, cmd) == (1, "rsp")
+        assert data.startswith(b"200 OK\n") and b"commands=syslog" in data
+
+        # pipeline 5 syslog events without reading acks
+        msgs = [f"<13>Aug 17 10:0{i} host app: event {i}".encode() for i in range(5)]
+        for i, m in enumerate(msgs):
+            s.sendall(_relp_frame(2 + i, "syslog", m))
+        acked = sorted(_read_relp_rsp(f)[0] for _ in range(5))
+        assert acked == [2, 3, 4, 5, 6]
+        # durable policy: everything acked is already SEALED (not buffered)
+        assert srv.writer.rows_written == 5 and srv.writer.rows_buffered == 0
+
+        s.sendall(_relp_frame(7, "close"))
+        txnr, cmd, data = _read_relp_rsp(f)
+        assert (txnr, data) == (7, b"200 OK")
+        txnr, cmd, data = _read_relp_rsp(f)
+        assert (txnr, cmd) == (0, "serverclose")
+        s.close()
+
+    rows = sorted(spool_dataset(spool).take_all(), key=lambda r: r["offset"])
+    assert [r["txnr"] for r in rows] == [2, 3, 4, 5, 6]
+    assert rows[0]["payload"].endswith("event 0")
+    assert all(r["command"] == "syslog" and r["proto"] == "relp" for r in rows)
+
+
+def test_relp_listener_accept_ack_and_malformed(tmp_path):
+    """accept policy acks from the buffer; a malformed header drops the
+    connection without acking (client retransmits)."""
+    from nifi_ray.sources.listen import ListenRELP
+
+    spool = str(tmp_path / "relp_spool2")
+    with ListenRELP(spool, ack_policy="accept", segment_rows=100) as srv:
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=10)
+        f = s.makefile("rb")
+        s.sendall(_relp_frame(1, "open", b"commands=syslog"))
+        _read_relp_rsp(f)
+        s.sendall(_relp_frame(2, "syslog", b"hello"))
+        assert _read_relp_rsp(f)[0] == 2
+        assert srv.writer.rows_buffered == 1  # acked from buffer, not sealed
+
+        # malformed: non-numeric datalen → connection dropped, no ack
+        s2 = socket.create_connection(("127.0.0.1", srv.port), timeout=10)
+        s2.sendall(b"notanumber open x" + b"y" * 300)
+        assert s2.makefile("rb").read(1) == b""  # server closed it
+        s2.close()
+        s.close()
