@@ -210,3 +210,68 @@ def test_grouped_shards_exchange(ray_session, dirs, monkeypatch):
     assert st2 is not None
     oracle = apply_events([events_table(CFG)], state_from_base(base_table(CFG)))
     _assert_lake_equals_oracle(lake, oracle)
+
+
+def test_apply_task_worker_crash_retried(ray_session, dirs, monkeypatch):
+    """Exactly-once under Ray's OWN failure mode: an apply task's worker
+    dies (os._exit) AFTER writing its COW part but before returning, and
+    a second task dies BEFORE doing any work. Ray retries both; the
+    deterministic part name + tmp/os.replace write makes the retry
+    overwrite its own output, so the final state matches the oracle with
+    no duplicate or orphan parts."""
+    import glob
+
+    import ray
+
+    from nifi_ray.pipelines import cdc as cdc_mod
+
+    base_dir, ev_dir, lake_dir = dirs
+    real_fn = cdc_mod._cdc_apply_task._function
+
+    @ray.remote(max_retries=3)
+    def flaky_apply(lake_dir, base_files, schema_b64, next_version, lo, *shards):
+        out = real_fn(lake_dir, base_files, schema_b64, next_version, lo, *shards)
+        # first task to finish its write dies before returning (dirty:
+        # part file on disk, no stats row); second dies before writing
+        for mode in ("after_write", "before_write"):
+            marker = os.path.join(lake_dir, f".crash_{mode}")
+            try:
+                fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                continue
+            os.close(fd)
+            if mode == "before_write":
+                # simulate dying before the write by removing what this
+                # attempt just wrote (the retry must recreate it)
+                for r in out:
+                    if r.get("file") and os.path.exists(
+                        os.path.join(lake_dir, r["file"])
+                    ):
+                        os.remove(os.path.join(lake_dir, r["file"]))
+            os._exit(1)  # kill the worker process mid-task
+        return out
+
+    monkeypatch.setattr(cdc_mod, "_cdc_apply_task", flaky_apply)
+    lake = CDCLake(lake_dir)
+    lake.init_from(base_dir, num_partitions=8)
+    st = lake.replay(ev_dir)
+    assert st is not None and st.events_applied == CFG.n_events
+    assert os.path.exists(os.path.join(lake_dir, ".crash_after_write"))
+    assert os.path.exists(os.path.join(lake_dir, ".crash_before_write"))
+
+    oracle = apply_events([events_table(CFG)], state_from_base(base_table(CFG)))
+    _assert_lake_equals_oracle(lake, oracle)
+    assert lake.verify()["ok"]
+
+    # no orphan tmp files and no duplicate parts beyond the manifest set
+    m = lake.manifest()
+    referenced = {e["file"] for e in m.partitions.values()}
+    on_disk = {
+        os.path.relpath(p, lake_dir)
+        for p in glob.glob(os.path.join(lake_dir, "p=*", "*.parquet"))
+    }
+    assert not [p for p in on_disk if ".tmp." in p]
+    # every referenced file exists; extras (orphaned v2 parts from the
+    # crashed attempts of OTHER versions) are allowed pre-GC but here
+    # the retry overwrote the same names, so disk == manifest ∪ v1 parts
+    assert referenced <= on_disk
