@@ -226,6 +226,14 @@ def to_number(col):  # toNumber (dates → epoch millis; strings → int)
     return pc.cast(col, pa.int64())
 
 
+def to_string(col):  # toString
+    return pc.cast(col, pa.string())
+
+
+def number_to_date(col):  # NumberToDateEvaluator: epoch millis → date
+    return pc.cast(pc.cast(col, pa.int64()), pa.timestamp("ms"))
+
+
 # ---- boolean / compare ---------------------------------------------
 
 and_ = pc.and_

@@ -78,3 +78,14 @@ def test_delineated_value_quantifiers():
     assert all_delineated_values(col, ",", is_green).to_pylist() == [
         False, False, True, False, False,
     ]
+
+
+def test_to_string_and_number_to_date():
+    from nifi_ray.functions.el import format_date, number_to_date, to_number, to_string
+
+    assert to_string(pa.array([1, 2, None])).to_pylist() == ["1", "2", None]
+    ms = pa.array([0, 86_400_000])
+    ts = number_to_date(ms)
+    assert format_date(ts, "%Y-%m-%d").to_pylist() == ["1970-01-01", "1970-01-02"]
+    # roundtrip: toNumber(numberToDate(x)) == x
+    assert to_number(ts).to_pylist() == ms.to_pylist()
