@@ -25,7 +25,14 @@ from ..stages.aggregate import pre_aggregate
 from ..stages.attrs import derive
 from ..stages.lookup import BroadcastEnrich, scan_filter
 from ..stages.lww import lww_latest
-from ..stages.quality import TOKEN_PATTERN, Fingerprinter, LangId, quality_stats, token_count
+from ..stages.quality import (
+    TOKEN_PATTERN,
+    Fingerprinter,
+    LangId,
+    quality_stats,
+    redact_pii,
+    token_count,
+)
 from ..stages.route import stamp_route
 from ..stages.similarity import knn_brute_force
 from ..stages.split_merge import merge_ordered, split_text
@@ -495,6 +502,45 @@ def q_token_count(sf_dir: str):
     ds = _t(sf_dir, "documents", columns=["lang", "text"])
     ds = ds.map_batches(token_count("text"), batch_format="pyarrow")
     return pre_aggregate(ds, "lang", {"total_tokens": ("n_tokens", "sum")})
+
+
+def q_pii_redact(sf_dir: str):
+    """PII scrub for curation (stages/quality.redact_pii): the synthetic
+    corpus carries no PII, so the pipeline first INJECTS deterministic
+    emails/IPs/phones derived from doc_id (SQL-expressible, so the
+    oracle replays the same injection), then redacts with the shared
+    RE2 patterns and audits per-language match counts + redacted size."""
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["doc_id"], pa.string())
+        ids = t["doc_id"].to_numpy()
+        m250 = pa.array((ids % 250).astype("int64")).cast(pa.string())
+        m100 = pa.array((ids % 100).astype("int64")).cast(pa.string())
+        s = pc.binary_join_element_wise(
+            t["text"], " contact user", d, "@example.com from 10.0.",
+            m250, ".7 call +1-555-0", m100, "",
+        )
+        return t.set_column(t.schema.get_field_index("text"), "text", s)
+
+    ds = ds.map_batches(inject, batch_format="pyarrow")
+    ds = ds.map_batches(redact_pii("text"), batch_format="pyarrow")
+    ds = ds.map_batches(
+        derive({"red_len": lambda t: pc.cast(pc.utf8_length(t["text_redacted"]), pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return pre_aggregate(
+        ds,
+        "lang",
+        {
+            "n_docs": ("lang", "count"),
+            "n_email": ("n_pii_email", "sum"),
+            "n_ip": ("n_pii_ip", "sum"),
+            "n_phone": ("n_pii_phone", "sum"),
+            "red_len": ("red_len", "sum"),
+        },
+    )
 
 
 def q_fingerprint(sf_dir: str):
@@ -1330,6 +1376,7 @@ QUERIES = {
     "sort_limit": q_sort_limit,
     "union_funnel": q_union_funnel,
     "quality_stats": q_quality_stats,
+    "pii_redact": q_pii_redact,
     "token_count": q_token_count,
     "fingerprint": q_fingerprint,
     "knn_cosine": q_knn_cosine,
@@ -1524,6 +1571,35 @@ ORACLE_SQL = {
         SELECT count(*) AS n FROM (
           SELECT r_name AS name FROM region
           UNION ALL SELECT n_name FROM nation) t
+    """,
+    "pii_redact": """
+        WITH injected AS (
+          SELECT lang,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com from 10.0.' || CAST(doc_id % 250 AS VARCHAR)
+                      || '.7 call +1-555-0' || CAST(doc_id % 100 AS VARCHAR) AS s0
+          FROM documents),
+        red AS (
+          SELECT lang,
+                 len(regexp_extract_all(s0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS ne,
+                 regexp_replace(s0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s1
+          FROM injected),
+        red2 AS (
+          SELECT lang, ne,
+                 len(regexp_extract_all(s1, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS ni,
+                 regexp_replace(s1, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS s2
+          FROM red),
+        red3 AS (
+          SELECT lang, ne, ni,
+                 len(regexp_extract_all(s2, '\\+\\d{1,3}[- ]\\d{3}[- ]\\d{2,6}')) AS np,
+                 regexp_replace(s2, '\\+\\d{1,3}[- ]\\d{3}[- ]\\d{2,6}', '<PHONE>', 'g') AS s3
+          FROM red2)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(ne) AS BIGINT) AS n_email,
+               CAST(sum(ni) AS BIGINT) AS n_ip,
+               CAST(sum(np) AS BIGINT) AS n_phone,
+               CAST(sum(length(s3)) AS BIGINT) AS red_len
+        FROM red3 GROUP BY lang
     """,
     "quality_stats": """
         SELECT source, count(*) AS n,

@@ -219,3 +219,30 @@ def test_distribute_load_weighted_and_deterministic():
         distribute_load([])
     with pytest.raises(ValueError):
         distribute_load([1, 0])
+
+
+def test_redact_pii_counts_and_order():
+    """Email digits must not be phone/IP-matched (emails redact first);
+    counts reflect the sequential passes."""
+    import pyarrow as pa
+
+    from nifi_ray.stages.quality import redact_pii
+
+    t = pa.table(
+        {
+            "text": [
+                "mail a1@b.co and 10.0.0.1 call +1-555-0199",
+                "no pii here",
+                None,
+            ]
+        }
+    )
+    out = redact_pii("text")(t)
+    assert out["text_redacted"].to_pylist() == [
+        "mail <EMAIL> and <IP> call <PHONE>",
+        "no pii here",
+        None,
+    ]
+    assert out["n_pii_email"].to_pylist() == [1, 0, None]
+    assert out["n_pii_ip"].to_pylist() == [1, 0, None]
+    assert out["n_pii_phone"].to_pylist() == [1, 0, None]
