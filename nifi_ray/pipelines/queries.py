@@ -413,6 +413,37 @@ def q_xml_roundtrip(sf_dir: str):
     return _round(out, {"total": 2})
 
 
+def q_hash_join(sf_dir: str):
+    """Distributed big-big equi-join: Ray Data's native hash-shuffle
+    join (Dataset.join — both sides hash-partitioned on the key, no
+    broadcast), then per-priority revenue. The broadcast path
+    (BroadcastEnrich) is for small sides; THIS is the shape for two
+    tables that both exceed worker memory at 100 TB."""
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    # pre-aggregate the fact side to one row per key BEFORE the join
+    # shuffle: revenue is additive, so the join then moves one row per
+    # order instead of one per lineitem (~4x fewer shuffled rows)
+    li = li.map_batches(
+        derive({"rev": lambda t: pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))}),
+        batch_format="pyarrow",
+    )
+    li = pre_aggregate(li, "l_orderkey", {"rev": ("rev", "sum")})
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    out = pre_aggregate(
+        joined, "o_orderpriority",
+        {"n_orders": ("o_orderpriority", "count"), "revenue": ("rev", "sum")},
+    )
+    return _round(out, {"revenue": 2})
+
+
 def q_broadcast_enrich(sf_dir: str):
     """Broadcast-small-side enrichment join (stages/lookup.py)."""
     import ray
@@ -1369,6 +1400,7 @@ QUERIES = {
     "hash_content": q_hash_content,
     "json_path": q_json_path,
     "broadcast_enrich": q_broadcast_enrich,
+    "hash_join": q_hash_join,
     "xml_roundtrip": q_xml_roundtrip,
     "jolt_transform": q_jolt_transform,
     "topk_users": q_topk_users,
@@ -1600,6 +1632,14 @@ ORACLE_SQL = {
                CAST(sum(np) AS BIGINT) AS n_phone,
                CAST(sum(length(s3)) AS BIGINT) AS red_len
         FROM red3 GROUP BY lang
+    """,
+    "hash_join": """
+        SELECT o_orderpriority, count(*) AS n_orders,
+               round(sum(rev), 2) AS revenue
+        FROM (SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+              FROM lineitem GROUP BY l_orderkey) li
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
     """,
     "quality_stats": """
         SELECT source, count(*) AS n,
