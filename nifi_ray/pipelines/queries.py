@@ -29,6 +29,7 @@ from ..stages.quality import (
     TOKEN_PATTERN,
     Fingerprinter,
     LangId,
+    Tokenizer,
     quality_stats,
     redact_pii,
     token_count,
@@ -533,6 +534,33 @@ def q_token_count(sf_dir: str):
     ds = _t(sf_dir, "documents", columns=["lang", "text"])
     ds = ds.map_batches(token_count("text"), batch_format="pyarrow")
     return pre_aggregate(ds, "lang", {"total_tokens": ("n_tokens", "sum")})
+
+
+def q_tokenize(sf_dir: str):
+    """Tokenization into the lake's schema (stages/quality.Tokenizer):
+    documents.text -> tokens list<int32> + n_tok. Graded on per-lang
+    token totals and the sum of token ids, which pins every id (the
+    oracle recomputes md5-hash ids in SQL)."""
+    ds = _t(sf_dir, "documents", columns=["lang", "text"])
+    ds = ds.map_batches(Tokenizer, fn_constructor_args=("text",),
+                        batch_format="pyarrow", concurrency=2)
+
+    def tok_sum(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(t["tokens"])
+        lens = pc.list_value_length(t["tokens"]).to_numpy(zero_copy_only=False)
+        sums = np.add.reduceat(
+            np.append(flat.to_numpy(zero_copy_only=False).astype(np.int64), 0),
+            np.clip(np.concatenate([[0], np.cumsum(lens)[:-1]]), 0, max(len(flat), 1) - 1),
+        ) * (lens > 0)
+        return t.append_column("tok_sum", pa.array(sums, pa.int64())).append_column(
+            "n_tok64", pc.cast(t["n_tok"], pa.int64())
+        )
+
+    ds = ds.map_batches(tok_sum, batch_format="pyarrow")
+    return pre_aggregate(
+        ds, "lang",
+        {"total_toks": ("n_tok64", "sum"), "tok_id_sum": ("tok_sum", "sum")},
+    )
 
 
 def q_pii_redact(sf_dir: str):
@@ -1409,6 +1437,7 @@ QUERIES = {
     "union_funnel": q_union_funnel,
     "quality_stats": q_quality_stats,
     "pii_redact": q_pii_redact,
+    "tokenize": q_tokenize,
     "token_count": q_token_count,
     "fingerprint": q_fingerprint,
     "knn_cosine": q_knn_cosine,
@@ -1603,6 +1632,14 @@ ORACLE_SQL = {
         SELECT count(*) AS n FROM (
           SELECT r_name AS name FROM region
           UNION ALL SELECT n_name FROM nation) t
+    """,
+    "tokenize": """
+        WITH words AS (
+          SELECT lang, unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS w
+          FROM documents)
+        SELECT lang, count(*) AS total_toks,
+               CAST(sum(CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 32768) AS BIGINT) AS tok_id_sum
+        FROM words GROUP BY lang
     """,
     "pii_redact": """
         WITH injected AS (

@@ -113,6 +113,48 @@ def token_count(col: str = "text", out: str = "n_tokens", pattern: str = TOKEN_P
     return fn
 
 
+class Tokenizer:
+    """Actor-pool stage: deterministic word-hash tokenizer producing the
+    lake's token schema — ``tokens: list<int32>`` + ``n_tok: int32``
+    (BASELINE.json input_hint) from raw text, so a curation pipeline can
+    feed documents straight into the CDC lake domain.
+
+    token id = int(md5(word)[:8 hex], 16) % vocab_size — md5 so the
+    DuckDB oracle replays ids exactly (`CAST('0x'||substr(md5(w),1,8) AS
+    BIGINT)`); a production vocab swap (BPE table, xxhash) is one
+    constructor arg. The regex is compiled once per actor; hashing runs
+    over ONE flattened word array per batch (hashlib's C md5), and the
+    list column is rebuilt zero-copy from offsets."""
+
+    def __init__(self, col: str = "text", vocab_size: int = 1 << 15):
+        import re
+
+        self.col = col
+        self.vocab = vocab_size
+        self.pat = re.compile(TOKEN_PATTERN)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        words_per_doc = batch[self.col].to_pandas().fillna("").str.findall(self.pat)
+        lens = words_per_doc.str.len().to_numpy(dtype=np.int64)
+        md5 = hashlib.md5
+        ids = np.fromiter(
+            (
+                int.from_bytes(md5(w.encode()).digest()[:4], "big") % self.vocab
+                for words in words_per_doc
+                for w in words
+            ),
+            dtype=np.int32,
+            count=int(lens.sum()),
+        )
+        offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        toks = pa.ListArray.from_arrays(pa.array(offsets), pa.array(ids))
+        return batch.append_column("tokens", toks).append_column(
+            "n_tok", pa.array(lens.astype(np.int32))
+        )
+
+
 # PII patterns (RE2 syntax — same engine under pyarrow.compute and
 # DuckDB, so the graded oracle matches byte-for-byte). Order matters:
 # emails first (their digits must not be phone-matched), then IPs,

@@ -246,3 +246,20 @@ def test_redact_pii_counts_and_order():
     assert out["n_pii_email"].to_pylist() == [1, 0, None]
     assert out["n_pii_ip"].to_pylist() == [1, 0, None]
     assert out["n_pii_phone"].to_pylist() == [1, 0, None]
+
+
+def test_tokenizer_produces_lake_schema():
+    import hashlib
+
+    import pyarrow as pa
+
+    from nifi_ray.stages.quality import Tokenizer
+
+    t = pa.table({"text": ["hello world", "", None, "a1 b!"]})
+    out = Tokenizer("text")(t)
+    assert out.schema.field("tokens").type == pa.list_(pa.int32())
+    assert out.schema.field("n_tok").type == pa.int32()
+    assert out["n_tok"].to_pylist() == [2, 0, 0, 4]
+    hid = lambda w: int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % (1 << 15)
+    assert out["tokens"].to_pylist()[0] == [hid("hello"), hid("world")]
+    assert out["tokens"].to_pylist()[3] == [hid("a"), hid("1"), hid("b"), hid("!")]
