@@ -12,6 +12,7 @@ cannot flip the value hash.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 import numpy as np
@@ -560,6 +561,101 @@ def q_tokenize(sf_dir: str):
     return pre_aggregate(
         ds, "lang",
         {"total_toks": ("n_tok64", "sum"), "tok_id_sum": ("tok_sum", "sum")},
+    )
+
+
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing for training shards (stages/packing.pack_group):
+    tokenize documents, then concat-and-chunk each lang group's tokens
+    (doc_id order) into 256-token sequences. Graded per sequence on
+    (n_tok, tok_sum), which pins every token's position in the packed
+    layout — the SQL oracle recomputes global token positions with a
+    window over (doc order, within-doc subscript)."""
+    from ..stages.packing import pack_group
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    ds = ds.map_batches(Tokenizer, fn_constructor_args=("text",),
+                        batch_format="pyarrow", concurrency=2)
+    ds = ds.select_columns(["doc_id", "lang", "tokens"])
+    packed = ds.groupby("lang").map_groups(
+        pack_group(256, order_key="doc_id"), batch_format="pyarrow"
+    )
+    return packed.select_columns(["lang", "seq_idx", "n_tok", "tok_sum"])
+
+
+def q_deterministic_shuffle(sf_dir: str):
+    """Seeded deterministic corpus shuffle (stages/packing.shuffle_key):
+    global sort by md5(doc_id '#' seed) — a replayable permutation for
+    training-data export (same seed ⇒ same order on every run/retry).
+    Graded on the first 20 (rank, doc_id) of the permutation."""
+    from ..stages.packing import shuffle_key
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+    ds = ds.map_batches(shuffle_key("doc_id", seed=7), batch_format="pyarrow")
+    head = ds.sort("shuffle_key").limit(20).take_all()
+    return pa.table({
+        "rank": pa.array(range(1, len(head) + 1), pa.int64()),
+        "doc_id": pa.array([r["doc_id"] for r in head], pa.int64()),
+    })
+
+
+def q_source_mix(sf_dir: str):
+    """Weighted source mixing (stages/packing.weighted_mix_filter):
+    each source gets a deterministic weight in {.25,.5,.75,1} derived
+    from its name, and a doc is kept iff its md5-uniform < weight —
+    the replayable form of per-domain sampling ratios in a training
+    mix. Graded on per-source kept counts."""
+    from ..stages.packing import derived_weight, weighted_mix_filter
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "source"])
+    sources = [r["source"] for r in
+               ds.groupby("source").count().select_columns(["source"]).take_all()]
+    weights = {s: derived_weight(s) for s in sources}
+    kept = ds.map_batches(weighted_mix_filter(weights), batch_format="pyarrow")
+    return pre_aggregate(kept, "source", {"n_kept": ("doc_id", "count")})
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (stages/packing.NgramDecontaminator):
+    docs whose md5(doc_id) starts with '0' play the benchmark set; a
+    corpus doc is contaminated if it shares ANY word 5-gram with a
+    benchmark doc (the published train/test-overlap filter shape).
+    Benchmark n-gram set is built once and broadcast via ray.put; the
+    corpus streams through an actor pool probing it. Graded per lang on
+    (n_docs, n_contaminated)."""
+    import ray
+
+    from ..stages.packing import NgramDecontaminator, doc_ngrams
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "is_bench",
+            pc.equal(pc.utf8_slice_codeunits(
+                pa.array([hashlib.md5(str(v).encode()).hexdigest()
+                          for v in t["doc_id"].to_pylist()]), 0, 1), "0"),
+        ),
+        batch_format="pyarrow",
+    )
+    bench = ds.filter(expr="is_bench").map_batches(
+        doc_ngrams("text", n=5), batch_format="pyarrow"
+    )
+    gram_set: set[str] = set()
+    for b in bench.select_columns(["ngrams"]).iter_batches(batch_format="pyarrow"):
+        gram_set.update(pc.list_flatten(b["ngrams"]).to_pylist())
+    grams_ref = ray.put(frozenset(gram_set))
+    corpus = ds.filter(expr="is_bench == False").map_batches(
+        NgramDecontaminator,
+        fn_constructor_args=(grams_ref, "text", 5),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    flagged = corpus.map_batches(
+        lambda t: t.append_column("c", pc.cast(t["contaminated"], pa.int64())),
+        batch_format="pyarrow",
+    )
+    return pre_aggregate(
+        flagged, "lang", {"n_docs": ("doc_id", "count"), "n_contaminated": ("c", "sum")}
     )
 
 
@@ -1438,6 +1534,10 @@ QUERIES = {
     "quality_stats": q_quality_stats,
     "pii_redact": q_pii_redact,
     "tokenize": q_tokenize,
+    "pack_sequences": q_pack_sequences,
+    "deterministic_shuffle": q_deterministic_shuffle,
+    "source_mix": q_source_mix,
+    "decontaminate": q_decontaminate,
     "token_count": q_token_count,
     "fingerprint": q_fingerprint,
     "knn_cosine": q_knn_cosine,
@@ -1640,6 +1740,56 @@ ORACLE_SQL = {
         SELECT lang, count(*) AS total_toks,
                CAST(sum(CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 32768) AS BIGINT) AS tok_id_sum
         FROM words GROUP BY lang
+    """,
+    "pack_sequences": """
+        WITH docs AS (
+          SELECT lang, doc_id,
+                 regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS ws
+          FROM documents),
+        toks AS (
+          SELECT lang, doc_id, i,
+                 CAST(concat('0x', substr(md5(ws[i]), 1, 8)) AS BIGINT) % 32768 AS tok
+          FROM (SELECT lang, doc_id, ws, generate_subscripts(ws, 1) AS i FROM docs)),
+        pos AS (
+          SELECT lang, tok,
+                 row_number() OVER (PARTITION BY lang ORDER BY doc_id, i) - 1 AS p
+          FROM toks)
+        SELECT lang, CAST(p // 256 AS BIGINT) AS seq_idx,
+               CAST(count(*) AS BIGINT) AS n_tok,
+               CAST(sum(tok) AS BIGINT) AS tok_sum
+        FROM pos GROUP BY lang, p // 256
+    """,
+    "deterministic_shuffle": """
+        SELECT CAST(row_number() OVER (ORDER BY md5(concat(CAST(doc_id AS VARCHAR), '#7'))) AS BIGINT) AS rank,
+               doc_id
+        FROM documents
+        ORDER BY rank LIMIT 20
+    """,
+    "source_mix": """
+        SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+        FROM documents
+        WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0
+            < (1 + CAST(concat('0x', substr(md5(source), 1, 1)) AS BIGINT) % 4) / 4.0
+        GROUP BY source
+    """,
+    "decontaminate": """
+        WITH docs AS (
+          SELECT doc_id, lang,
+                 regexp_extract_all(lower(text), '[a-z0-9]+') AS ws,
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_bench
+          FROM documents),
+        grams AS (
+          SELECT doc_id, lang, is_bench, array_to_string(ws[i:i+4], ' ') AS g
+          FROM (SELECT doc_id, lang, is_bench, ws, generate_subscripts(ws, 1) AS i FROM docs)
+          WHERE i <= len(ws) - 4),
+        hits AS (
+          SELECT DISTINCT doc_id FROM grams
+          WHERE NOT is_bench AND g IN (SELECT DISTINCT g FROM grams WHERE is_bench))
+        SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_contaminated
+        FROM docs d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE NOT d.is_bench
+        GROUP BY d.lang
     """,
     "pii_redact": """
         WITH injected AS (

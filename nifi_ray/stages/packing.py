@@ -1,0 +1,195 @@
+"""Training-data export stages over the tokens axis: sequence packing
+(concat-and-chunk), deterministic corpus shuffle, weighted source
+mixing, and benchmark n-gram decontamination.
+
+These are the ops a 100 TB pretraining pipeline runs AFTER curation
+(quality gate, dedup) to turn a document lake into training shards.
+None exist in the reference (NiFi stops at content routing); they are
+first-class here per the training-data-extension mandate.
+
+Scale shapes:
+
+- ``pack_group``: GPT-style concat-and-chunk — concatenate every doc's
+  tokens in a deterministic order, slice into fixed-length sequences.
+  Runs inside ``groupby(shard_key).map_groups`` so layout is
+  deterministic PER GROUP; at corpus scale the group key is the output
+  shard (hash range), giving embarrassingly parallel packing with
+  per-shard determinism — the property real pipelines settle for,
+  since a single global order would serialize the corpus. All math is
+  one flatten + one reduceat; the packed list column is rebuilt
+  zero-copy from offsets.
+- ``shuffle_key`` / ``weighted_mix_filter``: md5-derived uniform hash
+  so the DuckDB oracle replays the exact selection byte-for-byte; a
+  production swap to ``util.hashing.mix_u64`` (vectorized, ~10x
+  cheaper) is one argument — semantics identical.
+- ``doc_ngrams`` + ``NgramDecontaminator``: flag documents sharing any
+  word n-gram with a benchmark set (the published 13-gram
+  train/test-overlap filter; n configurable). The benchmark side is
+  the SMALL side: its n-gram set is collected once and broadcast via
+  ``ray.put``, the corpus side streams through an actor pool probing
+  the set per batch. At 100 TB the set becomes a hashed bloom filter —
+  the plumbing (broadcast once, probe per batch) is unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# words for n-gram decontamination: lowercased alnum runs (simple and
+# replayable in DuckDB: regexp_extract_all(lower(text),'[a-z0-9]+'))
+WORD_RE = r"[a-z0-9]+"
+
+
+# ------------------------------------------------------------ packing
+
+
+def pack_group(max_len: int, order_key: str = "doc_id",
+               tokens_col: str = "tokens", keep: tuple[str, ...] = ("lang",)):
+    """map_groups fn: concatenate the group's token lists in
+    ``order_key`` order and slice into sequences of exactly ``max_len``
+    tokens (last one partial). Emits one row per packed sequence:
+    ``keep`` columns (constant within the group), ``seq_idx``,
+    ``tokens`` (list<int32>), ``n_tok``, ``tok_sum`` (layout
+    checksum — pins every token's position for the oracle)."""
+
+    def fn(g: pa.Table) -> pa.Table:
+        g = g.sort_by(order_key)
+        toks = g[tokens_col]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        n = int(len(flat))
+        out_fields = {k: pa.array([], g[k].type) for k in keep}
+        if n == 0:
+            out_fields.update(
+                seq_idx=pa.array([], pa.int64()),
+                tokens=pa.array([], pa.list_(pa.int32())),
+                n_tok=pa.array([], pa.int64()),
+                tok_sum=pa.array([], pa.int64()),
+            )
+            return pa.table(out_fields)
+        n_seq = -(-n // max_len)
+        offsets = np.minimum(np.arange(n_seq + 1, dtype=np.int64) * max_len, n)
+        seqs = pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32)), pa.array(flat.astype(np.int32, copy=False))
+        )
+        tok_sum = np.add.reduceat(flat.astype(np.int64), offsets[:-1])
+        out = {k: pa.array([g[k][0].as_py()] * n_seq, g[k].type) for k in keep}
+        out["seq_idx"] = pa.array(np.arange(n_seq, dtype=np.int64))
+        out["tokens"] = seqs
+        out["n_tok"] = pa.array(np.diff(offsets))
+        out["tok_sum"] = pa.array(tok_sum, pa.int64())
+        return pa.table(out)
+
+    return fn
+
+
+# ------------------------------------- deterministic shuffle / mixing
+
+
+def shuffle_key(col: str, seed: int = 0, out: str = "shuffle_key"):
+    """Deterministic shuffle key: md5(value '#' seed) hex. Sorting by it
+    is a seeded uniform permutation the SQL oracle reproduces with
+    ``md5(concat(col, '#', seed))``. Production: mix_u64 on a hash
+    column — same semantics, vectorized."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        suffix = f"#{seed}".encode()
+        keys = [
+            None if v is None else hashlib.md5(str(v).encode() + suffix).hexdigest()
+            for v in batch[col].to_pylist()
+        ]
+        return batch.append_column(out, pa.array(keys, pa.string()))
+
+    return fn
+
+
+def weighted_mix_filter(weights: dict[str, float], source_col: str = "source",
+                        id_col: str = "doc_id"):
+    """Data-mixing sampler: keep a row iff u(doc) < weight(source),
+    where u = first-8-hex-digits of md5(str(doc_id)) / 2^32 — a
+    deterministic uniform, so the sample is replayable (re-running a
+    shard yields the same rows) and SQL-checkable. ``weights`` is the
+    small side (a handful of sources), shipped by closure capture —
+    use ray.put for big maps (BroadcastEnrich precedent)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        u = np.array(
+            [
+                int.from_bytes(hashlib.md5(str(v).encode()).digest()[:4], "big")
+                for v in ids
+            ],
+            dtype=np.float64,
+        ) / 2.0**32
+        w = np.array(
+            [weights.get(s, 0.0) for s in batch[source_col].to_pylist()],
+            dtype=np.float64,
+        )
+        return batch.filter(pa.array(u < w))
+
+    return fn
+
+
+def derived_weight(source: str, buckets: int = 4) -> float:
+    """Deterministic per-source weight in {1/b, …, 1}: derived from the
+    source NAME (first md5 hex digit), so the oracle recomputes it —
+    ``(1 + (first-hex-digit %% b)) / b`` in SQL."""
+    return (1 + int(hashlib.md5(source.encode()).hexdigest()[0], 16) % buckets) / buckets
+
+
+# ------------------------------------------------ decontamination
+
+
+def doc_ngrams(col: str = "text", n: int = 5, out: str = "ngrams"):
+    """Per-doc word n-grams as space-joined strings (list<string>
+    column). Words = lowercased alnum runs (WORD_RE). The string form
+    (not a hash) is what both sides compare, for oracle parity; the
+    scale path hashes each gram to u64 before the set probe."""
+    pat = re.compile(WORD_RE)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        grams_per_doc = []
+        for v in batch[col].to_pylist():
+            ws = pat.findall((v or "").lower())
+            grams_per_doc.append(
+                [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+            )
+        return batch.append_column(out, pa.array(grams_per_doc, pa.list_(pa.string())))
+
+    return fn
+
+
+class NgramDecontaminator:
+    """Actor-pool stage: flag documents that share ANY word n-gram with
+    a benchmark set. ``bench_grams`` arrives as a ray.put ObjectRef
+    (Ray derefs it once per actor in __init__ — broadcast, not
+    per-batch reship); the per-batch probe is a set lookup per gram
+    with early exit per doc."""
+
+    def __init__(self, bench_grams, col: str = "text", n: int = 5,
+                 out: str = "contaminated"):
+        import ray
+
+        if isinstance(bench_grams, ray.ObjectRef):  # fn_constructor_args
+            bench_grams = ray.get(bench_grams)      # are NOT auto-deref'd
+        self.grams = bench_grams if isinstance(bench_grams, (set, frozenset)) else set(bench_grams)
+        self.col = col
+        self.n = n
+        self.out = out
+        self.pat = re.compile(WORD_RE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n, g = self.n, self.grams
+        flags = []
+        for v in batch[self.col].to_pylist():
+            ws = self.pat.findall((v or "").lower())
+            flags.append(
+                any(" ".join(ws[i : i + n]) in g for i in range(len(ws) - n + 1))
+            )
+        return batch.append_column(self.out, pa.array(flags, pa.bool_()))

@@ -1,0 +1,75 @@
+"""Unit tests for the training-export stages (stages/packing.py):
+sequence packing, deterministic shuffle keys, weighted mixing,
+n-gram decontamination."""
+
+import pyarrow as pa
+
+from nifi_ray.stages.packing import (
+    NgramDecontaminator,
+    derived_weight,
+    doc_ngrams,
+    pack_group,
+    shuffle_key,
+    weighted_mix_filter,
+)
+
+
+def test_pack_group_concat_and_chunk():
+    g = pa.table({
+        "lang": ["en"] * 3,
+        "doc_id": [2, 0, 1],  # unsorted on purpose: fn must order by doc_id
+        "tokens": [[20, 21], [1, 2, 3], [10]],
+    })
+    out = pack_group(4)(g)
+    # concat order is doc_id asc: 1 2 3 | 10 | 20 21 -> [1,2,3,10], [20,21]
+    assert out["seq_idx"].to_pylist() == [0, 1]
+    assert out["tokens"].to_pylist() == [[1, 2, 3, 10], [20, 21]]
+    assert out["n_tok"].to_pylist() == [4, 2]
+    assert out["tok_sum"].to_pylist() == [16, 41]
+    assert out["lang"].to_pylist() == ["en", "en"]
+    assert out.schema.field("tokens").type == pa.list_(pa.int32())
+
+
+def test_pack_group_empty_and_exact_boundary():
+    empty = pa.table({"lang": pa.array([], pa.string()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "tokens": pa.array([], pa.list_(pa.int32()))})
+    assert pack_group(4)(empty).num_rows == 0
+    g = pa.table({"lang": ["en"], "doc_id": [0], "tokens": [[1, 2, 3, 4]]})
+    out = pack_group(4)(g)
+    assert out["n_tok"].to_pylist() == [4]  # no empty trailing sequence
+
+
+def test_shuffle_key_seeded_and_deterministic():
+    t = pa.table({"doc_id": [1, 2, 3]})
+    a = shuffle_key("doc_id", seed=7)(t)["shuffle_key"].to_pylist()
+    b = shuffle_key("doc_id", seed=7)(t)["shuffle_key"].to_pylist()
+    c = shuffle_key("doc_id", seed=8)(t)["shuffle_key"].to_pylist()
+    assert a == b and a != c
+    assert len(set(a)) == 3
+
+
+def test_weighted_mix_filter_replayable_and_unknown_source_dropped():
+    t = pa.table({"doc_id": list(range(100)),
+                  "source": ["a"] * 50 + ["zzz"] * 50})
+    out = weighted_mix_filter({"a": 1.0})(t)
+    assert out["source"].to_pylist() == ["a"] * 50  # w=1 keeps all, unknown w=0 drops
+    half = weighted_mix_filter({"a": 0.5})(t)
+    assert 0 < half.num_rows < 50
+    again = weighted_mix_filter({"a": 0.5})(t)
+    assert half["doc_id"].to_pylist() == again["doc_id"].to_pylist()
+    assert 0.25 <= derived_weight("any-name") <= 1.0
+
+
+def test_ngram_decontaminator_flags_overlap():
+    t = pa.table({"text": [
+        "the quick brown fox jumps over dogs",   # shares 5-gram with bench
+        "completely different words here now ok",
+        "short one",                             # < n words -> never flagged
+        None,
+    ]})
+    bench = doc_ngrams("text", n=5)(pa.table({
+        "text": ["xx the quick brown fox jumps yy"]}))
+    grams = set(pa.compute.list_flatten(bench["ngrams"]).to_pylist())
+    out = NgramDecontaminator(grams, "text", 5)(t)
+    assert out["contaminated"].to_pylist() == [True, False, False, False]
