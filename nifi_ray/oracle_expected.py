@@ -487,9 +487,57 @@ def expected_knn_ivf(sf_dir: str, n_cells: int = 8, nprobe: int = 3, k: int = 5)
     )
 
 
+# ------------------------------------------------- lake → shard export
+
+
+def expected_export_shards(sf_dir: str, max_len: int = 512, P: int = 16) -> pa.Table:
+    """Expected packed-shard layout for q_export_shards: sequential CDC
+    replay (oracle.apply_events — the golden dict applier), scalar
+    zlib.crc32(doc_id) % P partitioning (dual of util.hashing.
+    partition_of), python-sorted doc order per shard, scalar
+    concat-and-chunk packing. One row per (shard, seq_idx) with n_tok
+    and tok_sum as python-int arithmetic."""
+    import glob
+
+    from .oracle import apply_events, state_from_base
+    from .pipelines.queries import cdc_fixture
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    _cfg, base_dir, ev_dir, _lake = cdc_fixture(sf_tag)
+    base = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(os.path.join(base_dir, "*.parquet")))]
+    )
+    events = [pq.read_table(f) for f in sorted(glob.glob(os.path.join(ev_dir, "*.parquet")))]
+    state = apply_events(events, initial=state_from_base(base))
+
+    shards: dict[int, list[str]] = {k: [] for k in range(P)}
+    for doc_id in state:
+        shards[zlib.crc32(doc_id.encode()) % P].append(doc_id)
+    out_shard, out_seq, out_n, out_sum = [], [], [], []
+    for k in range(P):
+        flat: list[int] = []
+        for doc_id in sorted(shards[k]):
+            flat.extend(state[doc_id]["tokens"] or [])
+        for s in range((len(flat) + max_len - 1) // max_len):
+            chunk = flat[s * max_len : (s + 1) * max_len]
+            out_shard.append(k)
+            out_seq.append(s)
+            out_n.append(len(chunk))
+            out_sum.append(sum(chunk))
+    return pa.table(
+        {
+            "shard": pa.array(out_shard, pa.int64()),
+            "seq_idx": pa.array(out_seq, pa.int64()),
+            "n_tok": pa.array(out_n, pa.int64()),
+            "tok_sum": pa.array(out_sum, pa.int64()),
+        }
+    )
+
+
 # ------------------------------------------------------------- dispatch
 
 EXPECTED_BUILDERS = {
+    "export_shards": expected_export_shards,
     "simhash": expected_simhash,
     "winnow_fingerprints": expected_winnow,
     "lang_id": expected_lang_id,

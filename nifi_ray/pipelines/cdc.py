@@ -797,6 +797,88 @@ class CDCLake:
             [pq.read_table(f) for f in files], promote_options="permissive"
         )
 
+    def export_shards(
+        self,
+        out_dir: str,
+        max_len: int = 2048,
+        version: int | None = None,
+    ) -> list[dict]:
+        """Export the lake's committed state as packed training shards:
+        one parquet per lake partition under ``out_dir/shard=<k>/``,
+        each row a fixed-length training sequence (concat-and-chunk of
+        the partition's docs in doc_id order — stages/packing.pack_group,
+        columns shard/seq_idx/tokens/n_tok/tok_sum).
+
+        Shape: one Ray task per partition, ZERO shuffle — the lake's
+        hash partitioning is reused as the shard key, so export
+        parallelism equals partition count and each task touches one
+        partition's files. Merge-on-read deltas are overlaid with the
+        same LWW kernel as read(). Resumable: shard files are written
+        atomically and skipped when present, so a failed export rerun
+        only does the missing shards; per-shard layout is a pure
+        function of (partition contents, max_len) — retries produce
+        identical bytes. Returns per-shard stats rows."""
+        import ray.data as rd
+
+        from ..stages.packing import pack_group
+
+        m = self.manifest(version)
+        if m is None or not m.partitions:
+            raise FileNotFoundError(f"no committed manifest in {self.lake_dir}")
+        lake_dir = self.lake_dir
+        schema_b64 = m.schema.serialize().to_pybytes()
+        items = [
+            {"k": k, "file": e["file"], "deltas": list(e.get("deltas", []))}
+            for k, e in sorted(m.partitions.items())
+        ]
+        os.makedirs(out_dir, exist_ok=True)
+        pack = pack_group(max_len, order_key="doc_id", keep=())
+
+        def export_item(batch: pa.Table) -> pa.Table:
+            schema = pa.ipc.read_schema(pa.BufferReader(schema_b64))
+            rows = []
+            for row in batch.to_pylist():
+                k = int(row["k"])
+                rel = os.path.join(f"shard={k:05d}", f"pack-{max_len}.parquet")
+                outp = os.path.join(out_dir, rel)
+                if not os.path.exists(outp):
+                    base = pq.read_table(os.path.join(lake_dir, row["file"]))
+                    deltas = [
+                        pq.read_table(os.path.join(lake_dir, d))
+                        for d in row["deltas"]
+                    ]
+                    packed = pack(_merge_partition(base, deltas, schema))
+                    packed = packed.add_column(
+                        0, "shard", pa.array([k] * packed.num_rows, pa.int32())
+                    )
+                    os.makedirs(os.path.dirname(outp), exist_ok=True)
+                    tmp = outp + f".tmp.{os.getpid()}"
+                    pq.write_table(packed, tmp, compression="zstd")
+                    os.replace(tmp, outp)
+                rows.append(
+                    {
+                        "shard": k,
+                        "file": rel,
+                        "n_seqs": pq.read_metadata(outp).num_rows,
+                    }
+                )
+            return pa.Table.from_pylist(
+                rows,
+                schema=pa.schema(
+                    [
+                        pa.field("shard", pa.int32()),
+                        pa.field("file", pa.string()),
+                        pa.field("n_seqs", pa.int64()),
+                    ]
+                ),
+            )
+
+        return (
+            rd.from_items(items, override_num_blocks=len(items))
+            .map_batches(export_item, batch_format="pyarrow")
+            .take_all()
+        )
+
     def lookup(
         self,
         doc_ids: list[str],

@@ -1410,6 +1410,32 @@ def q_cdc_changes(sf_dir: str):
     return lake.changes(1, 2).map_batches(summarize, batch_format="pyarrow")
 
 
+def q_export_shards(sf_dir: str):
+    """Lake → training shards: export the graded COW lake's final state
+    as packed 512-token sequences, one shard per lake partition (zero
+    shuffle — CDCLake.export_shards), then read the WRITTEN shards back
+    and grade every sequence's (shard, seq_idx, n_tok, tok_sum). Oracle:
+    sequential replay (oracle.apply_events) + scalar crc32 partitioning
+    + scalar packing in oracle_expected.expected_export_shards."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    lake = _built_cow_lake(sf_tag)
+    out_dir = lake.lake_dir + "_shards_v1"
+    lake.export_shards(out_dir, max_len=512)
+    import ray.data as rd
+
+    files = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(out_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    ds = rd.read_parquet(files, columns=["shard", "seq_idx", "n_tok", "tok_sum"])
+    return ds.map_batches(
+        lambda t: t.set_column(0, "shard", pc.cast(t["shard"], pa.int64())),
+        batch_format="pyarrow",
+    )
+
+
 def q_cdc_replay_delta(sf_dir: str):
     """Flagship, merge-on-read mode: same events replayed as delta ticks
     (mode='delta'), lake read with LIVE deltas overlaid at read time —
@@ -1564,6 +1590,7 @@ QUERIES = {
     "video_frames": q_video_frames,
     "cdc_replay": q_cdc_replay,
     "cdc_replay_delta": q_cdc_replay_delta,
+    "export_shards": q_export_shards,
     "cdc_consume": q_cdc_consume,
     "cdc_changes": q_cdc_changes,
 }

@@ -156,3 +156,49 @@ def test_lookup_point_reads(ray_session, tmp_path):
 
     # empty request
     assert lake.lookup([]).num_rows == 0
+
+
+def test_export_shards_packs_state_and_resumes(ray_session, tmp_path):
+    import os
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    base_dir, ev_dir, lake_dir = (str(tmp_path / d) for d in ("b", "e", "l"))
+    write_base(CFG, base_dir, shards=1)
+    write_events(CFG, ev_dir, shards=2)
+    lake = CDCLake(lake_dir)
+    lake.init_from(base_dir, num_partitions=4)
+    # delta mode so export must overlay merge-on-read deltas
+    lake.replay(ev_dir, mode="delta")
+
+    out = str(tmp_path / "shards")
+    stats = lake.export_shards(out, max_len=64)
+    assert sorted(s["shard"] for s in stats) == [0, 1, 2, 3]
+
+    # scalar dual: final state -> crc32 shard -> doc_id order -> chunk
+    state = apply_events(
+        [events_table(CFG, 0, CFG.n_events)], state_from_base(base_table(CFG))
+    )
+    per_shard = {k: [] for k in range(4)}
+    for doc_id in sorted(state):
+        per_shard[zlib.crc32(doc_id.encode()) % 4].extend(state[doc_id]["tokens"])
+    total = 0
+    for s in stats:
+        t = pq.read_table(os.path.join(out, s["file"]))
+        flat = [x for seq in t["tokens"].to_pylist() for x in seq]
+        assert flat == per_shard[s["shard"]]  # exact packed layout
+        assert all(n <= 64 for n in t["n_tok"].to_pylist())
+        total += t.num_rows
+        assert t.num_rows == s["n_seqs"]
+
+    # resumable: second call rewrites nothing (mtimes unchanged)
+    mtimes = {
+        s["file"]: os.path.getmtime(os.path.join(out, s["file"])) for s in stats
+    }
+    stats2 = lake.export_shards(out, max_len=64)
+    assert {s["file"]: s["n_seqs"] for s in stats2} == {
+        s["file"]: s["n_seqs"] for s in stats
+    }
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, f)) == m
