@@ -180,3 +180,39 @@ def test_asof_lookup_matches_merge_asof(dim_rows, fact_rows):
         got["v"].fillna(-1).astype(int).tolist()
         == exp["v"].fillna(-1).astype(int).tolist()
     )
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 99), st.lists(st.integers(0, 1000), max_size=20)),
+        min_size=0,
+        max_size=30,
+    ),
+    max_len=st.integers(1, 16),
+)
+@settings(max_examples=80, deadline=None)
+def test_pack_group_equals_scalar_packing(docs, max_len):
+    """pack_group (vectorized reduceat/offsets) == scalar concat-and-chunk
+    for any doc multiset and any max_len: token stream preserved in
+    doc_id order, every sequence full except the last, sums exact."""
+    from nifi_ray.stages.packing import pack_group
+
+    ids = [d for d, _ in docs]
+    g = pa.table({
+        "lang": pa.array(["x"] * len(docs), pa.string()),
+        "doc_id": pa.array(ids, pa.int64()),
+        "tokens": pa.array([t for _, t in docs], pa.list_(pa.int32())),
+    })
+    out = pack_group(max_len)(g)
+
+    flat = []
+    order = sorted(range(len(docs)), key=lambda i: (ids[i], i))
+    # stable sort by doc_id: equal ids keep input order (Arrow sort_by
+    # is stable), so the scalar dual must match that tiebreak
+    for i in order:
+        flat.extend(docs[i][1])
+    exp_seqs = [flat[s : s + max_len] for s in range(0, len(flat), max_len)]
+    assert out["tokens"].to_pylist() == exp_seqs
+    assert out["n_tok"].to_pylist() == [len(s) for s in exp_seqs]
+    assert out["tok_sum"].to_pylist() == [sum(s) for s in exp_seqs]
+    assert out["seq_idx"].to_pylist() == list(range(len(exp_seqs)))
