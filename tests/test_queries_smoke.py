@@ -8,7 +8,17 @@ import pytest
 from nifi_ray.pipelines.queries import ORACLE_SQL, QUERIES
 
 SF = "/root/testdata/sf0.001"
-NAMES = ["lww_upsert", "route_events", "split_text_words", "topk_users"]
+NAMES = [
+    "lww_upsert",
+    "route_events",
+    "split_text_words",
+    "topk_users",
+    "tokenize",
+    "pack_sequences",
+    "deterministic_shuffle",
+    "source_mix",
+    "decontaminate",
+]
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
