@@ -35,6 +35,11 @@ def main(argv=None):
                    help="delta = merge-on-read apply (O(delta) bytes/tick)")
     p.add_argument("--compact-after", type=int, default=0,
                    help="compact partitions with >= N delta parts at the end (0 = never)")
+    p.add_argument("--export-shards", metavar="DIR", default=None,
+                   help="after replay, export lake state as packed training "
+                        "shards (one parquet per partition) under DIR")
+    p.add_argument("--max-seq-len", type=int, default=2048,
+                   help="sequence length for --export-shards packing")
     p.add_argument("--gc", action="store_true", help="expire old versions + GC orphans at the end")
     p.add_argument("--verify", action="store_true", help="recompute per-partition checksums vs the manifest at the end")
     args = p.parse_args(argv)
@@ -80,6 +85,11 @@ def main(argv=None):
         m = lake.compact(min_deltas=args.compact_after)
         if m is not None:
             print(json.dumps({"event": "COMPACT", "version": m.version}))
+
+    if args.export_shards:
+        rows = lake.export_shards(args.export_shards, max_len=args.max_seq_len)
+        print(json.dumps({"event": "EXPORT", "shards": len(rows),
+                          "n_seqs": sum(r["n_seqs"] for r in rows)}))
 
     print(json.dumps({"event": "LAG", **lag_report(args.lake, head)}))
     if args.verify:

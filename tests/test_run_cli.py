@@ -44,3 +44,19 @@ def test_cli_missing_base_errors(ray_session, tmp_path):
     write_events(CFG, ev, shards=1)
     rc = main(["--events", ev, "--lake", str(tmp_path / "nolake")])
     assert rc == 2
+
+
+def test_cli_export_shards(ray_session, tmp_path, capsys):
+    import json
+    import os
+
+    base, ev, lake, out = (str(tmp_path / d) for d in ("b", "e", "l", "shards"))
+    write_base(CFG, base, shards=1)
+    write_events(CFG, ev, shards=2)
+    rc = main(["--base", base, "--events", ev, "--lake", lake, "--partitions", "4",
+               "--export-shards", out, "--max-seq-len", "64"])
+    assert rc == 0
+    lines = [json.loads(line) for line in capsys.readouterr().out.splitlines()]
+    exp = next(e for e in lines if e["event"] == "EXPORT")
+    assert exp["shards"] == 4 and exp["n_seqs"] > 0
+    assert len([f for r, _, fs in os.walk(out) for f in fs if f.endswith(".parquet")]) == 4
