@@ -96,6 +96,35 @@ def q_route_events(sf_dir: str):
     return pre_aggregate(routed, "route", {"n": ("route", "count")})
 
 
+def q_flow_pipeline(sf_dir: str):
+    """Declarative flow builder e2e (pipelines/flow.Flow — the flow.xml
+    analog): source → route stamp → diamond fan-out into two
+    relationship filters → funnel union → aggregating sink, compiled
+    lazily to one Dataset chain and graded as a whole."""
+    from .flow import Flow
+
+    flow = (
+        Flow()
+        .source("events", lambda: _t(sf_dir, "events", columns=["event_type", "value"]))
+        .stage("routed", "events", stamp_route(
+            {
+                "error": lambda t: pc.equal(t["event_type"], "error"),
+                "big": lambda t: pc.greater_equal(t["value"], 150.0),
+            },
+            strategy="first",
+        ))
+        .filter("errors", "routed", "route == 'error'")
+        .filter("big", "routed", "route == 'big'")
+        .union("funnel", ["errors", "big"])
+        .sink("out", "funnel", lambda ds: _round(
+            pre_aggregate(ds, "route", {"n": ("route", "count"),
+                                        "sum_val": ("value", "sum")}),
+            {"sum_val": 2},
+        ))
+    )
+    return flow.run()["out"]
+
+
 def q_update_attribute_revenue(sf_dir: str):
     """UpdateAttribute-style derived column + pre-aggregated grouped sums
     (stages/attrs.py, stages/aggregate.py)."""
@@ -1535,6 +1564,7 @@ def _cdc_summarize(t: pa.Table) -> pa.Table:
 QUERIES = {
     "lww_upsert": q_lww_upsert,
     "route_events": q_route_events,
+    "flow_pipeline": q_flow_pipeline,
     "update_attribute_revenue": q_update_attribute_revenue,
     "merge_defragment": q_merge_defragment,
     "json_to_sql": q_json_to_sql,
@@ -1639,6 +1669,16 @@ ORACLE_SQL = {
                     ELSE 'unmatched' END AS route,
                count(*) AS n
         FROM events GROUP BY 1
+    """,
+    "flow_pipeline": """
+        WITH routed AS (
+          SELECT CASE WHEN event_type = 'error' THEN 'error'
+                      WHEN value >= 150 THEN 'big'
+                      ELSE 'unmatched' END AS route,
+                 value
+          FROM events)
+        SELECT route, count(*) AS n, round(sum(value), 2) AS sum_val
+        FROM routed WHERE route IN ('error', 'big') GROUP BY route
     """,
     "update_attribute_revenue": """
         SELECT l_returnflag,
