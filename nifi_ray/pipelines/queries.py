@@ -867,6 +867,53 @@ def q_syslog_roundtrip(sf_dir: str):
     return pre_aggregate(parsed, "syslog_severity", {"n": ("syslog_severity", "count")})
 
 
+def q_avro_roundtrip(sf_dir: str):
+    """Avro object-container roundtrip end-to-end: events render to Avro
+    containers per batch (ConvertJSONToAvro side), decode back
+    (ConvertAvroToJSON side), aggregate — oracle is plain SQL on the
+    originals, so every byte of the codec (zigzag varints, unions,
+    deflate blocks, timestamp-micros logical type) is value-checked
+    (sources/avro.py; reference nifi-avro-bundle ConvertAvroToJSON.java,
+    kite ConvertJSONToAvro.java)."""
+    from ..sources.avro import avro_to_table, table_to_avro
+
+    ds = _t(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+    def enc(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"payload": pa.array([table_to_avro(t, codec="deflate")], pa.binary())}
+        )
+
+    def dec(t: pa.Table) -> pa.Table:
+        tabs = [avro_to_table(b) for b in t["payload"].to_pylist()]
+        out = pa.concat_tables(tabs)
+        return pa.table(
+            {
+                "event_type": out["event_type"],
+                "user_id": out["user_id"],
+                "value": out["value"],
+                "ts_us": pc.cast(out["ts"], pa.int64()),
+            }
+        )
+
+    rt = ds.map_batches(enc, batch_format="pyarrow").map_batches(
+        dec, batch_format="pyarrow"
+    )
+    agg = pre_aggregate(
+        rt,
+        "event_type",
+        {
+            "n": ("event_type", "count"),
+            "sum_uid": ("user_id", "sum"),
+            "min_ts_us": ("ts_us", "min"),
+            "sum_value": ("value", "sum"),
+        },
+    )
+    return _round(agg, {"sum_value": 2})
+
+
 def _rates_fixture(sf_dir: str) -> str:
     """Deterministic per-sf 'rates' dimension (5 regions × 16 updates
     spanning the events ts range) shared by q_asof_enrich and its ASOF
@@ -1582,6 +1629,7 @@ QUERIES = {
     "broadcast_enrich": q_broadcast_enrich,
     "hash_join": q_hash_join,
     "xml_roundtrip": q_xml_roundtrip,
+    "avro_roundtrip": q_avro_roundtrip,
     "jolt_transform": q_jolt_transform,
     "topk_users": q_topk_users,
     "filter_shipdate": q_filter_shipdate,
@@ -1750,6 +1798,14 @@ ORACLE_SQL = {
     """,
     "xml_roundtrip": """
         SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        FROM events GROUP BY event_type
+    """,
+    "avro_roundtrip": """
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(user_id) AS BIGINT) AS sum_uid,
+               CAST(epoch_us(min(ts)) AS BIGINT) AS min_ts_us,
+               round(sum(value), 2) AS sum_value
         FROM events GROUP BY event_type
     """,
     "jolt_transform": """
