@@ -275,3 +275,21 @@ def test_apply_task_worker_crash_retried(ray_session, dirs, monkeypatch):
     # crashed attempts of OTHER versions) are allowed pre-GC but here
     # the retry overwrote the same names, so disk == manifest ∪ v1 parts
     assert referenced <= on_disk
+
+
+def test_single_partition_lake(ray_session, dirs):
+    """P=1 exercises the num_returns=1 edge in the direct exchange
+    (Ray hands back a bare ref, not a 1-tuple) for init, replay, and
+    rescale — ADVICE r1 regression."""
+    base_dir, ev_dir, lake_dir = dirs
+    lake = CDCLake(lake_dir)
+    lake.init_from(base_dir, num_partitions=1)
+    st = lake.replay(ev_dir)
+    assert st.events_applied > 0
+    oracle = apply_events([events_table(CFG)], state_from_base(base_table(CFG)))
+    _assert_lake_equals_oracle(lake, oracle)
+    # rescale up from 1 and back down to 1: state unchanged
+    lake.rescale(4)
+    _assert_lake_equals_oracle(lake, oracle)
+    lake.rescale(1)
+    _assert_lake_equals_oracle(lake, oracle)
