@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "minhash_pairs",
     "knn_cosine",
     "merge_defragment",
+    # tokens-axis training pipeline (tokenize → curate → pack)
+    "tokenize",
+    "pack_sequences",
+    "curation_pipeline",
 ]
 
 

@@ -216,3 +216,38 @@ def test_pack_group_equals_scalar_packing(docs, max_len):
     assert out["n_tok"].to_pylist() == [len(s) for s in exp_seqs]
     assert out["tok_sum"].to_pylist() == [sum(s) for s in exp_seqs]
     assert out["seq_idx"].to_pylist() == list(range(len(exp_seqs)))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-(2**62), 2**62)),          # long?
+            st.one_of(st.none(), st.text(max_size=20)),                   # string?
+            st.one_of(st.none(), st.floats(allow_nan=False, width=64)),   # double?
+            st.one_of(st.none(), st.booleans()),                          # bool?
+            st.one_of(st.none(), st.lists(st.integers(-(2**31), 2**31 - 1), max_size=8)),
+            st.one_of(st.none(), st.binary(max_size=16)),                 # bytes?
+        ),
+        max_size=40,
+    ),
+    codec=st.sampled_from(["null", "deflate", "snappy"]),
+    block_rows=st.integers(1, 7),
+)
+@settings(max_examples=60, deadline=None)
+def test_avro_container_roundtrip(rows, codec, block_rows):
+    """Avro object-container encode→decode is the identity for any
+    table of nullable long/string/double/bool/list<int>/bytes rows,
+    any codec, any block split (sources/avro.py)."""
+    from nifi_ray.sources.avro import avro_to_table, table_to_avro
+
+    t = pa.table({
+        "a": pa.array([r[0] for r in rows], pa.int64()),
+        "b": pa.array([r[1] for r in rows], pa.string()),
+        "c": pa.array([r[2] for r in rows], pa.float64()),
+        "d": pa.array([r[3] for r in rows], pa.bool_()),
+        "e": pa.array([r[4] for r in rows], pa.list_(pa.int32())),
+        "f": pa.array([r[5] for r in rows], pa.binary()),
+    })
+    back = avro_to_table(table_to_avro(t, codec=codec, block_rows=block_rows))
+    assert back.schema == t.schema
+    assert back.equals(t)
