@@ -103,3 +103,34 @@ def list_tables(database: str | None = None) -> pa.Table:
         ).arrow()
     finally:
         con.close()
+
+
+def execute_sql_to_avro(
+    query: str,
+    out_path: str,
+    database: str | None = None,
+    params=None,
+    codec: str = "deflate",
+    block_rows: int = 4096,
+) -> int:
+    """ExecuteSQL's actual output contract: ResultSet → Avro container
+    (reference util/JdbcCommon.convertToAvroStream, JdbcCommon.java:
+    76-177 — NiFi emits one Avro FlowFile per query). Written atomically
+    (tmp + rename). Returns the row count."""
+    import os
+
+    from .avro import table_to_avro
+
+    con = _connect(database)
+    try:
+        tbl = con.execute(query, params or []).arrow()
+    finally:
+        con.close()
+    if isinstance(tbl, pa.RecordBatchReader):  # duckdb>=1.3 returns reader
+        tbl = tbl.read_all()
+    data = table_to_avro(tbl, codec=codec, block_rows=block_rows)
+    tmp = out_path + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, out_path)
+    return tbl.num_rows

@@ -164,6 +164,16 @@ def test_sql_edge(ray_session):
     tabs = list_tables(database=db)
     assert "ev" in tabs["table_name"].to_pylist()
 
+    # ExecuteSQL's output contract: ResultSet → Avro container
+    from nifi_ray.sources.avro import avro_to_table
+    from nifi_ray.sources.sql import execute_sql_to_avro
+
+    out = os.path.join(os.path.dirname(db), "ev.avro")
+    n = execute_sql_to_avro("SELECT * FROM ev ORDER BY id", out, database=db)
+    back = avro_to_table(open(out, "rb").read())
+    assert n == 10 and back.num_rows == 10
+    assert back["v"].to_pylist() == [i * 1.5 for i in range(10)]
+
 
 def test_encrypt_content_roundtrip_and_determinism():
     from nifi_ray.stages.codec import encrypt_content
