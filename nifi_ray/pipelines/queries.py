@@ -867,6 +867,44 @@ def q_syslog_roundtrip(sf_dir: str):
     return pre_aggregate(parsed, "syslog_severity", {"n": ("syslog_severity", "count")})
 
 
+def q_xquery_filter(sf_dir: str):
+    """EvaluateXQuery end-to-end: events render to per-row XML docs,
+    a FLWOR query (for/where/return with functions) filters and
+    extracts, aggregate — oracle is the same predicate in plain SQL
+    (stages/xquery.py; reference STD/EvaluateXQuery.java:449)."""
+    from ..stages.xml import rows_to_xml
+    from ..stages.xquery import evaluate_xquery
+
+    ds = _t(sf_dir, "events", columns=["event_type", "user_id", "value"])
+    as_xml = ds.map_batches(
+        rows_to_xml(["event_type", "user_id", "value"]), batch_format="pyarrow"
+    ).map_batches(lambda t: t.select(["xml"]), batch_format="pyarrow")
+    q = "for $r in /record where $r/value > 50 return string($r/{})"
+    parsed = as_xml.map_batches(
+        evaluate_xquery(
+            "xml",
+            {"event_type": q.format("event_type"), "uid": q.format("user_id")},
+        ),
+        batch_format="pyarrow",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["event_type"]))
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "uid": pc.cast(t["uid"], pa.int64()),
+            }
+        )
+
+    kept = parsed.map_batches(finish, batch_format="pyarrow")
+    return pre_aggregate(
+        kept,
+        "event_type",
+        {"n": ("event_type", "count"), "sum_uid": ("uid", "sum")},
+    )
+
+
 def q_avro_roundtrip(sf_dir: str):
     """Avro object-container roundtrip end-to-end: events render to Avro
     containers per batch (ConvertJSONToAvro side), decode back
@@ -1630,6 +1668,7 @@ QUERIES = {
     "hash_join": q_hash_join,
     "xml_roundtrip": q_xml_roundtrip,
     "avro_roundtrip": q_avro_roundtrip,
+    "xquery_filter": q_xquery_filter,
     "jolt_transform": q_jolt_transform,
     "topk_users": q_topk_users,
     "filter_shipdate": q_filter_shipdate,
@@ -1799,6 +1838,12 @@ ORACLE_SQL = {
     "xml_roundtrip": """
         SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
         FROM events GROUP BY event_type
+    """,
+    "xquery_filter": """
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(user_id) AS BIGINT) AS sum_uid
+        FROM events WHERE value > 50 GROUP BY event_type
     """,
     "avro_roundtrip": """
         SELECT event_type,
