@@ -234,6 +234,34 @@ def test_jolt_shift_default_remove():
         JoltTransform([{"operation": "sort"}])
 
 
+def test_route_hl7():
+    """RouteHL7 (reference nifi-hl7-bundle/.../hl7/RouteHL7.java) =
+    ParseHL7 → stamp_route on the extracted hl7_* columns: per-query
+    named predicates, unmatched relationship for non-matching/invalid."""
+    import pyarrow.compute as pc
+
+    from nifi_ray.stages.parsers import ParseHL7
+    from nifi_ray.stages.route import stamp_route
+
+    mk = lambda mtype: (
+        f"MSH|^~\\&|LAB|FAC|EHR|DEST|202401020304||{mtype}|MSG001|P|2.5\r"
+        "PID|1||12345^^^FAC||DOE^JANE"
+    )
+    t = pa.table({"m": [mk("ORU^R01"), mk("ADT^A01"), "junk"]})
+    parsed = ParseHL7(col="m")(t)
+    routed = stamp_route(
+        {
+            "results": lambda b: pc.match_substring(
+                pc.coalesce(b["hl7_message_type"], pa.scalar("")), "ORU"
+            ),
+            "admits": lambda b: pc.match_substring(
+                pc.coalesce(b["hl7_message_type"], pa.scalar("")), "ADT"
+            ),
+        }
+    )(parsed)
+    assert routed["route"].to_pylist() == ["results", "admits", "unmatched"]
+
+
 def test_parse_hl7():
     from nifi_ray.stages.parsers import ParseHL7
 
