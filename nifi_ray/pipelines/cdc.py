@@ -940,6 +940,64 @@ class CDCLake:
             return m.schema.empty_table()
         return pa.concat_tables(parts).sort_by("doc_id")
 
+    def doc_history(self, doc_id: str) -> pa.Table:
+        """Provenance drill-down for ONE doc: its committed change
+        events (I/U/D + image) across every retained lake version —
+        the per-record answer NiFi's provenance repository serves
+        (reference PersistentProvenanceRepository, nifi-in-depth.adoc:94:
+        every FlowFile's lineage queryable after the fact; here lineage
+        IS the manifest chain).
+
+        Cost: one partition-pruned point read per retained version
+        (``lookup``'s pushdown — ids hash to their partition, ``doc_id
+        IN`` filters row groups), never a lake scan; the scan unit is
+        the retention window, exactly like the reference's provenance
+        index. Columns: version, watermark, change_op, then the row
+        image (the pre-delete image for 'D', Delta-CDF style)."""
+        from ..state.manifest import retained_versions
+        from ..util.hashing import row_image_hash
+
+        versions = retained_versions(self.lake_dir)
+        if not versions:
+            raise FileNotFoundError(f"no committed manifest in {self.lake_dir}")
+        events: list[tuple[int, int, str, pa.Table]] = []
+        prev: pa.Table | None = None  # 1-row image or None
+        schema = None
+        for v in versions:
+            m = self.manifest(v)
+            schema = m.schema
+            t = self.lookup([doc_id], version=v)
+            cur = t if t.num_rows else None
+            payload = [n for n in m.schema.names if n != "doc_id"]
+            if prev is None and cur is not None:
+                events.append((v, m.applied_through, "I", cur))
+            elif prev is not None and cur is None:
+                events.append((v, m.applied_through, "D", prev))
+            elif prev is not None and cur is not None:
+                if list(row_image_hash(cur, payload)) != list(
+                    row_image_hash(prev.select(cur.schema.names), payload)
+                ):
+                    events.append((v, m.applied_through, "U", cur))
+            prev = cur
+        if not events:
+            empty = schema.empty_table()
+            for i, (name, t) in enumerate(
+                (("version", pa.int64()), ("watermark", pa.int64()), ("change_op", pa.string()))
+            ):
+                empty = empty.add_column(i, name, pa.array([], t))
+            return empty
+        from ..stages.evolve import conform
+
+        latest = events[-1][3].schema
+        rows = pa.concat_tables(
+            [conform(img, latest) for _, _, _, img in events]
+        )
+        out = rows
+        out = out.add_column(0, "change_op", pa.array([e[2] for e in events], pa.string()))
+        out = out.add_column(0, "watermark", pa.array([e[1] for e in events], pa.int64()))
+        out = out.add_column(0, "version", pa.array([e[0] for e in events], pa.int64()))
+        return out
+
     def read_table(self) -> pa.Table:
         """Driver-side full materialization — TESTS ONLY (small lakes)."""
         m = self.manifest()

@@ -135,11 +135,17 @@ def manifest_path(lake_dir: str, version: int) -> str:
 
 
 def latest_version(lake_dir: str) -> int | None:
+    versions = retained_versions(lake_dir)
+    return versions[-1] if versions else None
+
+
+def retained_versions(lake_dir: str) -> list[int]:
+    """Sorted committed manifest versions still on disk (the time-travel
+    / provenance window; ``expire_versions`` shrinks it)."""
     mdir = os.path.join(lake_dir, _MANIFEST_DIR)
     if not os.path.isdir(mdir):
-        return None
-    versions = [int(m.group(1)) for f in os.listdir(mdir) if (m := _V_RE.match(f))]
-    return max(versions) if versions else None
+        return []
+    return sorted(int(m.group(1)) for f in os.listdir(mdir) if (m := _V_RE.match(f)))
 
 
 def load_manifest(lake_dir: str, version: int | None = None) -> Manifest | None:

@@ -202,3 +202,60 @@ def test_export_shards_packs_state_and_resumes(ray_session, tmp_path):
     }
     for f, m in mtimes.items():
         assert os.path.getmtime(os.path.join(out, f)) == m
+
+
+def test_doc_history_provenance(ray_session, tmp_path):
+    """doc_history: one doc's I/U/D events across retained versions
+    (the provenance-repository drill-down), pre-delete image on 'D',
+    no event for unchanged versions."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nifi_ray.schema import EVENT_SCHEMA
+
+    base_dir, lake_dir = (str(tmp_path / d) for d in ("b", "l"))
+    write_base(CFG, base_dir, shards=1)
+    lake = CDCLake(lake_dir)
+    lake.init_from(base_dir, num_partitions=4)  # v1
+
+    def tick(lsn, op, tokens, n):
+        ev = pa.table(
+            {
+                "lsn": pa.array([lsn], pa.int64()),
+                "op": pa.array([op], pa.string()),
+                "doc_id": pa.array(["prov_doc"], pa.string()),
+                "tokens": pa.array([tokens], pa.list_(pa.int32())),
+                "n_tok": pa.array([None if tokens is None else len(tokens)], pa.int32()),
+                "source": pa.array([None if tokens is None else "web"], pa.string()),
+            },
+        ).cast(EVENT_SCHEMA)
+        d = str(tmp_path / f"ev{n}")
+        os.makedirs(d)
+        pq.write_table(ev, os.path.join(d, "e.parquet"))
+        lake.replay(d)
+
+    hi = CFG.lsn_start + CFG.n_events
+    tick(hi + 1, "I", [1, 2, 3], 1)      # v2: create
+    tick(hi + 2, "U", [4, 5], 2)         # v3: update
+    tick(hi + 3, "U", [4, 5], 3)         # v4: no-op image → no event
+    tick(hi + 4, "D", None, 4)           # v5: delete
+
+    h = lake.doc_history("prov_doc")
+    assert h["change_op"].to_pylist() == ["I", "U", "D"]
+    assert h["version"].to_pylist() == [2, 3, 5]
+    assert h["tokens"].to_pylist() == [[1, 2, 3], [4, 5], [4, 5]]  # D carries pre-image
+    assert h["watermark"].to_pylist() == [hi + 1, hi + 2, hi + 4]
+
+    # a base doc: single CREATE at v1, nothing after
+    some_base_doc = lake.read_table()["doc_id"].to_pylist()[0]
+    if some_base_doc != "prov_doc":
+        hb = lake.doc_history(some_base_doc)
+        assert hb["change_op"].to_pylist()[0] == "I"
+        assert hb["version"].to_pylist()[0] == 1
+
+    # unknown doc → empty with the bookkeeping columns
+    he = lake.doc_history("never_existed")
+    assert he.num_rows == 0
+    assert he.schema.names[:3] == ["version", "watermark", "change_op"]
