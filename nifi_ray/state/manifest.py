@@ -158,7 +158,13 @@ def load_manifest(lake_dir: str, version: int | None = None) -> Manifest | None:
 
 
 def commit_manifest(lake_dir: str, manifest: Manifest) -> str:
-    """Phase-2 atomic publish. Refuses to go backwards in version."""
+    """Phase-2 atomic publish — atomic AND exclusive: the version file
+    is linked into place with ``os.link``, which fails with EEXIST if
+    another writer already committed that version (optimistic
+    concurrency, the Delta-log trick). ``os.replace`` would silently
+    last-writer-win and lose the other commit's files from the chain —
+    a lost update the exactly-once contract forbids. Refuses to go
+    backwards in version."""
     cur = latest_version(lake_dir)
     if cur is not None and manifest.version <= cur:
         raise ValueError(
@@ -173,7 +179,18 @@ def commit_manifest(lake_dir: str, manifest: Manifest) -> str:
         f.write(manifest.to_json())
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, path)
+    try:
+        os.link(tmp, path)  # atomic, EEXIST on concurrent commit
+    except FileExistsError:
+        raise ValueError(
+            f"manifest v{manifest.version} committed concurrently by another "
+            "writer — re-read the latest manifest and retry the tick"
+        ) from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
     return path
 
 
