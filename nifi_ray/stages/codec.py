@@ -198,3 +198,54 @@ def encrypt_content(col: str, key: bytes, out: str | None = None, mode: str = "e
         return batch.append_column(name, arr)
 
     return fn
+
+
+def pack_content(
+    col: str = "payload",
+    name_col: str = "entry_name",
+    fmt: str = "zip",
+    out: str = "archive",
+):
+    """MergeContent's tar/zip Merge Formats (reference
+    STD/MergeContent.java:159-165 — bins can emit concat, tar, zip,
+    flowfile-stream or avro): the inverse of ``unpack_content``. A
+    merge body: one TABLE OF MEMBERS in (rows of a bin, e.g. from
+    ``bin_pack`` or ``map_groups``) → one 1-row table with the archive
+    blob. Archive metadata is pinned (zip epoch date, tar mtime 0,
+    no uid/gid) so retried merges are byte-identical — the same
+    idempotency convention as the lake's part files. The 'avro' merge
+    format is ``sources.avro.table_to_avro`` on the bin's rows; 'concat'
+    is ``pyarrow.compute.binary_join``."""
+    import io
+    import tarfile
+    import zipfile
+
+    def fn(group: pa.Table) -> pa.Table:
+        names = group[name_col].to_pylist()
+        blobs = group[col].to_pylist()
+        buf = io.BytesIO()
+        if fmt == "zip":
+            with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+                for name, blob in zip(names, blobs):
+                    info = zipfile.ZipInfo(name or "", date_time=(1980, 1, 1, 0, 0, 0))
+                    info.compress_type = zipfile.ZIP_DEFLATED
+                    z.writestr(info, blob or b"")
+        elif fmt == "tar":
+            with tarfile.open(fileobj=buf, mode="w") as t:
+                for name, blob in zip(names, blobs):
+                    data = blob or b""
+                    info = tarfile.TarInfo(name or "")
+                    info.size = len(data)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    t.addfile(info, io.BytesIO(data))
+        else:
+            raise ValueError(f"unknown archive format {fmt!r}")
+        return pa.table(
+            {
+                out: pa.array([buf.getvalue()], pa.binary()),
+                "entry_count": pa.array([len(names)], pa.int32()),
+            }
+        )
+
+    return fn

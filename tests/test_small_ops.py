@@ -279,3 +279,25 @@ def test_parse_hl7():
     fields = dict(out["hl7_fields"].to_pylist()[0])
     assert fields["PID.5"] == "DOE^JANE"
     assert fields["OBX.5"] == "98" and fields["OBX_2.5"] == "13.2"
+
+
+def test_pack_content_inverse_of_unpack():
+    """MergeContent tar/zip merge formats: pack → unpack is the
+    identity on (name, payload), archives are byte-deterministic
+    (idempotent retries)."""
+    from nifi_ray.stages.codec import pack_content, unpack_content
+
+    members = pa.table(
+        {"entry_name": ["a.txt", "b/c.bin", "empty"], "payload": [b"hello", b"\x00\xff" * 9, b""]}
+    )
+    for fmt in ("zip", "tar"):
+        arch = pack_content(fmt=fmt)(members)
+        assert arch["entry_count"].to_pylist() == [3]
+        assert (
+            arch["archive"][0].as_py()
+            == pack_content(fmt=fmt)(members)["archive"][0].as_py()
+        )
+        back = unpack_content("archive", fmt=fmt)(arch)
+        assert back["entry_name"].to_pylist() == members["entry_name"].to_pylist()
+        assert back["payload"].to_pylist() == members["payload"].to_pylist()
+        assert back["fragment_index"].to_pylist() == [0, 1, 2]
