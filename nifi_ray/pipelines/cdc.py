@@ -576,6 +576,48 @@ class TickStats:
     quarantined: int = 0
 
 
+def _version_diff_plan(m_old, m_new) -> tuple[list[dict], bool]:
+    """Partition-level diff plan between two retained manifests: one
+    work item per NEW partition whose manifest entry (base file + delta
+    chain) changed — the shared pruning front-end of ``CDCLake.changes``
+    and ``matview.refresh_aggregate``.
+
+    Same-P: partitions with byte-identical entries are pruned with ZERO
+    file I/O, so a tick that touched 10 of 4096 partitions yields 10
+    items. Cross-P (a rescale happened between the versions): entries
+    aren't comparable, so every new partition gets an item whose
+    ``old_files`` are the congruent old partitions that can hold its
+    docs (hash partitioning is stable → doc→partition is congruence-
+    structured mod gcd); the consumer must filter old rows to the keys
+    the new partition owns (``partition_of(ids, p_new) == k``).
+    """
+    import math
+
+    p_old, p_new = m_old.num_partitions, m_new.num_partitions
+    g = math.gcd(p_old, p_new) or 1
+    same_p = p_old == p_new
+    items = []
+    for k in range(p_new):
+        e_new = m_new.partitions.get(k)
+        nf = e_new["file"] if e_new else None
+        nd = list(e_new.get("deltas", [])) if e_new else []
+        if same_p:
+            e_old = m_old.partitions.get(k)
+            of_ = [e_old["file"]] if e_old else []
+            od = [list(e_old.get("deltas", []))] if e_old else [[]]
+            # manifest-level pruning: identical entry → no diff I/O
+            if e_old and e_new and e_old["file"] == nf and od[0] == nd:
+                continue
+        else:
+            js = [j for j in range(p_old) if j % g == k % g and j in m_old.partitions]
+            of_ = [m_old.partitions[j]["file"] for j in js]
+            od = [list(m_old.partitions[j].get("deltas", [])) for j in js]
+        items.append(
+            {"k": k, "new_file": nf, "new_deltas": nd, "old_files": of_, "old_deltas": od}
+        )
+    return items, same_p
+
+
 class CDCLake:
     """A hash-partitioned, manifest-committed, copy-on-write Parquet lake."""
 
@@ -1044,8 +1086,6 @@ class CDCLake:
         to its own key range — worst case (coprime P) degrades to a
         full cross-read, so rescale by multiples.
         """
-        import math
-
         import ray.data as rd
 
         m_old = self.manifest(since_version)
@@ -1055,28 +1095,8 @@ class CDCLake:
                 f"changes({since_version}, {version}): version not retained "
                 f"in {self.lake_dir} (expired or never committed)"
             )
-        p_old, p_new = m_old.num_partitions, m_new.num_partitions
-        g = math.gcd(p_old, p_new) or 1
-        same_p = p_old == p_new
-        items = []
-        for k in range(p_new):
-            e_new = m_new.partitions.get(k)
-            nf = e_new["file"] if e_new else None
-            nd = list(e_new.get("deltas", [])) if e_new else []
-            if same_p:
-                e_old = m_old.partitions.get(k)
-                of_ = [e_old["file"]] if e_old else []
-                od = [list(e_old.get("deltas", []))] if e_old else [[]]
-                # manifest-level pruning: identical entry → no diff I/O
-                if e_old and e_new and e_old["file"] == nf and od[0] == nd:
-                    continue
-            else:
-                js = [j for j in range(p_old) if j % g == k % g and j in m_old.partitions]
-                of_ = [m_old.partitions[j]["file"] for j in js]
-                od = [list(m_old.partitions[j].get("deltas", [])) for j in js]
-            items.append(
-                {"k": k, "new_file": nf, "new_deltas": nd, "old_files": of_, "old_deltas": od}
-            )
+        items, same_p = _version_diff_plan(m_old, m_new)
+        p_new = m_new.num_partitions
 
         schema = m_new.schema
         out_schema = schema.empty_table().add_column(
@@ -1130,6 +1150,33 @@ class CDCLake:
         return rd.from_items(items, override_num_blocks=len(items)).map_batches(
             diff_items, batch_format="pyarrow"
         )
+
+    # ------------------------------------------- materialized aggregates
+    def create_aggregate(
+        self,
+        name: str,
+        group_by: list[str],
+        sums: list[str],
+        derive: list[list[str]] | None = None,
+    ) -> pa.Table:
+        """Create an incrementally-maintained GROUP BY view (matview.py):
+        one full scan now, O(delta) refreshes forever after."""
+        from .matview import create_aggregate
+
+        return create_aggregate(self, name, group_by, sums, derive)
+
+    def refresh_aggregate(self, name: str) -> pa.Table:
+        """Advance a maintained view to the latest lake version reading
+        only partitions the manifest says changed (matview.py)."""
+        from .matview import refresh_aggregate
+
+        return refresh_aggregate(self, name)
+
+    def read_aggregate(self, name: str, version: int | None = None) -> pa.Table:
+        """A maintained view's published snapshot (matview.py)."""
+        from .matview import read_aggregate
+
+        return read_aggregate(self, name, version)
 
     # ----------------------------------------------------------- apply
     def replay(

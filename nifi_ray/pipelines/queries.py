@@ -1583,6 +1583,49 @@ def q_cdc_replay_delta(sf_dir: str):
     return lake.read().map_batches(_cdc_summarize, batch_format="pyarrow")
 
 
+def q_incremental_agg(sf_dir: str):
+    """Materialized GROUP BY maintained INCREMENTALLY (matview.py):
+    per-source doc/token accounting created at lake version 1 (the only
+    full scan in its life), then refreshed after each of three delta
+    replay ticks reading only manifest-changed partitions — classic
+    IVM, the 100-TB answer to "track the corpus token budget per source
+    as it ingests". Returns the final published snapshot. Oracle: plain
+    GROUP BY over the LWW final-state CTE (_cdc_agg_oracle_sql) — the
+    driver thus proves three incremental refreshes compose to exactly
+    the full-scan answer."""
+    from .cdc import CDCLake
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    cfg, base_dir, ev_dir, lake_dir = cdc_fixture(sf_tag)
+    lake_dir = lake_dir + "_mv"
+
+    def build():
+        lake = CDCLake(lake_dir)
+        if lake.manifest() is None:
+            lake.init_from(base_dir, num_partitions=16)
+        lake.create_aggregate(
+            "by_source",
+            ["source"],
+            ["n_tok", "token_sum"],
+            [["token_sum", "list_sum", "tokens"]],
+        )
+        n = cfg.n_events
+        for hi in (n // 3, 2 * n // 3, n):
+            lake.replay(ev_dir, lsn_hi=hi, mode="delta")
+            lake.refresh_aggregate("by_source")
+        return lake
+
+    try:
+        lake = build()
+    except Exception:
+        import shutil
+
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        lake = build()
+
+    return lake.read_aggregate("by_source")
+
+
 def q_cdc_consume(sf_dir: str):
     """ConsumeKafka-analog path to the SAME final state: fixture events
     spread into a 4-partition offset-keyed topic (key-sticky, original
@@ -1710,6 +1753,7 @@ QUERIES = {
     "export_shards": q_export_shards,
     "cdc_consume": q_cdc_consume,
     "cdc_changes": q_cdc_changes,
+    "incremental_agg": q_incremental_agg,
 }
 
 
@@ -2095,6 +2139,35 @@ def _cdc_replay_oracle_sql(base_dir: str, ev_dir: str) -> str:
     """
 
 
+def _cdc_agg_oracle_sql(base_dir: str, ev_dir: str) -> str:
+    """DuckDB oracle for the maintained GROUP BY view: a plain
+    full-scan aggregate over the LWW final-state CTE — what the engine
+    reaches via one creation scan plus three O(delta) refreshes."""
+    return f"""
+        WITH ev AS (
+          SELECT doc_id, tokens, n_tok, source, lsn, op
+          FROM read_parquet('{ev_dir}/*.parquet')
+        ),
+        last_ev AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+            FROM ev) t
+          WHERE rn = 1
+        ),
+        final AS (
+          SELECT doc_id, tokens, n_tok, source FROM last_ev WHERE op <> 'D'
+          UNION ALL
+          SELECT b.doc_id, b.tokens, b.n_tok, b.source
+          FROM read_parquet('{base_dir}/*.parquet') b
+          WHERE b.doc_id NOT IN (SELECT doc_id FROM ev)
+        )
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS sum_n_tok,
+               CAST(sum(coalesce(list_sum(tokens), 0)) AS BIGINT) AS sum_token_sum
+        FROM final GROUP BY source
+    """
+
+
 def _cdc_changes_oracle_sql(base_dir: str, ev_dir: str) -> str:
     """DuckDB oracle for the change feed: full-outer snapshot diff of
     the base parquet (state at version 1) vs the LWW final state (same
@@ -2160,6 +2233,7 @@ def oracle_sql_dict() -> dict[str, str]:
         out["cdc_replay_delta"] = out["cdc_replay"]
         out["cdc_consume"] = out["cdc_replay"]
         out["cdc_changes"] = _cdc_changes_oracle_sql(base_dir, ev_dir)
+        out["incremental_agg"] = _cdc_agg_oracle_sql(base_dir, ev_dir)
     except Exception:
         pass
     try:
