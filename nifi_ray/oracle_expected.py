@@ -534,9 +534,116 @@ def expected_export_shards(sf_dir: str, max_len: int = 512, P: int = 16) -> pa.T
     )
 
 
+def expected_streaming_neardup(
+    sf_dir: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 1234,
+    threshold: float = 0.5,
+    max_per_key: int = 256,
+) -> pa.Table:
+    """Sequential mirror of queries.q_streaming_neardup: CDC replay via
+    the golden dict applier, the same 10 deterministic near-dup
+    injections, TOKEN-unit minhash signatures (python-int arithmetic —
+    shingle = mix64(t0·K1 ^ t1·K2 ^ t2·K3), <3 tokens pad 0), LSH band
+    buckets with the same degenerate-key drop, probes = the injected
+    docs only, exact token-3-gram Jaccard verify."""
+    import glob
+
+    from .oracle import apply_events, state_from_base
+    from .pipelines.queries import cdc_fixture
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    _cfg, base_dir, ev_dir, _lake = cdc_fixture(sf_tag)
+    base = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(os.path.join(base_dir, "*.parquet")))]
+    )
+    events = [pq.read_table(f) for f in sorted(glob.glob(os.path.join(ev_dir, "*.parquet")))]
+    state = apply_events(events, initial=state_from_base(base))
+
+    base_ids = sorted(base["doc_id"].to_pylist())[:40]
+    chosen = [i for i in base_ids if i in state][:10]
+    injected = {}
+    for sid in chosen:
+        toks = state[sid]["tokens"] or []
+        injected[f"nd-{sid}"] = [7] + list(toks[1:]) if toks else [7]
+    final = {d: (r["tokens"] or []) for d, r in state.items()}
+    final.update(injected)
+
+    # --- token-unit minhash signatures (mirror TokenMinHasher) ---
+    mersenne = (1 << 61) - 1
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, mersenne, size=num_hashes, dtype=np.uint64).tolist()
+    b = rng.integers(0, mersenne, size=num_hashes, dtype=np.uint64).tolist()
+    rows_per_band = num_hashes // bands
+    K1, K2, K3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def tok_shingles(toks: list[int]) -> list[int]:
+        if not toks:
+            return []
+        if len(toks) < 3:
+            h = (toks[0] * K1 ^ ((toks[1] * K2) & _M64 if len(toks) > 1 else 0)) & _M64
+            return [_mix64(h)]
+        return [
+            _mix64(
+                (toks[i] * K1 ^ (toks[i + 1] * K2 & _M64) ^ (toks[i + 2] * K3 & _M64))
+                & _M64
+            )
+            for i in range(len(toks) - 2)
+        ]
+
+    buckets: dict[tuple[int, int], list[str]] = {}
+    band_keys: dict[str, list[int]] = {}
+    for did, toks in final.items():
+        sig = _minhash_sig(tok_shingles(toks), a, b, mersenne)
+        keys = []
+        for band in range(bands):
+            acc = 0
+            for j in range(rows_per_band):
+                acc = _mix64(acc ^ sig[band * rows_per_band + j])
+            keys.append(acc)
+            buckets.setdefault((band, acc), []).append(did)
+        band_keys[did] = keys
+
+    cands = set()
+    for pid in injected:
+        for band, acc in enumerate(band_keys[pid]):
+            members = buckets[(band, acc)]
+            if len(members) > max_per_key:  # degenerate-key drop (engine mirror)
+                continue
+            for other in members:
+                if other != pid:
+                    cands.add((min(pid, other), max(pid, other)))
+
+    def jac_shingles(t: list[int]) -> set:
+        if not t:
+            return set()
+        if len(t) < 3:
+            return {tuple(t)}
+        return {tuple(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    verified = []
+    for x, y in sorted(cands):
+        sa, sb = jac_shingles(final[x]), jac_shingles(final[y])
+        if not sa and not sb:
+            jv = 1.0
+        else:
+            u = len(sa | sb)
+            jv = (len(sa & sb) / u) if u else 0.0
+        if jv >= threshold:
+            verified.append((x, y))
+    return pa.table(
+        {
+            "a": pa.array([p[0] for p in verified], pa.string()),
+            "b": pa.array([p[1] for p in verified], pa.string()),
+        }
+    )
+
+
 # ------------------------------------------------------------- dispatch
 
 EXPECTED_BUILDERS = {
+    "streaming_neardup": expected_streaming_neardup,
     "export_shards": expected_export_shards,
     "simhash": expected_simhash,
     "winnow_fingerprints": expected_winnow,

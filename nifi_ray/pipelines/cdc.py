@@ -1178,6 +1178,30 @@ class CDCLake:
 
         return read_aggregate(self, name, version)
 
+    # ------------------------------------------------ near-dup index
+    def create_dedup_index(self, name: str = "neardup", **kw) -> dict:
+        """Build an incrementally-maintained MinHash/LSH band index over
+        the lake's tokens (pipelines/dedup_index.py)."""
+        from .dedup_index import create_dedup_index
+
+        return create_dedup_index(self, name, **kw)
+
+    def refresh_dedup_index(self, name: str = "neardup", **kw) -> dict:
+        """Advance the near-dup index to the latest lake version reading
+        only manifest-changed partitions (pipelines/dedup_index.py)."""
+        from .dedup_index import refresh_dedup_index
+
+        return refresh_dedup_index(self, name, **kw)
+
+    def near_dup_candidates(
+        self, since_version: int, name: str = "neardup", **kw
+    ) -> pa.Table:
+        """Near-dup pairs for docs changed since a version vs the whole
+        indexed corpus (pipelines/dedup_index.py)."""
+        from .dedup_index import candidate_pairs_for
+
+        return candidate_pairs_for(self, name, since_version, **kw)
+
     # ----------------------------------------------------------- apply
     def replay(
         self,

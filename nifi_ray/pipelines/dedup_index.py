@@ -1,0 +1,536 @@
+"""Incrementally-maintained MinHash/LSH near-dup index over a CDCLake.
+
+The batch near-dup pipeline (stages/dedup.py → ☆minhash_pairs) answers
+"which docs in this corpus are near-duplicates" with a full-corpus
+signature pass per run. At 100 TB with a CDC stream on top, the
+question becomes "which of the docs THIS TICK touched are near-dups of
+anything already in the corpus" — and recomputing the corpus is the
+wrong cost class. This module maintains the LSH band index as lake
+state, updated O(delta) per tick, so streaming near-dup detection costs
+
+    refresh:    O(changed-partition bytes)   (manifest-diff pruning,
+                                              same plan as changes())
+    candidates: O(changed docs × bands)      (probe only the buckets
+                                              the changed docs hash to)
+
+Index layout (under the lake root — versioned like everything else):
+
+    _indexes/{name}/spec.json                     hasher parameters
+    _indexes/{name}/idx_v{V:06d}.json             manifest per reflected
+                                                  lake version V
+    _indexes/{name}/b={B:04d}/part-v{V:06d}.parquet   bucket files of
+        (doc_id, band_id, band_hash) rows, bucket B = band_hash mod Q
+
+Maintenance math: per touched lake partition, band rows of the old and
+new snapshots carry signs −/+; rows of unchanged docs cancel exactly in
+a local group-sum, so only genuinely changed docs' rows ship to their
+buckets (deletes arrive as bare − rows and are removed from the bucket
+file; updates as −old/+new). A refresh whose surviving delta exceeds
+``max_delta_rows`` falls back to a full rebuild — the honest answer
+when a tick rewrote most of the lake.
+
+Signatures use TokenMinHasher (stages/dedup.py): shingle units are the
+lake's token ids directly — no text, no string hashing; the scalar
+oracle (oracle_expected.expected_streaming_neardup) replays the same
+arithmetic with python ints.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..stages.dedup import TokenMinHasher
+
+_IDX_DIR = "_indexes"
+_IDX_RE = re.compile(r"^idx_v(\d{6})\.json$")
+
+ROWS_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("band_id", pa.int32()),
+        pa.field("band_hash", pa.uint64()),
+    ]
+)
+
+
+def _dir(lake_dir: str, name: str) -> str:
+    if not re.fullmatch(r"[A-Za-z0-9_\-]+", name):
+        raise ValueError(f"index name {name!r}: use [A-Za-z0-9_-]")
+    return os.path.join(lake_dir, _IDX_DIR, name)
+
+
+def index_versions(lake_dir: str, name: str) -> list[int]:
+    d = _dir(lake_dir, name)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(m.group(1)) for f in os.listdir(d) if (m := _IDX_RE.match(f))
+    )
+
+
+def _load_spec(lake_dir: str, name: str) -> dict:
+    with open(os.path.join(_dir(lake_dir, name), "spec.json")) as f:
+        return json.load(f)
+
+
+def load_index_manifest(lake_dir: str, name: str, version: int | None = None) -> dict:
+    vs = index_versions(lake_dir, name)
+    if not vs:
+        raise FileNotFoundError(f"dedup index {name!r}: not created")
+    if version is None:
+        version = vs[-1]
+    if version not in vs:
+        raise FileNotFoundError(
+            f"dedup index {name!r}: no snapshot at lake version {version} (have {vs})"
+        )
+    with open(os.path.join(_dir(lake_dir, name), f"idx_v{version:06d}.json")) as f:
+        return json.load(f)
+
+
+def _publish(lake_dir: str, name: str, version: int, buckets: dict) -> None:
+    """Exclusive manifest publish (os.link — EEXIST = concurrent
+    refresher already published an equivalent snapshot)."""
+    d = _dir(lake_dir, name)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"idx_v{version:06d}.json")
+    tmp = path + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "buckets": buckets}, f, sort_keys=True)
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        pass
+    finally:
+        os.unlink(tmp)
+
+
+def _hasher(spec: dict) -> TokenMinHasher:
+    return TokenMinHasher(
+        num_hashes=spec["num_hashes"], bands=spec["bands"], seed=spec["seed"]
+    )
+
+
+def _band_rows(t: pa.Table, hasher: TokenMinHasher) -> pa.Table:
+    """(doc_id, band_id, band_hash) rows for a state slice."""
+    if t.num_rows == 0:
+        return ROWS_SCHEMA.empty_table()
+    out = hasher(t.select(["doc_id", "tokens"]))
+    return pa.table(
+        {
+            "doc_id": out["doc_id"],
+            "band_id": out["band_id"],
+            "band_hash": out["band_hash"],
+        },
+        schema=ROWS_SCHEMA,
+    )
+
+
+def _bucket_of(band_hash: pa.ChunkedArray | pa.Array, q: int) -> np.ndarray:
+    h = (
+        band_hash.combine_chunks()
+        if isinstance(band_hash, pa.ChunkedArray)
+        else band_hash
+    )
+    return (h.to_numpy(zero_copy_only=False).astype(np.uint64) % np.uint64(q)).astype(
+        np.int32
+    )
+
+
+def _write_bucket_file(lake_dir, name, bucket: int, version: int, rows: pa.Table) -> str:
+    rel = os.path.join(
+        _IDX_DIR, name, f"b={bucket:04d}", f"part-v{version:06d}.parquet"
+    )
+    path = os.path.join(lake_dir, rel)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp-{os.getpid()}"
+    pq.write_table(rows.sort_by([("band_hash", "ascending"), ("doc_id", "ascending"),
+                                 ("band_id", "ascending")]), tmp)
+    os.replace(tmp, path)  # deterministic name: a retried task overwrites itself
+    return rel
+
+
+def create_dedup_index(
+    lake,
+    name: str = "neardup",
+    num_hashes: int = 64,
+    bands: int = 16,
+    num_buckets: int = 64,
+    seed: int = 1234,
+) -> dict:
+    """Build + publish the index at the lake's current version with one
+    distributed scan (band rows → one groupby-shuffle into bucket
+    files). Idempotent: re-creating with the same spec refreshes."""
+    m = lake.manifest()
+    if m is None:
+        raise FileNotFoundError(f"{lake.lake_dir}: no committed manifest")
+    spec = {
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "num_buckets": num_buckets,
+        "seed": seed,
+    }
+    d = _dir(lake.lake_dir, name)
+    sp = os.path.join(d, "spec.json")
+    if os.path.exists(sp):
+        if _load_spec(lake.lake_dir, name) != spec:
+            raise FileExistsError(f"dedup index {name!r} exists with a different spec")
+        return refresh_dedup_index(lake, name)
+    os.makedirs(d, exist_ok=True)
+    buckets = _build_buckets(lake, name, spec, m.version)
+    tmp = sp + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(spec, f)
+    try:
+        os.link(tmp, sp)
+    except FileExistsError:
+        pass
+    finally:
+        os.unlink(tmp)
+    _publish(lake.lake_dir, name, m.version, buckets)
+    return load_index_manifest(lake.lake_dir, name)
+
+
+def _build_buckets(lake, name: str, spec: dict, version: int) -> dict:
+    """Full-scan bucket build: the creation / rebuild path (the only
+    O(lake) step in the index's life)."""
+    hasher = _hasher(spec)
+    q = spec["num_buckets"]
+    lake_dir = lake.lake_dir
+
+    def rows_with_bucket(t: pa.Table) -> pa.Table:
+        rows = _band_rows(t, hasher)
+        return rows.append_column("bucket", pa.array(_bucket_of(rows["band_hash"], q)))
+
+    def write_group(g: pa.Table) -> pa.Table:
+        b = int(g["bucket"][0].as_py())
+        rel = _write_bucket_file(
+            lake_dir, name, b, version, g.select(["doc_id", "band_id", "band_hash"])
+        )
+        return pa.table({"bucket": pa.array([b], pa.int32()),
+                         "file": pa.array([rel]),
+                         "rows": pa.array([g.num_rows], pa.int64())})
+
+    entries = (
+        lake.read(columns=["doc_id", "tokens"])
+        .map_batches(rows_with_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(write_group, batch_format="pyarrow")
+        .take_all()
+    )
+    return {str(int(e["bucket"])): e["file"] for e in entries}
+
+
+def refresh_dedup_index(lake, name: str, max_delta_rows: int = 5_000_000) -> dict:
+    """Advance the index to the lake's latest version: manifest-diff the
+    touched lake partitions, emit signed band rows with local
+    cancellation (unchanged docs vanish before anything ships), apply
+    +/− rows to exactly the buckets they hash to, publish. Untouched
+    buckets carry their existing files forward by reference."""
+    import ray
+
+    from .cdc import _merge_partition, _version_diff_plan
+
+    m_new = lake.manifest()
+    if m_new is None:
+        raise FileNotFoundError(f"{lake.lake_dir}: no committed manifest")
+    idx = load_index_manifest(lake.lake_dir, name)
+    v_from = idx["version"]
+    if v_from >= m_new.version:
+        return idx
+    spec = _load_spec(lake.lake_dir, name)
+    try:
+        m_old = lake.manifest(v_from)
+    except FileNotFoundError:
+        m_old = None
+    if m_old is None:
+        buckets = _build_buckets(lake, name, spec, m_new.version)
+        _publish(lake.lake_dir, name, m_new.version, buckets)
+        return load_index_manifest(lake.lake_dir, name)
+
+    items, same_p = _version_diff_plan(m_old, m_new)
+    if not items:
+        _publish(lake.lake_dir, name, m_new.version, dict(idx["buckets"]))
+        return load_index_manifest(lake.lake_dir, name)
+
+    import ray.data as rd
+
+    lake_dir = lake.lake_dir
+    schema_b64 = m_new.schema.serialize().to_pybytes()
+    p_new = m_new.num_partitions
+    hasher = _hasher(spec)
+
+    signed_schema = ROWS_SCHEMA.append(pa.field("sign", pa.int64()))
+
+    def delta_items(batch: pa.Table) -> pa.Table:
+        from ..util.hashing import partition_of
+
+        schema = pa.ipc.read_schema(pa.BufferReader(schema_b64))
+
+        def snap(file, deltas):
+            base = (
+                pq.read_table(os.path.join(lake_dir, file))
+                if file
+                else schema.empty_table()
+            )
+            parts = [pq.read_table(os.path.join(lake_dir, dd)) for dd in deltas]
+            return _merge_partition(base, parts, schema)
+
+        outs = []
+        for row in batch.to_pylist():
+            k = int(row["k"])
+            new_t = snap(row["new_file"], row["new_deltas"])
+            olds = [snap(f, dd) for f, dd in zip(row["old_files"], row["old_deltas"])]
+            old_t = (
+                pa.concat_tables(olds, promote_options="permissive")
+                if olds
+                else schema.empty_table()
+            )
+            if not same_p and old_t.num_rows:
+                old_t = old_t.filter(
+                    pa.array(partition_of(old_t["doc_id"], p_new) == k)
+                )
+            for t, sign in ((new_t, 1), (old_t, -1)):
+                r = _band_rows(t, hasher)
+                outs.append(r.append_column("sign", pa.array(
+                    np.full(r.num_rows, sign, dtype=np.int64))))
+        if not outs:
+            return signed_schema.empty_table()
+        # local cancellation: unchanged docs appear +1/−1 → net 0
+        allr = pa.concat_tables(outs)
+        g = allr.group_by(["doc_id", "band_id", "band_hash"]).aggregate(
+            [("sign", "sum")]
+        )
+        g = g.filter(pc.not_equal(g["sign_sum"], 0))
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "band_id": g["band_id"],
+                "band_hash": g["band_hash"],
+                "sign": pc.cast(g["sign_sum"], pa.int64()),
+            },
+            schema=signed_schema,
+        )
+
+    ds = rd.from_items(items, override_num_blocks=len(items)).map_batches(
+        delta_items, batch_format="pyarrow"
+    )
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    delta = pa.concat_tables(tables or [signed_schema.empty_table()])
+    if delta.num_rows > max_delta_rows:
+        # the tick rewrote most of the lake — a rebuild is cheaper than
+        # per-bucket patching; never silent (cost class changes)
+        buckets = _build_buckets(lake, name, spec, m_new.version)
+        _publish(lake.lake_dir, name, m_new.version, buckets)
+        return load_index_manifest(lake.lake_dir, name)
+
+    q = spec["num_buckets"]
+    bucket_ids = _bucket_of(delta["band_hash"], q)
+    buckets_map = dict(idx["buckets"])
+    new_version = m_new.version
+
+    @ray.remote(num_cpus=1)
+    def apply_bucket(b: int, old_rel: str | None, patch: pa.Table) -> tuple:
+        old = (
+            pq.read_table(os.path.join(lake_dir, old_rel))
+            if old_rel
+            else ROWS_SCHEMA.empty_table()
+        )
+        dels = patch.filter(pc.less(patch["sign"], 0))
+        adds = patch.filter(pc.greater(patch["sign"], 0)).select(
+            ["doc_id", "band_id", "band_hash"]
+        )
+        if dels.num_rows and old.num_rows:
+            # exact removal key: ≤1 index row per (doc, band) per bucket
+            sep = pa.scalar("\x1f")
+            def key(t):
+                return pc.binary_join_element_wise(
+                    t["doc_id"], pc.cast(t["band_id"], pa.string()), sep
+                )
+            old = old.filter(pc.invert(pc.is_in(key(old), value_set=key(dels).combine_chunks())))
+        merged = pa.concat_tables([old, adds.cast(ROWS_SCHEMA)])
+        if merged.num_rows == 0:
+            return b, None, 0
+        rel = _write_bucket_file(lake_dir, name, b, new_version, merged)
+        return b, rel, merged.num_rows
+
+    refs = []
+    for b in np.unique(bucket_ids):
+        patch = delta.filter(pa.array(bucket_ids == b))
+        refs.append(apply_bucket.remote(int(b), buckets_map.get(str(int(b))), patch))
+    for b, rel, n in ray.get(refs):
+        if rel is None:
+            buckets_map.pop(str(b), None)
+        else:
+            buckets_map[str(b)] = rel
+    _publish(lake.lake_dir, name, m_new.version, buckets_map)
+    return load_index_manifest(lake.lake_dir, name)
+
+
+def read_index_rows(lake, name: str, version: int | None = None) -> pa.Table:
+    """All index rows at a version (tests / small indexes)."""
+    idx = load_index_manifest(lake.lake_dir, name, version)
+    parts = [
+        pq.read_table(os.path.join(lake.lake_dir, rel))
+        for _, rel in sorted(idx["buckets"].items())
+    ]
+    t = pa.concat_tables(parts) if parts else ROWS_SCHEMA.empty_table()
+    return t.sort_by(
+        [("doc_id", "ascending"), ("band_id", "ascending")]
+    )
+
+
+def candidate_pairs_for(
+    lake,
+    name: str,
+    since_version: int,
+    version: int | None = None,
+    verify_threshold: float | None = None,
+    max_per_key: int = 256,
+) -> pa.Table:
+    """Near-dup candidates for the docs CHANGED between two lake
+    versions vs the whole indexed corpus: probe only the (band,
+    band_hash) keys the changed docs produce — O(delta × bands) work,
+    never a corpus scan. The index must be refreshed through
+    ``version`` (the probe joins against its buckets at that version).
+
+    Returns distinct (a, b), a < b. With ``verify_threshold``, pairs
+    are verified by EXACT token-3-gram Jaccard (point ``lookup`` of
+    just the pair docs — partition-pruned) and a ``jaccard`` column is
+    added. Degenerate LSH keys with more than ``max_per_key`` index
+    rows are dropped with a logged count (never silently O(n²))."""
+    import ray
+
+    idx = load_index_manifest(lake.lake_dir, name, version)
+    spec = _load_spec(lake.lake_dir, name)
+    hasher = _hasher(spec)
+    q = spec["num_buckets"]
+    lake_dir = lake.lake_dir
+
+    changed = lake.changes(
+        since_version, version, columns=["change_op", "doc_id", "tokens"]
+    )
+
+    def probe_rows(t: pa.Table) -> pa.Table:
+        live = t.filter(pc.not_equal(t["change_op"], "D"))
+        return _band_rows(live, hasher)
+
+    probes = [
+        t
+        for t in ray.get(
+            changed.map_batches(probe_rows, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    probe = pa.concat_tables(probes) if probes else ROWS_SCHEMA.empty_table()
+    pairs_schema = pa.schema([pa.field("a", pa.string()), pa.field("b", pa.string())])
+    if probe.num_rows == 0:
+        return (
+            pairs_schema.append(pa.field("jaccard", pa.float64())).empty_table()
+            if verify_threshold is not None
+            else pairs_schema.empty_table()
+        )
+
+    bucket_ids = _bucket_of(probe["band_hash"], q)
+
+    @ray.remote(num_cpus=1)
+    def probe_bucket(rel: str | None, pr: pa.Table) -> pa.Table:
+        if rel is None:
+            return pairs_schema.empty_table()
+        it = pq.read_table(os.path.join(lake_dir, rel))
+        # degenerate-key guard: a band_hash shared by huge row counts
+        # (e.g. a corpus of empty docs) would explode the join
+        counts = it.group_by(["band_id", "band_hash"]).aggregate([([], "count_all")])
+        hot = counts.filter(pc.greater(counts["count_all"], max_per_key))
+        if hot.num_rows:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "dedup index %s: dropped %d degenerate LSH keys (> %d rows)",
+                name, hot.num_rows, max_per_key,
+            )
+            sep = pa.scalar("\x1f")
+            def key(t):
+                return pc.binary_join_element_wise(
+                    pc.cast(t["band_id"], pa.string()),
+                    pc.cast(t["band_hash"], pa.string()),
+                    sep,
+                )
+            it = it.filter(
+                pc.invert(pc.is_in(key(it), value_set=key(hot).combine_chunks()))
+            )
+        j = pr.join(
+            it, keys=["band_id", "band_hash"], join_type="inner",
+            right_suffix="_idx",
+        )
+        if j.num_rows == 0:
+            return pairs_schema.empty_table()
+        a = j["doc_id"].combine_chunks()
+        b = j["doc_id_idx"].combine_chunks()
+        ne = pc.invert(pc.equal(a, b))
+        a, b = a.filter(ne), b.filter(ne)
+        lo = pc.min_element_wise(a, b)
+        hi = pc.max_element_wise(a, b)
+        return pa.table({"a": lo, "b": hi}, schema=pairs_schema)
+
+    refs = []
+    for b in np.unique(bucket_ids):
+        pr = probe.filter(pa.array(bucket_ids == b))
+        refs.append(probe_bucket.remote(idx["buckets"].get(str(int(b))), pr))
+    parts = [t for t in ray.get(refs) if t.num_rows]
+    if not parts:
+        return (
+            pairs_schema.append(pa.field("jaccard", pa.float64())).empty_table()
+            if verify_threshold is not None
+            else pairs_schema.empty_table()
+        )
+    pairs = (
+        pa.concat_tables(parts)
+        .group_by(["a", "b"])
+        .aggregate([])
+        .sort_by([("a", "ascending"), ("b", "ascending")])
+    )
+    if verify_threshold is None:
+        return pairs
+
+    # exact verification on just the candidate docs (point lookups)
+    ids = sorted(set(pairs["a"].to_pylist()) | set(pairs["b"].to_pylist()))
+    docs = lake.lookup(ids, columns=["doc_id", "tokens"], version=version)
+    toks = {
+        docs["doc_id"][i].as_py(): docs["tokens"][i].as_py() or []
+        for i in range(docs.num_rows)
+    }
+
+    def shingles(t: list) -> set:
+        if not t:
+            return set()
+        if len(t) < 3:
+            return {tuple(t)}
+        return {tuple(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    keep_a, keep_b, jac = [], [], []
+    for i in range(pairs.num_rows):
+        x, y = pairs["a"][i].as_py(), pairs["b"][i].as_py()
+        sa, sb = shingles(toks.get(x, [])), shingles(toks.get(y, []))
+        if not sa and not sb:
+            jv = 1.0
+        else:
+            u = len(sa | sb)
+            jv = (len(sa & sb) / u) if u else 0.0
+        if jv >= verify_threshold:
+            keep_a.append(x)
+            keep_b.append(y)
+            jac.append(jv)
+    return pa.table(
+        {
+            "a": pa.array(keep_a, pa.string()),
+            "b": pa.array(keep_b, pa.string()),
+            "jaccard": pa.array(jac, pa.float64()),
+        }
+    )

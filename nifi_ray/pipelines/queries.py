@@ -1626,6 +1626,89 @@ def q_incremental_agg(sf_dir: str):
     return lake.read_aggregate("by_source")
 
 
+# streaming near-dup index constants — mirrored exactly by the scalar
+# oracle (oracle_expected.expected_streaming_neardup)
+_NDX_KW = dict(num_hashes=64, bands=16, num_buckets=32, seed=1234)
+_NDX_VERIFY = 0.5
+_NDX_MAX_PER_KEY = 256
+
+
+def q_streaming_neardup(sf_dir: str):
+    """Streaming near-dup detection (pipelines/dedup_index.py): a
+    MinHash/LSH band index over the lake's tokens is created once, then
+    maintained O(delta) across two replay ticks; a third tick inserts
+    10 deterministic near-duplicates of existing docs (their current
+    tokens with the first token replaced by 7) and the probe asks
+    "which of THIS tick's docs near-dup anything in the corpus" —
+    touching only the buckets the changed docs hash to, verified by
+    exact token-3-gram Jaccard ≥ 0.5 via point lookups. Oracle: scalar
+    sequential reimplementation (expected_streaming_neardup)."""
+    from ..gen import base_table
+    from ..pipelines.dedup_index import candidate_pairs_for, create_dedup_index, refresh_dedup_index
+    from .cdc import CDCLake
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    cfg, base_dir, ev_dir, lake_dir = cdc_fixture(sf_tag)
+    lake_dir = lake_dir + "_ndx"
+
+    def build():
+        lake = CDCLake(lake_dir)
+        if lake.manifest() is None:
+            lake.init_from(base_dir, num_partitions=16)
+        create_dedup_index(lake, "nd", **_NDX_KW)
+        n = cfg.n_events
+        lake.replay(ev_dir, lsn_hi=n // 2, mode="delta")  # v2
+        refresh_dedup_index(lake, "nd")
+        lake.replay(ev_dir, mode="delta")  # v3
+        refresh_dedup_index(lake, "nd")
+        # tick 3: deterministic near-dup injections of the first 10
+        # surviving docs among the 40 lexicographically-smallest base ids
+        probe_ids = sorted(base_table(cfg)["doc_id"].to_pylist())[:40]
+        found = lake.lookup(probe_ids, columns=["doc_id", "tokens", "source"], version=3)
+        chosen = [
+            (found["doc_id"][i].as_py(), found["tokens"][i].as_py() or [],
+             found["source"][i].as_py())
+            for i in range(min(found.num_rows, 10))
+        ]
+        import pyarrow.parquet as pq
+
+        tick3 = os.path.join(lake_dir, "tick3_events")
+        if not os.path.isdir(tick3):
+            rows = {"lsn": [], "op": [], "doc_id": [], "tokens": [], "n_tok": [], "source": []}
+            for i, (sid, toks, src) in enumerate(chosen):
+                nt = [7] + list(toks[1:]) if toks else [7]
+                rows["lsn"].append(cfg.lsn_start + cfg.n_events + i)
+                rows["op"].append("I")
+                rows["doc_id"].append(f"nd-{sid}")
+                rows["tokens"].append(nt)
+                rows["n_tok"].append(len(nt))
+                rows["source"].append(src)
+            from ..schema import EVENT_SCHEMA
+
+            tmp = tick3 + ".tmp"
+            os.makedirs(tmp, exist_ok=True)
+            pq.write_table(pa.table(rows, schema=EVENT_SCHEMA),
+                           os.path.join(tmp, "events.parquet"))
+            os.replace(tmp, tick3)
+        lake.replay(tick3, mode="delta")  # v4
+        refresh_dedup_index(lake, "nd")
+        return lake
+
+    try:
+        lake = build()
+    except Exception:
+        import shutil
+
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        lake = build()
+
+    pairs = candidate_pairs_for(
+        lake, "nd", 3, version=4,
+        verify_threshold=_NDX_VERIFY, max_per_key=_NDX_MAX_PER_KEY,
+    )
+    return pairs.select(["a", "b"])
+
+
 def q_cdc_consume(sf_dir: str):
     """ConsumeKafka-analog path to the SAME final state: fixture events
     spread into a 4-partition offset-keyed topic (key-sticky, original
@@ -1754,6 +1837,7 @@ QUERIES = {
     "cdc_consume": q_cdc_consume,
     "cdc_changes": q_cdc_changes,
     "incremental_agg": q_incremental_agg,
+    "streaming_neardup": q_streaming_neardup,
 }
 
 

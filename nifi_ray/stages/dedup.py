@@ -178,15 +178,26 @@ class MinHasher:
         its set. The sequential oracle (oracle_expected.py) implements
         the identical combine with scalar ints.
         Requires shingle_k == 3 (the default; assert below)."""
-        assert self.k == 3, "arithmetic shingle combine is defined for k=3"
-        n = len(texts)
         docs_words = _split_words(texts)
         word_lens = np.array([len(w) for w in docs_words], dtype=np.int64)
         flat_words = [w for words in docs_words for w in words]
-        sigs = np.full((n, self.H), self.MERSENNE, dtype=np.uint64)
         if not flat_words:
-            return sigs
+            return np.full((len(texts), self.H), self.MERSENNE, dtype=np.uint64)
         wcrc = crc32_of_strings(pa.array(flat_words)).astype(np.uint64)
+        return self._sigs_from_units(wcrc, word_lens)
+
+    def _sigs_from_units(self, units: np.ndarray, unit_lens: np.ndarray) -> np.ndarray:
+        """(n_docs, H) signatures from a FLAT uint64 unit-hash vector +
+        per-doc unit counts — the generic kernel behind both the text
+        path (units = word CRCs) and TokenMinHasher (units = token
+        ids). Rolling 3-gram combine, then chunked modular minhash."""
+        assert self.k == 3, "arithmetic shingle combine is defined for k=3"
+        n = len(unit_lens)
+        word_lens = np.asarray(unit_lens, dtype=np.int64)
+        sigs = np.full((n, self.H), self.MERSENNE, dtype=np.uint64)
+        if units.size == 0:
+            return sigs
+        wcrc = units
         # per-doc rolling 3-gram combine over the flat crc vector: docs
         # with ≥3 words yield (len-2) shingles; 1-2 words yield ONE
         # shingle with missing positions as 0
@@ -204,10 +215,11 @@ class MinHasher:
             if m >= 3:
                 h = c[:-2] * K1 ^ c[1:-1] * K2 ^ c[2:] * K3
             else:
-                h = np.array(
-                    [c[0] * K1 ^ (c[1] * K2 if m > 1 else np.uint64(0))],
-                    dtype=np.uint64,
-                )
+                # array (not scalar) ops: numpy wraps uint64 silently on
+                # arrays but warns on scalars — same math, no log spam
+                h = c[:1] * K1
+                if m > 1:
+                    h = h ^ c[1:2] * K2
             sh_parts.append(mix_u64(h))
         hflat = np.concatenate(sh_parts)
         offsets = np.zeros(n + 1, dtype=np.int64)
@@ -230,13 +242,11 @@ class MinHasher:
             i = j
         return sigs
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.col].to_pylist()
-        ids = batch[self.id_col]
-        n = len(texts)
-        sigs = self._batch_signatures(texts)
-        # band keys vectorized over all docs: chained splitmix along the
-        # rows-per-band axis (same chain as band_keys per doc)
+    def band_rows(self, ids, sigs: np.ndarray) -> pa.Table:
+        """(band_id, band_hash, id) rows from per-doc signatures — band
+        keys vectorized over all docs: chained splitmix along the
+        rows-per-band axis (same chain as band_keys per doc)."""
+        n = len(ids)
         chunks = sigs.reshape(n, self.bands, self.rows_per_band)
         acc = np.zeros((n, self.bands), dtype=np.uint64)
         for r in range(self.rows_per_band):
@@ -250,6 +260,40 @@ class MinHasher:
                 "band_hash": pa.array(acc.ravel()),
                 self.id_col: ids.take(pa.array(take_idx)) if n else ids.slice(0, 0),
             }
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.col].to_pylist()
+        ids = batch[self.id_col]
+        sigs = self._batch_signatures(texts)
+        return self.band_rows(ids, sigs)
+
+
+class TokenMinHasher(MinHasher):
+    """MinHash band rows over a ``list<int>`` tokens column — the
+    lake's native payload. Shingle UNITS are the token ids themselves
+    (no string hashing at all): shingle = mix64(t_i·K1 ^ t_{i+1}·K2 ^
+    t_{i+2}·K3), exactly the text path's combine with token ids in
+    place of word CRCs, so the scalar oracle replays it with python
+    ints (oracle_expected._token_sig_shingles)."""
+
+    def __init__(self, col: str = "tokens", id_col: str = "doc_id", **kw):
+        super().__init__(col=col, id_col=id_col, **kw)
+
+    def token_signatures(self, tokens_col) -> np.ndarray:
+        lst = tokens_col.combine_chunks() if isinstance(
+            tokens_col, pa.ChunkedArray
+        ) else tokens_col
+        flat = lst.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+        lens = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
+        if flat.size == 0:
+            return np.full((len(lens), self.H), self.MERSENNE, dtype=np.uint64)
+        return self._sigs_from_units(flat, lens)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.band_rows(
+            batch[self.id_col], self.token_signatures(batch[self.col])
         )
 
 
