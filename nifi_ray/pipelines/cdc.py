@@ -601,6 +601,7 @@ def _version_diff_plan(m_old, m_new) -> tuple[list[dict], bool]:
         e_new = m_new.partitions.get(k)
         nf = e_new["file"] if e_new else None
         nd = list(e_new.get("deltas", [])) if e_new else []
+        suffix = None
         if same_p:
             e_old = m_old.partitions.get(k)
             of_ = [e_old["file"]] if e_old else []
@@ -608,14 +609,74 @@ def _version_diff_plan(m_old, m_new) -> tuple[list[dict], bool]:
             # manifest-level pruning: identical entry → no diff I/O
             if e_old and e_new and e_old["file"] == nf and od[0] == nd:
                 continue
+            # delta-append fast path: the new entry is the old entry
+            # plus appended delta files (a pure merge-on-read tick run).
+            # The docs whose image changed are EXACTLY the docs in the
+            # suffix deltas — consumers can read O(delta) bytes (suffix
+            # + doc_id-IN-filtered old images) instead of diffing two
+            # full snapshots. Compaction/COW change the base file and
+            # fall back to the full diff.
+            if (
+                e_old is not None
+                and e_new is not None
+                and e_old["file"] == nf
+                and len(nd) > len(od[0])
+                and nd[: len(od[0])] == od[0]
+            ):
+                suffix = nd[len(od[0]):]
         else:
             js = [j for j in range(p_old) if j % g == k % g and j in m_old.partitions]
             of_ = [m_old.partitions[j]["file"] for j in js]
             od = [list(m_old.partitions[j].get("deltas", [])) for j in js]
         items.append(
-            {"k": k, "new_file": nf, "new_deltas": nd, "old_files": of_, "old_deltas": od}
+            {
+                "k": k,
+                "new_file": nf,
+                "new_deltas": nd,
+                "old_files": of_,
+                "old_deltas": od,
+                "suffix_deltas": suffix,
+            }
         )
     return items, same_p
+
+
+def _suffix_changed_images(
+    lake_dir: str, row: dict, schema: pa.Schema
+) -> tuple[pa.Table, pa.Table]:
+    """O(delta) old/new image extraction for a suffix-shaped diff item
+    (``_version_diff_plan`` set ``suffix_deltas``): the changed docs are
+    the docs named by the appended delta files. Reads the suffix deltas
+    (O(delta) bytes) plus the old snapshot restricted to those doc_ids
+    (``doc_id IN`` pushdown — row-group stat/dictionary pruning, the
+    same shape as ``CDCLake.lookup``), NEVER two full snapshots.
+
+    Returns (old_sub, new_sub): the changed docs' state images at the
+    two versions (insert → absent from old_sub; delete → absent from
+    new_sub). No-op writes may appear with identical images in both —
+    consumers that subtract contributions (matview, dedup_index) cancel
+    them exactly, so no image comparison is needed here."""
+    suffix = [
+        pq.read_table(os.path.join(lake_dir, d)) for d in row["suffix_deltas"]
+    ]
+    ev = pa.concat_tables(suffix, promote_options="permissive")
+    ev = collapse_last_writer(ev)
+    ids = ev["doc_id"].combine_chunks()
+    want = ids.to_pylist()
+    flt = [("doc_id", "in", want)]
+    base = (
+        pq.read_table(os.path.join(lake_dir, row["old_files"][0]), filters=flt)
+        if row["old_files"]
+        else schema.empty_table()
+    )
+    old_deltas = row["old_deltas"][0] if row["old_deltas"] else []
+    parts = [
+        pq.read_table(os.path.join(lake_dir, d), filters=flt) for d in old_deltas
+    ]
+    old_sub = _merge_partition(base, parts, schema)
+    live = ev.filter(pc.not_equal(ev["op"], "D"))
+    new_sub = conform(live, schema)
+    return old_sub, new_sub
 
 
 class CDCLake:

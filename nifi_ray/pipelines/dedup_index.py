@@ -143,9 +143,19 @@ def _bucket_of(band_hash: pa.ChunkedArray | pa.Array, q: int) -> np.ndarray:
     )
 
 
-def _write_bucket_file(lake_dir, name, bucket: int, version: int, rows: pa.Table) -> str:
+# on-disk bucket row: band row + sign. Base files hold +1 rows; delta
+# patch files hold ±1 rows (−1 = remove this exact (doc, band, hash)
+# row). Bucket state = group-by(doc,band,hash) sum(sign) > 0 — the
+# alternating add/remove history of a row nets to its current presence,
+# so patches need no ordering beyond set membership.
+SIGNED_SCHEMA = ROWS_SCHEMA.append(pa.field("sign", pa.int8()))
+
+
+def _write_bucket_file(
+    lake_dir, name, bucket: int, version: int, rows: pa.Table, kind: str = "part"
+) -> str:
     rel = os.path.join(
-        _IDX_DIR, name, f"b={bucket:04d}", f"part-v{version:06d}.parquet"
+        _IDX_DIR, name, f"b={bucket:04d}", f"{kind}-v{version:06d}.parquet"
     )
     path = os.path.join(lake_dir, rel)
     os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -154,6 +164,49 @@ def _write_bucket_file(lake_dir, name, bucket: int, version: int, rows: pa.Table
                                  ("band_id", "ascending")]), tmp)
     os.replace(tmp, path)  # deterministic name: a retried task overwrites itself
     return rel
+
+
+def _signed(rows: pa.Table, sign: int) -> pa.Table:
+    if "sign" in rows.schema.names:
+        return rows.cast(SIGNED_SCHEMA)
+    return rows.append_column(
+        "sign", pa.array(np.full(rows.num_rows, sign, dtype=np.int8))
+    )
+
+
+def _merge_bucket(tables: list[pa.Table]) -> pa.Table:
+    """Merge-on-read kernel for one bucket: base + delta patches →
+    current (doc_id, band_id, band_hash) rows (net sign > 0)."""
+    live = [t for t in tables if t is not None and t.num_rows]
+    if not live:
+        return ROWS_SCHEMA.empty_table()
+    allr = pa.concat_tables([_signed(t, 1) for t in live])
+    g = allr.group_by(["doc_id", "band_id", "band_hash"]).aggregate([("sign", "sum")])
+    g = g.filter(pc.greater(g["sign_sum"], 0))
+    return pa.table(
+        {"doc_id": g["doc_id"], "band_id": g["band_id"], "band_hash": g["band_hash"]},
+        schema=ROWS_SCHEMA,
+    )
+
+
+def _norm_entry(entry) -> dict | None:
+    """Manifest-format evolution: v1 stored a bare file path per bucket
+    (no delta chains); normalize to the {file, deltas} shape."""
+    if entry is None or isinstance(entry, dict):
+        return entry
+    return {"file": entry, "deltas": []}
+
+
+def _read_bucket(lake_dir: str, entry) -> pa.Table:
+    entry = _norm_entry(entry)
+    if not entry:
+        return ROWS_SCHEMA.empty_table()
+    parts = []
+    if entry.get("file"):
+        parts.append(pq.read_table(os.path.join(lake_dir, entry["file"])))
+    for rel in entry.get("deltas", []):
+        parts.append(pq.read_table(os.path.join(lake_dir, rel)))
+    return _merge_bucket(parts)
 
 
 def create_dedup_index(
@@ -211,7 +264,8 @@ def _build_buckets(lake, name: str, spec: dict, version: int) -> dict:
     def write_group(g: pa.Table) -> pa.Table:
         b = int(g["bucket"][0].as_py())
         rel = _write_bucket_file(
-            lake_dir, name, b, version, g.select(["doc_id", "band_id", "band_hash"])
+            lake_dir, name, b, version,
+            _signed(g.select(["doc_id", "band_id", "band_hash"]), 1),
         )
         return pa.table({"bucket": pa.array([b], pa.int32()),
                          "file": pa.array([rel]),
@@ -224,10 +278,12 @@ def _build_buckets(lake, name: str, spec: dict, version: int) -> dict:
         .map_groups(write_group, batch_format="pyarrow")
         .take_all()
     )
-    return {str(int(e["bucket"])): e["file"] for e in entries}
+    return {str(int(e["bucket"])): {"file": e["file"], "deltas": []} for e in entries}
 
 
-def refresh_dedup_index(lake, name: str, max_delta_rows: int = 5_000_000) -> dict:
+def refresh_dedup_index(
+    lake, name: str, max_delta_rows: int = 5_000_000, max_deltas: int = 8
+) -> dict:
     """Advance the index to the lake's latest version: manifest-diff the
     touched lake partitions, emit signed band rows with local
     cancellation (unchanged docs vanish before anything ships), apply
@@ -235,7 +291,12 @@ def refresh_dedup_index(lake, name: str, max_delta_rows: int = 5_000_000) -> dic
     buckets carry their existing files forward by reference."""
     import ray
 
-    from .cdc import _merge_partition, _version_diff_plan
+    from .cdc import (
+        _diff_snapshots,
+        _merge_partition,
+        _suffix_changed_images,
+        _version_diff_plan,
+    )
 
     m_new = lake.manifest()
     if m_new is None:
@@ -266,7 +327,6 @@ def refresh_dedup_index(lake, name: str, max_delta_rows: int = 5_000_000) -> dic
     p_new = m_new.num_partitions
     hasher = _hasher(spec)
 
-    signed_schema = ROWS_SCHEMA.append(pa.field("sign", pa.int64()))
 
     def delta_items(batch: pa.Table) -> pa.Table:
         from ..util.hashing import partition_of
@@ -285,24 +345,47 @@ def refresh_dedup_index(lake, name: str, max_delta_rows: int = 5_000_000) -> dic
         outs = []
         for row in batch.to_pylist():
             k = int(row["k"])
-            new_t = snap(row["new_file"], row["new_deltas"])
-            olds = [snap(f, dd) for f, dd in zip(row["old_files"], row["old_deltas"])]
-            old_t = (
-                pa.concat_tables(olds, promote_options="permissive")
-                if olds
-                else schema.empty_table()
-            )
-            if not same_p and old_t.num_rows:
-                old_t = old_t.filter(
-                    pa.array(partition_of(old_t["doc_id"], p_new) == k)
+            if row.get("suffix_deltas") is not None:
+                # delta-append fast path: O(suffix bytes + changed-doc
+                # point reads) — the refresh never touches full
+                # snapshots when the span was pure merge-on-read ticks
+                old_sub, new_sub = _suffix_changed_images(lake_dir, row, schema)
+            else:
+                new_t = snap(row["new_file"], row["new_deltas"])
+                olds = [
+                    snap(f, dd) for f, dd in zip(row["old_files"], row["old_deltas"])
+                ]
+                old_t = (
+                    pa.concat_tables(olds, promote_options="permissive")
+                    if olds
+                    else schema.empty_table()
                 )
-            for t, sign in ((new_t, 1), (old_t, -1)):
-                r = _band_rows(t, hasher)
+                if not same_p and old_t.num_rows:
+                    old_t = old_t.filter(
+                        pa.array(partition_of(old_t["doc_id"], p_new) == k)
+                    )
+                # signature work is O(CHANGED docs), not O(partition):
+                # the change-feed diff kernel names exactly the docs
+                # whose image changed (no-op writes excluded); only
+                # their old/new images get hashed
+                diff = _diff_snapshots(old_t, new_t)
+                if diff.num_rows == 0:
+                    continue
+                ids = diff["doc_id"].combine_chunks()
+                old_sub = old_t.filter(
+                    pc.is_in(old_t["doc_id"].combine_chunks(), value_set=ids)
+                )
+                new_sub = new_t.filter(
+                    pc.is_in(new_t["doc_id"].combine_chunks(), value_set=ids)
+                )
+            for sub, sign in ((new_sub, 1), (old_sub, -1)):
+                r = _band_rows(sub, hasher)
                 outs.append(r.append_column("sign", pa.array(
                     np.full(r.num_rows, sign, dtype=np.int64))))
         if not outs:
-            return signed_schema.empty_table()
-        # local cancellation: unchanged docs appear +1/−1 → net 0
+            return SIGNED_SCHEMA.empty_table()
+        # residual cancellation (belt-and-braces; the diff already
+        # excluded unchanged docs)
         allr = pa.concat_tables(outs)
         g = allr.group_by(["doc_id", "band_id", "band_hash"]).aggregate(
             [("sign", "sum")]
@@ -313,16 +396,16 @@ def refresh_dedup_index(lake, name: str, max_delta_rows: int = 5_000_000) -> dic
                 "doc_id": g["doc_id"],
                 "band_id": g["band_id"],
                 "band_hash": g["band_hash"],
-                "sign": pc.cast(g["sign_sum"], pa.int64()),
+                "sign": pc.cast(g["sign_sum"], pa.int8()),
             },
-            schema=signed_schema,
+            schema=SIGNED_SCHEMA,
         )
 
     ds = rd.from_items(items, override_num_blocks=len(items)).map_batches(
         delta_items, batch_format="pyarrow"
     )
     tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
-    delta = pa.concat_tables(tables or [signed_schema.empty_table()])
+    delta = pa.concat_tables(tables or [SIGNED_SCHEMA.empty_table()])
     if delta.num_rows > max_delta_rows:
         # the tick rewrote most of the lake — a rebuild is cheaper than
         # per-bucket patching; never silent (cost class changes)
@@ -332,53 +415,59 @@ def refresh_dedup_index(lake, name: str, max_delta_rows: int = 5_000_000) -> dic
 
     q = spec["num_buckets"]
     bucket_ids = _bucket_of(delta["band_hash"], q)
-    buckets_map = dict(idx["buckets"])
+    buckets_map = {k: _norm_entry(v) for k, v in idx["buckets"].items()}
     new_version = m_new.version
 
     @ray.remote(num_cpus=1)
-    def apply_bucket(b: int, old_rel: str | None, patch: pa.Table) -> tuple:
-        old = (
-            pq.read_table(os.path.join(lake_dir, old_rel))
-            if old_rel
-            else ROWS_SCHEMA.empty_table()
-        )
-        dels = patch.filter(pc.less(patch["sign"], 0))
-        adds = patch.filter(pc.greater(patch["sign"], 0)).select(
-            ["doc_id", "band_id", "band_hash"]
-        )
-        if dels.num_rows and old.num_rows:
-            # exact removal key: ≤1 index row per (doc, band) per bucket
-            sep = pa.scalar("\x1f")
-            def key(t):
-                return pc.binary_join_element_wise(
-                    t["doc_id"], pc.cast(t["band_id"], pa.string()), sep
-                )
-            old = old.filter(pc.invert(pc.is_in(key(old), value_set=key(dels).combine_chunks())))
-        merged = pa.concat_tables([old, adds.cast(ROWS_SCHEMA)])
-        if merged.num_rows == 0:
-            return b, None, 0
-        rel = _write_bucket_file(lake_dir, name, b, new_version, merged)
-        return b, rel, merged.num_rows
+    def apply_bucket(b: int, entry: dict | None, patch: pa.Table) -> tuple:
+        """Append the tick's signed patch as a DELTA file — O(patch)
+        bytes, the bucket base is NOT rewritten (write amplification at
+        uniform churn would otherwise equal a full index rewrite per
+        tick). Compact (fold base+deltas into a new base) only when the
+        delta chain exceeds ``max_deltas`` — the lake's merge-on-read
+        policy applied to its own index."""
+        entry = dict(entry) if entry else {"file": None, "deltas": []}
+        rel = _write_bucket_file(lake_dir, name, b, new_version, patch, kind="delta")
+        deltas = list(entry.get("deltas", [])) + [rel]
+        if len(deltas) > max_deltas:
+            parts = []
+            if entry.get("file"):
+                parts.append(pq.read_table(os.path.join(lake_dir, entry["file"])))
+            parts += [pq.read_table(os.path.join(lake_dir, dd)) for dd in deltas]
+            merged = _merge_bucket(parts)
+            if merged.num_rows == 0:
+                return b, None
+            base = _write_bucket_file(lake_dir, name, b, new_version, _signed(merged, 1))
+            return b, {"file": base, "deltas": []}
+        return b, {"file": entry.get("file"), "deltas": deltas}
 
+    # one stable sort + contiguous slices per bucket — NOT a filter()
+    # scan of the whole delta per bucket (O(delta) total, not O(delta×Q))
+    order = np.argsort(bucket_ids, kind="stable")
+    delta_sorted = delta.take(pa.array(order))
+    sb = bucket_ids[order]
+    uniq, starts = np.unique(sb, return_index=True)
+    bounds = np.append(starts, len(sb))
     refs = []
-    for b in np.unique(bucket_ids):
-        patch = delta.filter(pa.array(bucket_ids == b))
+    for i, b in enumerate(uniq):
+        patch = delta_sorted.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
         refs.append(apply_bucket.remote(int(b), buckets_map.get(str(int(b))), patch))
-    for b, rel, n in ray.get(refs):
-        if rel is None:
+    for b, entry in ray.get(refs):
+        if entry is None:
             buckets_map.pop(str(b), None)
         else:
-            buckets_map[str(b)] = rel
+            buckets_map[str(b)] = entry
     _publish(lake.lake_dir, name, m_new.version, buckets_map)
     return load_index_manifest(lake.lake_dir, name)
 
 
 def read_index_rows(lake, name: str, version: int | None = None) -> pa.Table:
-    """All index rows at a version (tests / small indexes)."""
+    """All current index rows at a version, deltas merged (tests /
+    small indexes)."""
     idx = load_index_manifest(lake.lake_dir, name, version)
     parts = [
-        pq.read_table(os.path.join(lake.lake_dir, rel))
-        for _, rel in sorted(idx["buckets"].items())
+        _read_bucket(lake.lake_dir, entry)
+        for _, entry in sorted(idx["buckets"].items())
     ]
     t = pa.concat_tables(parts) if parts else ROWS_SCHEMA.empty_table()
     return t.sort_by(
@@ -440,10 +529,10 @@ def candidate_pairs_for(
     bucket_ids = _bucket_of(probe["band_hash"], q)
 
     @ray.remote(num_cpus=1)
-    def probe_bucket(rel: str | None, pr: pa.Table) -> pa.Table:
-        if rel is None:
+    def probe_bucket(entry: dict | None, pr: pa.Table) -> pa.Table:
+        if not entry:
             return pairs_schema.empty_table()
-        it = pq.read_table(os.path.join(lake_dir, rel))
+        it = _read_bucket(lake_dir, entry)  # base + delta patches merged
         # degenerate-key guard: a band_hash shared by huge row counts
         # (e.g. a corpus of empty docs) would explode the join
         counts = it.group_by(["band_id", "band_hash"]).aggregate([([], "count_all")])
@@ -482,7 +571,7 @@ def candidate_pairs_for(
     refs = []
     for b in np.unique(bucket_ids):
         pr = probe.filter(pa.array(bucket_ids == b))
-        refs.append(probe_bucket.remote(idx["buckets"].get(str(int(b))), pr))
+        refs.append(probe_bucket.remote(_norm_entry(idx["buckets"].get(str(int(b)))), pr))
     parts = [t for t in ray.get(refs) if t.num_rows]
     if not parts:
         return (

@@ -268,7 +268,7 @@ def refresh_aggregate(lake, name: str) -> pa.Table:
     the tiny grouped delta into the previous snapshot, publish. Falls
     back to one full recompute when the previous reflected version has
     been expired from the manifest chain."""
-    from .cdc import _merge_partition, _version_diff_plan
+    from .cdc import _merge_partition, _suffix_changed_images, _version_diff_plan
 
     m_new = lake.manifest()
     if m_new is None:
@@ -325,17 +325,24 @@ def refresh_aggregate(lake, name: str) -> pa.Table:
         outs = []
         for row in batch.to_pylist():
             k = int(row["k"])
-            new_t = snap(row["new_file"], row["new_deltas"])
-            olds = [snap(f, d) for f, d in zip(row["old_files"], row["old_deltas"])]
-            old_t = (
-                pa.concat_tables(olds, promote_options="permissive")
-                if olds
-                else schema.empty_table()
-            )
-            if not same_p and old_t.num_rows:
-                old_t = old_t.filter(
-                    pa.array(partition_of(old_t["doc_id"], p_new) == k)
+            if row.get("suffix_deltas") is not None:
+                # delta-append fast path: only the changed docs' images
+                # are read (suffix deltas + doc_id-IN-filtered old
+                # snapshot) — unchanged docs' contributions would cancel
+                # in agg(new)−agg(old) anyway, so skip reading them
+                old_t, new_t = _suffix_changed_images(lake_dir, row, schema)
+            else:
+                new_t = snap(row["new_file"], row["new_deltas"])
+                olds = [snap(f, d) for f, d in zip(row["old_files"], row["old_deltas"])]
+                old_t = (
+                    pa.concat_tables(olds, promote_options="permissive")
+                    if olds
+                    else schema.empty_table()
                 )
+                if not same_p and old_t.num_rows:
+                    old_t = old_t.filter(
+                        pa.array(partition_of(old_t["doc_id"], p_new) == k)
+                    )
             outs.append(_signed_partial(new_t, group_by, sums, derive, tgt, 1))
             outs.append(_signed_partial(old_t, group_by, sums, derive, tgt, -1))
         return pa.concat_tables(outs) if outs else tgt.empty_table()

@@ -144,6 +144,54 @@ def test_delete_removes_doc_from_index(ray_session, tmp_path):
     assert {r[0] for r in _rows_set(read_index_rows(lake, "nd"))} == {"b"}
 
 
+def test_delta_chain_compacts_and_stays_correct(ray_session, tmp_path):
+    """Many tiny ticks append bucket delta patches; once a chain passes
+    max_deltas it folds into a new base — state identical throughout."""
+    base = pa.table(
+        {
+            "doc_id": [f"d{i}" for i in range(6)],
+            "tokens": [[i, i + 1, i + 2, i + 3] for i in range(6)],
+            "n_tok": [4] * 6,
+            "source": ["web"] * 6,
+        },
+        schema=BASE_SCHEMA,
+    )
+    bd = str(tmp_path / "b")
+    os.makedirs(bd)
+    pq.write_table(base, os.path.join(bd, "b.parquet"))
+    lake = CDCLake(str(tmp_path / "lake"))
+    lake.init_from(bd, num_partitions=2)
+    create_dedup_index(lake, "nd", **IDX_KW)
+    for tick in range(5):
+        ed = str(tmp_path / f"e{tick}")
+        os.makedirs(ed)
+        ev = pa.table(
+            {
+                "lsn": [tick + 1],
+                "op": ["U"],
+                "doc_id": [f"d{tick % 6}"],
+                "tokens": [[100 + tick, 101 + tick, 102 + tick, 103 + tick]],
+                "n_tok": [4],
+                "source": ["web"],
+            },
+            schema=EVENT_SCHEMA,
+        )
+        pq.write_table(ev, os.path.join(ed, "e.parquet"))
+        lake.replay(ed, mode="delta")
+        refresh_dedup_index(lake, "nd", max_deltas=2)
+    idx = load_index_manifest(lake.lake_dir, "nd")
+    assert all(len(e["deltas"]) <= 2 for e in idx["buckets"].values())
+    assert any(len(e["deltas"]) == 0 for e in idx["buckets"].values())  # compacted
+    scratch = CDCLake(str(tmp_path / "lake2"))
+    scratch.init_from(bd, num_partitions=2)
+    for tick in range(5):
+        scratch.replay(str(tmp_path / f"e{tick}"), mode="delta")
+    create_dedup_index(scratch, "nd", **IDX_KW)
+    assert _rows_set(read_index_rows(lake, "nd")) == _rows_set(
+        read_index_rows(scratch, "nd")
+    )
+
+
 def test_refresh_across_rescale(ray_session, dirs):
     d, base_dir, ev_dir = dirs
     lake = CDCLake(os.path.join(d, "lake_rescale"))

@@ -33,6 +33,13 @@ def main():
     p.add_argument("--compact-every", type=int, default=0)
     p.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     p.add_argument("--keep", action="store_true", help="keep the lake dir")
+    p.add_argument(
+        "--maintain",
+        action="store_true",
+        help="also maintain a materialized GROUP BY view and a MinHash/"
+        "LSH near-dup index, refreshing both after every tick — records"
+        " per-tick refresh cost (the O(delta) maintenance claim)",
+    )
     args = p.parse_args()
 
     import ray
@@ -59,6 +66,20 @@ def main():
     t0 = time.perf_counter()
     lake.init_from(base_dir, num_partitions=args.partitions)
     print(json.dumps({"event": "INIT", "wall_sec": round(time.perf_counter() - t0, 2)}))
+    if args.maintain:
+        t0 = time.perf_counter()
+        lake.create_aggregate(
+            "by_source", ["source"], ["n_tok", "token_sum"],
+            [["token_sum", "list_sum", "tokens"]],
+        )
+        agg_create = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        lake.create_dedup_index("nd", num_hashes=64, bands=16, num_buckets=256)
+        print(json.dumps({
+            "event": "MAINTAIN_CREATE",
+            "agg_create_sec": round(agg_create, 2),
+            "index_create_sec": round(time.perf_counter() - t0, 2),
+        }))
 
     ticks = []
     tick_no = 0
@@ -79,6 +100,13 @@ def main():
             "events_per_sec": round((st.events_applied if st else 0) / wall, 1),
             "bytes_written": lake.manifest().lineage[-1].get("bytes_written", 0),
         }
+        if args.maintain:
+            t0 = time.perf_counter()
+            lake.refresh_aggregate("by_source")
+            rec["agg_refresh_sec"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            lake.refresh_dedup_index("nd")
+            rec["index_refresh_sec"] = round(time.perf_counter() - t0, 2)
         if args.mode == "delta" and args.compact_every and tick_no % args.compact_every == 0:
             t0 = time.perf_counter()
             m = lake.compact()
@@ -99,6 +127,18 @@ def main():
         "steady_events_per_sec": round(args.tick / sorted(walls)[len(walls) // 2], 1),
         "sum_apply_bytes": sum(t["bytes_written"] for t in ticks),
         "watermark": lake.manifest().applied_through,
+        **(
+            {
+                "steady_agg_refresh_sec": round(
+                    sorted(t["agg_refresh_sec"] for t in ticks)[len(ticks) // 2], 2
+                ),
+                "steady_index_refresh_sec": round(
+                    sorted(t["index_refresh_sec"] for t in ticks)[len(ticks) // 2], 2
+                ),
+            }
+            if args.maintain
+            else {}
+        ),
     }))
     if not args.keep:
         shutil.rmtree(lake_dir, ignore_errors=True)
