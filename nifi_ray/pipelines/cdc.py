@@ -36,6 +36,8 @@ cited in state/manifest.py and stages/lww.py.
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 from dataclasses import dataclass
 from typing import Any, Iterable
@@ -916,11 +918,18 @@ class CDCLake:
         hash partitioning is reused as the shard key, so export
         parallelism equals partition count and each task touches one
         partition's files. Merge-on-read deltas are overlaid with the
-        same LWW kernel as read(). Resumable: shard files are written
-        atomically and skipped when present, so a failed export rerun
-        only does the missing shards; per-shard layout is a pure
-        function of (partition contents, max_len) — retries produce
-        identical bytes. Returns per-shard stats rows."""
+        same LWW kernel as read(). Resumable AND incrementally
+        refreshable: each shard file records the manifest entry (base
+        file + delta chain) it was packed from in its parquet footer;
+        a re-export skips shards whose entry is unchanged and rewrites
+        exactly the partitions later ticks touched (O(delta-partitions)
+        work, atomic supersede) — existence alone is NOT trusted, so a
+        stale shard from an earlier lake version can never survive a
+        refresh. Per-shard layout is a pure function of (partition
+        contents, max_len) — retries produce identical bytes. Shard
+        dirs for partitions that no longer exist (rescale shrink) are
+        removed. Returns per-shard stats rows (``written`` marks the
+        shards this call actually packed)."""
         import ray.data as rd
 
         from ..stages.packing import pack_group
@@ -937,6 +946,8 @@ class CDCLake:
         os.makedirs(out_dir, exist_ok=True)
         pack = pack_group(max_len, order_key="doc_id", keep=())
 
+        _EH_KEY = b"nifi_ray.export.entry_hash"
+
         def export_item(batch: pa.Table) -> pa.Table:
             schema = pa.ipc.read_schema(pa.BufferReader(schema_b64))
             rows = []
@@ -944,7 +955,17 @@ class CDCLake:
                 k = int(row["k"])
                 rel = os.path.join(f"shard={k:05d}", f"pack-{max_len}.parquet")
                 outp = os.path.join(out_dir, rel)
-                if not os.path.exists(outp):
+                # content key: manifest entries reference IMMUTABLE
+                # files, so (base file, delta chain, max_len) fully
+                # identifies this shard's bytes
+                eh = hashlib.md5(
+                    json.dumps([row["file"], row["deltas"], max_len]).encode()
+                ).hexdigest()
+                fresh = False
+                if os.path.exists(outp):
+                    md = pq.read_metadata(outp).metadata or {}
+                    fresh = md.get(_EH_KEY, b"").decode() == eh
+                if not fresh:
                     base = pq.read_table(os.path.join(lake_dir, row["file"]))
                     deltas = [
                         pq.read_table(os.path.join(lake_dir, d))
@@ -953,6 +974,9 @@ class CDCLake:
                     packed = pack(_merge_partition(base, deltas, schema))
                     packed = packed.add_column(
                         0, "shard", pa.array([k] * packed.num_rows, pa.int32())
+                    )
+                    packed = packed.replace_schema_metadata(
+                        {_EH_KEY.decode(): eh}
                     )
                     os.makedirs(os.path.dirname(outp), exist_ok=True)
                     tmp = outp + f".tmp.{os.getpid()}"
@@ -963,6 +987,7 @@ class CDCLake:
                         "shard": k,
                         "file": rel,
                         "n_seqs": pq.read_metadata(outp).num_rows,
+                        "written": not fresh,
                     }
                 )
             return pa.Table.from_pylist(
@@ -972,15 +997,25 @@ class CDCLake:
                         pa.field("shard", pa.int32()),
                         pa.field("file", pa.string()),
                         pa.field("n_seqs", pa.int64()),
+                        pa.field("written", pa.bool_()),
                     ]
                 ),
             )
 
-        return (
+        stats = (
             rd.from_items(items, override_num_blocks=len(items))
             .map_batches(export_item, batch_format="pyarrow")
             .take_all()
         )
+        # rescale shrink leaves shard dirs for partitions that no
+        # longer exist — a reader globbing out_dir would double-count
+        live = {f"shard={int(r['k']):05d}" for r in items}
+        for d in os.listdir(out_dir):
+            if d.startswith("shard=") and d not in live:
+                import shutil
+
+                shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+        return stats
 
     def lookup(
         self,

@@ -204,6 +204,67 @@ def test_export_shards_packs_state_and_resumes(ray_session, tmp_path):
         assert os.path.getmtime(os.path.join(out, f)) == m
 
 
+def test_export_shards_incremental_refresh(ray_session, tmp_path):
+    """Re-export after new ticks rewrites ONLY the partitions those
+    ticks touched (content-keyed by manifest entry, not file existence)
+    and the refreshed dir equals a from-scratch export of the final
+    state. Rescale shrink removes orphaned shard dirs."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base_dir, ev_dir, lake_dir = (str(tmp_path / d) for d in ("b", "e", "l"))
+    write_base(CFG, base_dir, shards=1)
+    write_events(CFG, ev_dir, shards=2)
+    lake = CDCLake(lake_dir)
+    lake.init_from(base_dir, num_partitions=4)
+
+    out = str(tmp_path / "shards")
+    stats1 = lake.export_shards(out, max_len=64)
+    assert all(s["written"] for s in stats1)
+
+    # a tick touching ONE doc → one partition changes
+    lake.replay(ev_dir, mode="delta")
+    stats2 = lake.export_shards(out, max_len=64)
+    assert any(s["written"] for s in stats2)  # changed partitions rewrote
+    # stale-unsafety regression: every rewritten shard's bytes now
+    # reflect final state — compare against a from-scratch export
+    fresh = str(tmp_path / "shards_fresh")
+    lake.export_shards(fresh, max_len=64)
+    for s in stats2:
+        a = pq.read_table(os.path.join(out, s["file"]))
+        b = pq.read_table(os.path.join(fresh, s["file"]))
+        assert a.drop_columns([]).equals(b), s["shard"]
+
+    # third export with no new ticks: nothing written
+    stats3 = lake.export_shards(out, max_len=64)
+    assert not any(s["written"] for s in stats3)
+
+    # sparse tick: ONE event → exactly one partition rewrites
+    ed2 = str(tmp_path / "e2")
+    os.makedirs(ed2)
+    one = events_table(CFG, 0, 1)
+    one = one.set_column(
+        one.schema.get_field_index("lsn"),
+        "lsn",
+        pa.array([CFG.n_events + 1], pa.int64()),
+    )
+    pq.write_table(one, os.path.join(ed2, "one.parquet"))
+    lake.replay(ed2, mode="delta")
+    stats4 = lake.export_shards(out, max_len=64)
+    assert sum(1 for s in stats4 if s["written"]) == 1
+
+    # rescale shrink: orphaned shard dirs removed, all shards rewritten
+    lake.rescale(2)
+    stats5 = lake.export_shards(out, max_len=64)
+    assert sorted(s["shard"] for s in stats5) == [0, 1]
+    assert {d for d in os.listdir(out) if d.startswith("shard=")} == {
+        "shard=00000",
+        "shard=00001",
+    }
+
+
 def test_doc_history_provenance(ray_session, tmp_path):
     """doc_history: one doc's I/U/D events across retained versions
     (the provenance-repository drill-down), pre-delete image on 'D',
