@@ -838,21 +838,40 @@ class CDCLake:
         return load_manifest(self.lake_dir, version)
 
     def read(
-        self, columns: list[str] | None = None, version: int | None = None
+        self,
+        columns: list[str] | None = None,
+        version: int | None = None,
+        filters: list[tuple] | None = None,
     ) -> "ray.data.Dataset":
         """Dataset over the lake's committed state.
 
         ``version``: time travel to an older committed manifest (kept
         until ``expire_versions`` drops it) — the COW layout makes every
         retained version fully readable (Delta-Lake-style snapshot
-        isolation; the manifest IS the snapshot)."""
+        isolation; the manifest IS the snapshot).
+
+        ``filters``: parquet-style predicate (tuple DNF, the
+        ``pq.read_table(filters=...)`` vocabulary) PUSHED INTO the scan
+        — row groups whose column stats exclude the predicate never
+        leave storage. On a merge-on-read lake the pushdown stays
+        correct under updates that move a doc across the predicate
+        boundary: delta rows carry full images and LWW-override base
+        rows, so base files scan WITH the pushdown, deltas scan in
+        full (they are tick-sized), and the predicate re-applies after
+        the overlay (a base row whose doc was updated to a
+        non-matching image is dropped; a doc updated INTO the
+        predicate appears via its delta image)."""
         import ray.data as rd
 
         m = self.manifest(version)
         if m is None or not m.partitions:
             raise FileNotFoundError(f"no committed manifest in {self.lake_dir}")
+        expr = pq.filters_to_expression(filters) if filters else None
         if not m.has_deltas():
-            return rd.read_parquet(m.data_files(self.lake_dir), columns=columns)
+            kw = {"filter": expr} if expr is not None else {}
+            return rd.read_parquet(
+                m.data_files(self.lake_dir), columns=columns, **kw
+            )
         # merge-on-read: one task per partition overlays its delta parts
         # (same LWW kernel as apply/compact); column pruning applies
         # post-merge — doc_id/lsn/op always travel for the merge itself
@@ -867,11 +886,15 @@ class CDCLake:
             schema = pa.ipc.read_schema(pa.BufferReader(schema_b64))
             outs = []
             for row in batch.to_pylist():
-                base = pq.read_table(os.path.join(lake_dir, row["file"]))
+                base = pq.read_table(
+                    os.path.join(lake_dir, row["file"]), filters=filters
+                )
                 deltas = [
                     pq.read_table(os.path.join(lake_dir, d)) for d in row["deltas"]
                 ]
                 t = _merge_partition(base, deltas, schema)
+                if expr is not None:
+                    t = t.filter(expr)
                 outs.append(t.select(columns) if columns else t)
             if not outs:
                 empty = schema.empty_table()

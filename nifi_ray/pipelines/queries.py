@@ -1550,14 +1550,11 @@ def q_export_shards(sf_dir: str):
     )
 
 
-def q_cdc_replay_delta(sf_dir: str):
-    """Flagship, merge-on-read mode: same events replayed as delta ticks
-    (mode='delta'), lake read with LIVE deltas overlaid at read time —
-    graded against the SAME final-state SQL oracle as cdc_replay, so
-    the driver gate proves COW and MOR converge to identical state."""
+def _built_mor_lake(sf_tag: str):
+    """The graded merge-on-read lake: three delta ticks, deltas left
+    live (no compact) so read() exercises the LWW overlay."""
     from .cdc import CDCLake
 
-    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     cfg, base_dir, ev_dir, lake_dir = cdc_fixture(sf_tag)
     lake_dir = lake_dir + "_delta"
 
@@ -1565,22 +1562,45 @@ def q_cdc_replay_delta(sf_dir: str):
         lake = CDCLake(lake_dir)
         if lake.manifest() is None:
             lake.init_from(base_dir, num_partitions=16)
-        # three delta ticks; deltas stay live (no compact) so read()
-        # exercises the merge-on-read overlay
         n = cfg.n_events
         for hi in (n // 3, 2 * n // 3, n):
             lake.replay(ev_dir, lsn_hi=hi, mode="delta")
         return lake
 
     try:
-        lake = build()
+        return build()
     except Exception:
         import shutil
 
         shutil.rmtree(lake_dir, ignore_errors=True)
-        lake = build()
+        return build()
 
+
+def q_cdc_replay_delta(sf_dir: str):
+    """Flagship, merge-on-read mode: same events replayed as delta ticks
+    (mode='delta'), lake read with LIVE deltas overlaid at read time —
+    graded against the SAME final-state SQL oracle as cdc_replay, so
+    the driver gate proves COW and MOR converge to identical state."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    lake = _built_mor_lake(sf_tag)
     return lake.read().map_batches(_cdc_summarize, batch_format="pyarrow")
+
+
+def q_filtered_read(sf_dir: str):
+    """Predicate pushdown on the merge-on-read lake:
+    read(filters=[('source','=','web')]) pushes the predicate into the
+    base-file scans (row-group stat pruning) and re-applies it after
+    the LWW delta overlay. The overlay re-check is load-bearing here:
+    the generator's update events CHANGE a doc's source, so docs that
+    moved into 'web' must appear (via delta images the base pushdown
+    never saw) and docs that moved out must not (their matching base
+    rows are overridden). Oracle: the cdc_replay final-state SQL with
+    WHERE source = 'web'."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    lake = _built_mor_lake(sf_tag)
+    return lake.read(filters=[("source", "=", "web")]).map_batches(
+        _cdc_summarize, batch_format="pyarrow"
+    )
 
 
 def q_incremental_agg(sf_dir: str):
@@ -1833,6 +1853,7 @@ QUERIES = {
     "video_frames": q_video_frames,
     "cdc_replay": q_cdc_replay,
     "cdc_replay_delta": q_cdc_replay_delta,
+    "filtered_read": q_filtered_read,
     "export_shards": q_export_shards,
     "cdc_consume": q_cdc_consume,
     "cdc_changes": q_cdc_changes,
@@ -2316,6 +2337,9 @@ def oracle_sql_dict() -> dict[str, str]:
         out["cdc_replay"] = _cdc_replay_oracle_sql(base_dir, ev_dir)
         out["cdc_replay_delta"] = out["cdc_replay"]
         out["cdc_consume"] = out["cdc_replay"]
+        out["filtered_read"] = (
+            f"SELECT * FROM ({out['cdc_replay']}) WHERE source = 'web'"
+        )
         out["cdc_changes"] = _cdc_changes_oracle_sql(base_dir, ev_dir)
         out["incremental_agg"] = _cdc_agg_oracle_sql(base_dir, ev_dir)
     except Exception:

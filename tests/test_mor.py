@@ -207,3 +207,63 @@ def test_mixed_lifecycle_torture(ray_session, tmp_path):
     kinds = [ln["kind"] for ln in lake.manifest().lineage]
     assert kinds[0] == "INIT" and "RESCALE" in kinds and "COMPACT" in kinds
     assert "APPLY" in kinds and "APPLY_DELTA" in kinds
+
+
+def test_filtered_read_pushdown_respects_overlay(ray_session, tmp_path):
+    """read(filters=...) on a merge-on-read lake: predicate pushed into
+    base scans must still honor delta images that move docs ACROSS the
+    predicate boundary in either direction."""
+    import pyarrow.parquet as pq
+
+    from nifi_ray.schema import BASE_SCHEMA, EVENT_SCHEMA
+
+    base = pa.table(
+        {
+            "doc_id": ["in_stays", "in_leaves", "out_enters", "out_stays"],
+            "tokens": [[1], [2], [3], [4]],
+            "n_tok": [1, 1, 1, 1],
+            "source": ["web", "web", "books", "books"],
+        },
+        schema=BASE_SCHEMA,
+    )
+    b = str(tmp_path / "b")
+    os.makedirs(b)
+    pq.write_table(base, os.path.join(b, "b.parquet"))
+    lake = CDCLake(str(tmp_path / "l"))
+    lake.init_from(b, num_partitions=2)
+    ev = pa.table(
+        {
+            "lsn": [1, 2, 3],
+            "op": ["U", "U", "I"],
+            "doc_id": ["in_leaves", "out_enters", "new_in"],
+            "tokens": [[20], [30], [50]],
+            "n_tok": [1, 1, 1],
+            "source": ["books", "web", "web"],
+        },
+        schema=EVENT_SCHEMA,
+    )
+    e = str(tmp_path / "e")
+    os.makedirs(e)
+    pq.write_table(ev, os.path.join(e, "ev.parquet"))
+    lake.replay(e, mode="delta")
+    assert lake.manifest().has_deltas()
+
+    got = pa.concat_tables(
+        __import__("ray").get(
+            lake.read(filters=[("source", "=", "web")]).to_arrow_refs()
+        )
+    )
+    assert sorted(got["doc_id"].to_pylist()) == ["in_stays", "new_in", "out_enters"]
+    # the moved-in doc carries its DELTA image, not the base one
+    row = got.filter(pc.equal(got["doc_id"], "out_enters"))
+    assert row["tokens"].to_pylist() == [[30]]
+    # filters + columns compose; COW path (after compact) agrees
+    lake.compact()
+    cow = pa.concat_tables(
+        __import__("ray").get(
+            lake.read(
+                columns=["doc_id"], filters=[("source", "=", "web")]
+            ).to_arrow_refs()
+        )
+    )
+    assert sorted(cow["doc_id"].to_pylist()) == ["in_stays", "new_in", "out_enters"]
