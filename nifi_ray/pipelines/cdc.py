@@ -53,12 +53,14 @@ from ..schema import BASE_SCHEMA, base_fields_of
 from ..stages.evolve import conform, unify
 from ..stages.lww import collapse_last_writer, merge_into_base
 from ..state.manifest import (
+    CommitConflict,
     Manifest,
     commit_manifest,
     load_manifest,
     manifest_path,
     part_file,
     partition_dir,
+    publish_part,
 )
 from ..util.hashing import add_partition_column, partition_of, state_checksum
 
@@ -182,6 +184,7 @@ def _apply_partition_fn(
     target_schema_b64: bytes,
     next_version: int,
     applied_through: int,
+    tick_token: str | None = None,
 ):
     """map_groups body: apply one partition's collapsed events.
 
@@ -232,12 +235,12 @@ def _apply_partition_fn(
         merged = merge_into_base(base, events).sort_by("doc_id")
         merged = conform(merged, target_schema)
 
-        rel = part_file(k, next_version)
+        rel = part_file(k, next_version, tick_token)
         out = os.path.join(lake_dir, rel)
         os.makedirs(os.path.dirname(out), exist_ok=True)
         tmp = out + f".tmp.{os.getpid()}"
         pq.write_table(merged, tmp, compression="zstd")
-        os.replace(tmp, out)
+        publish_part(tmp, out)
 
         return pa.table(
             {
@@ -341,7 +344,8 @@ def _rescale_map_task(files: list[str], P: int) -> tuple:
 
 @ray.remote
 def _rescale_write_task(
-    lake_dir: str, schema_b64: bytes, version: int, k: int, *shards: pa.Table
+    lake_dir: str, schema_b64: bytes, version: int, k: int,
+    tick_token: str | None, *shards: pa.Table
 ) -> dict | None:
     from ..stages.evolve import conform as _conform
 
@@ -353,12 +357,12 @@ def _rescale_write_task(
         t = _conform(t.drop_columns(["partition_id"]).sort_by("doc_id"), schema)
     else:
         t = schema.empty_table()
-    rel = part_file(k, version)
+    rel = part_file(k, version, tick_token)
     out = os.path.join(lake_dir, rel)
     os.makedirs(os.path.dirname(out), exist_ok=True)
     tmp = out + f".tmp.{os.getpid()}"
     pq.write_table(t, tmp, compression="zstd")
-    os.replace(tmp, out)
+    publish_part(tmp, out)
     return {
         "partition_id": k,
         "file": rel,
@@ -374,6 +378,7 @@ def _cdc_apply_task(
     schema_b64: bytes,
     next_version: int,
     lo: int,
+    tick_token: str | None,
     *shards: pa.Table,
 ) -> list[dict]:
     """Direct-exchange apply side: merge this partition's shards into its
@@ -383,7 +388,9 @@ def _cdc_apply_task(
     if not parts:
         return []
     t = pa.concat_tables(parts, promote_options="permissive")
-    apply_block = _apply_partition_fn(lake_dir, base_files, schema_b64, next_version, lo)
+    apply_block = _apply_partition_fn(
+        lake_dir, base_files, schema_b64, next_version, lo, tick_token
+    )
     return apply_block(t).to_pylist()
 
 
@@ -451,6 +458,7 @@ def _cdc_delta_task(
     schema_b64: bytes,
     next_version: int,
     lo: int,
+    tick_token: str | None,
     *shards: pa.Table,
 ) -> list[dict]:
     """Delta-mode apply side: write ONLY the collapsed events (incl. D
@@ -486,12 +494,12 @@ def _cdc_delta_task(
             [c for c in ("partition_id", "ev_count") if c in t.schema.names]
         )
         payload = conform(payload, _event_target(schema))
-        rel = _delta_file(k, next_version)
+        rel = _delta_file(k, next_version, tick_token)
         out = os.path.join(lake_dir, rel)
         os.makedirs(os.path.dirname(out), exist_ok=True)
         tmp = out + f".tmp.{os.getpid()}"
         pq.write_table(payload, tmp, compression="zstd")
-        os.replace(tmp, out)
+        publish_part(tmp, out)
         out_rows.append(
             {
                 "partition_id": k,
@@ -516,6 +524,7 @@ def _compact_task(
     schema_b64: bytes,
     next_version: int,
     k: int,
+    tick_token: str | None = None,
 ) -> dict:
     """Fold a partition's delta parts into a fresh COW base part."""
     _limit_arrow_threads()
@@ -527,12 +536,12 @@ def _compact_task(
     )
     deltas = [pq.read_table(os.path.join(lake_dir, d)) for d in delta_rels]
     merged = _merge_partition(base, deltas, schema)
-    rel = part_file(k, next_version)
+    rel = part_file(k, next_version, tick_token)
     out = os.path.join(lake_dir, rel)
     os.makedirs(os.path.dirname(out), exist_ok=True)
     tmp = out + f".tmp.{os.getpid()}"
     pq.write_table(merged, tmp, compression="zstd")
-    os.replace(tmp, out)
+    publish_part(tmp, out)
     return {
         "partition_id": k,
         "file": rel,
@@ -731,7 +740,7 @@ class CDCLake:
             os.makedirs(os.path.dirname(out), exist_ok=True)
             tmp = out + f".tmp.{os.getpid()}"
             pq.write_table(tbl, tmp, compression="zstd")
-            os.replace(tmp, out)
+            publish_part(tmp, out)
             return {
                 "partition_id": k,
                 "file": rel,
@@ -826,7 +835,8 @@ class CDCLake:
             map_refs = [[r] for r in map_refs]
         apply_refs = [
             _rescale_write_task.remote(
-                self.lake_dir, schema_b64, 1, k, *[refs[k] for refs in map_refs]
+                self.lake_dir, schema_b64, 1, k, None,
+                *[refs[k] for refs in map_refs],
             )
             for k in range(P)
         ]
@@ -1330,6 +1340,51 @@ class CDCLake:
         exchange: str = "direct",
         mode: str = "cow",
         from_lsn: int | None = None,
+        max_conflict_retries: int = 3,
+    ) -> TickStats | None:
+        """Apply all events with ``applied_through < lsn <= lsn_hi``;
+        optimistic concurrency against other writers on the same lake.
+
+        A concurrent writer racing the same manifest version surfaces
+        as ``CommitConflict`` — either at a data-part publish (exclusive
+        link sees foreign bytes at a deterministic part path, phase 1)
+        or at the manifest link (phase 2). Both mean the OTHER tick
+        committed; this one re-reads the now-advanced manifest and
+        re-runs, and the watermark dedup drops whatever the winner
+        already applied (exactly-once preserved — possibly a no-op
+        retry). Orphan parts from the losing attempt are invisible and
+        reclaimed by ``gc_orphans``. After ``max_conflict_retries``
+        losses the conflict propagates."""
+        def is_conflict(e: BaseException | None) -> bool:
+            # Ray (and Ray Data) may wrap worker exceptions; walk the
+            # cause chain for the publish_part conflicts raised inside
+            # apply tasks
+            while e is not None:
+                if isinstance(e, CommitConflict):
+                    return True
+                e = e.__cause__
+            return False
+
+        last: Exception | None = None
+        for _ in range(max_conflict_retries + 1):
+            try:
+                return self._replay_once(
+                    event_paths, lsn_hi, batch_size, exchange, mode, from_lsn
+                )
+            except Exception as e:
+                if not is_conflict(e):
+                    raise
+                last = e
+        raise last
+
+    def _replay_once(
+        self,
+        event_paths: str | list[str],
+        lsn_hi: int | None = None,
+        batch_size: int = 65536,
+        exchange: str = "direct",
+        mode: str = "cow",
+        from_lsn: int | None = None,
     ) -> TickStats | None:
         """Apply all events with ``applied_through < lsn <= lsn_hi``.
 
@@ -1404,17 +1459,30 @@ class CDCLake:
         qdir = os.path.join(self.lake_dir, "_quarantine")
         q_before = _quarantine_row_count(qdir)
 
+        # tick token: deterministic in the tick's INPUTS — an identical
+        # retry (Ray task retry, crash re-run of the same tick)
+        # regenerates the same part names and bytes (publish_part
+        # dedups), while any different attempt at this version (resumed
+        # tick with other bounds, concurrent writer with other events)
+        # writes under fresh names and can never clobber files another
+        # writer's manifest might reference
+        tick_token = hashlib.md5(
+            json.dumps([m.version, lo, lsn_hi, mode, sorted(files)]).encode()
+        ).hexdigest()[:8]
         if mode == "delta":
             stats_rows = self._exchange_direct(
-                files, m, target, next_version, lo, lsn_hi, delta=True
+                files, m, target, next_version, lo, lsn_hi, delta=True,
+                tick_token=tick_token,
             )
         elif exchange == "direct":
             stats_rows = self._exchange_direct(
-                files, m, target, next_version, lo, lsn_hi
+                files, m, target, next_version, lo, lsn_hi,
+                tick_token=tick_token,
             )
         else:
             stats_rows = self._exchange_dataset(
-                files, m, target, next_version, lo, lsn_hi, batch_size
+                files, m, target, next_version, lo, lsn_hi, batch_size,
+                tick_token=tick_token,
             )
 
         if not stats_rows:
@@ -1513,9 +1581,13 @@ class CDCLake:
         ]
         if P == 1:
             map_refs = [[r] for r in map_refs]
+        tick_token = hashlib.md5(
+            json.dumps([m.version, "rescale", P]).encode()
+        ).hexdigest()[:8]
         apply_refs = [
             _rescale_write_task.remote(
-                lake_dir, schema_b64, next_version, k, *[refs[k] for refs in map_refs]
+                lake_dir, schema_b64, next_version, k, tick_token,
+                *[refs[k] for refs in map_refs],
             )
             for k in range(P)
         ]
@@ -1552,6 +1624,7 @@ class CDCLake:
     def _exchange_dataset(
         self, files, m: Manifest, target: pa.Schema, next_version: int,
         lo: int, lsn_hi: int | None, batch_size: int,
+        tick_token: str | None = None,
     ) -> list[dict]:
         import ray.data as rd
 
@@ -1575,6 +1648,7 @@ class CDCLake:
                     target.serialize().to_pybytes(),
                     next_version,
                     lo,
+                    tick_token,
                 ),
                 batch_format="pyarrow",
                 batch_size=None,
@@ -1585,6 +1659,7 @@ class CDCLake:
     def _exchange_direct(
         self, files, m: Manifest, target: pa.Schema, next_version: int,
         lo: int, lsn_hi: int | None, delta: bool = False,
+        tick_token: str | None = None,
     ) -> list[dict]:
         """Explicit map/apply exchange (see ``replay`` docstring).
         ``delta=True`` swaps the apply side for the delta writer."""
@@ -1610,7 +1685,7 @@ class CDCLake:
         if delta:
             apply_refs = [
                 _cdc_delta_task.remote(
-                    self.lake_dir, schema_b64, next_version, lo,
+                    self.lake_dir, schema_b64, next_version, lo, tick_token,
                     *[refs[g] for refs in map_refs],
                 )
                 for g in range(G)
@@ -1623,6 +1698,7 @@ class CDCLake:
                     schema_b64,
                     next_version,
                     lo,
+                    tick_token,
                     *[refs[g] for refs in map_refs],
                 )
                 for g in range(G)
@@ -1697,10 +1773,13 @@ class CDCLake:
             return None
         next_version = m.version + 1
         schema_b64 = m.schema.serialize().to_pybytes()
+        tick_token = hashlib.md5(
+            json.dumps([m.version, "compact"]).encode()
+        ).hexdigest()[:8]
         refs = [
             _compact_task.remote(
                 self.lake_dir, e.get("file"), list(e["deltas"]),
-                schema_b64, next_version, k,
+                schema_b64, next_version, k, tick_token,
             )
             for k, e in todo.items()
         ]

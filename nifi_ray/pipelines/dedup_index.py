@@ -320,6 +320,24 @@ def refresh_dedup_index(
         _publish(lake.lake_dir, name, m_new.version, dict(idx["buckets"]))
         return load_index_manifest(lake.lake_dir, name)
 
+    # early rebuild decision from FOOTER METADATA only: when every diff
+    # item is suffix-shaped, the appended delta files' row counts bound
+    # the changed-doc count — if the implied signed-row volume already
+    # exceeds max_delta_rows, the tick rewrote most of the lake and a
+    # rebuild is cheaper than diffing + hashing + per-bucket patching.
+    # Deciding here skips ALL of that work (a dense tick's refresh was
+    # otherwise ~2× the cost of the rebuild it would fall back to).
+    if all(row.get("suffix_deltas") is not None for row in items):
+        est_changed = sum(
+            pq.read_metadata(os.path.join(lake.lake_dir, d)).num_rows
+            for row in items
+            for d in row["suffix_deltas"]
+        )
+        if est_changed * int(spec["bands"]) * 2 > max_delta_rows:
+            buckets = _build_buckets(lake, name, spec, m_new.version)
+            _publish(lake.lake_dir, name, m_new.version, buckets)
+            return load_index_manifest(lake.lake_dir, name)
+
     import ray.data as rd
 
     lake_dir = lake.lake_dir

@@ -6,9 +6,11 @@ Layout (all paths relative to the lake root):
     p={k:05d}/part-v{N:06d}.parquet   partition data files (COW)
 
 Two-phase commit: apply tasks write partition part files (phase 1,
-deterministic names — a retried task overwrites its own file), then the
-driver writes ``v{N}.json.tmp`` and ``os.replace``s it into place
-(phase 2, atomic on POSIX). Readers only ever trust the highest
+deterministic names, published with ``publish_part`` — exclusive link;
+a retried task re-links identical bytes, a CONCURRENT WRITER's
+different bytes raise ``CommitConflict`` before any manifest could
+reference them), then the driver links ``v{N}.json`` into place
+(phase 2, atomic + exclusive). Readers only ever trust the highest
 committed ``v*.json``; part files not referenced by it are invisible
 orphans, ignored on read and removed by ``gc()``.
 
@@ -122,12 +124,25 @@ def partition_dir(k: int) -> str:
     return f"p={k:05d}"
 
 
-def part_file(k: int, version: int) -> str:
-    return os.path.join(partition_dir(k), f"part-v{version:06d}.parquet")
+def part_file(k: int, version: int, token: str | None = None) -> str:
+    """Part name for (partition, version) + an optional TICK TOKEN.
+
+    The token is a deterministic hash of the tick's inputs (base
+    manifest version, lsn bounds, event files, mode): a Ray-retried
+    task or an identical re-run of a crashed tick regenerates the SAME
+    name (and identical bytes — publish_part dedups), while any
+    DIFFERENT attempt at the same version — a resumed tick with other
+    bounds, a concurrent writer with other events — gets distinct
+    names and can never overwrite in-flight files another writer's
+    manifest might reference. The manifest stores full paths, so
+    readers never reconstruct names."""
+    tok = f"-{token}" if token else ""
+    return os.path.join(partition_dir(k), f"part-v{version:06d}{tok}.parquet")
 
 
-def delta_file(k: int, version: int) -> str:
-    return os.path.join(partition_dir(k), f"delta-v{version:06d}.parquet")
+def delta_file(k: int, version: int, token: str | None = None) -> str:
+    tok = f"-{token}" if token else ""
+    return os.path.join(partition_dir(k), f"delta-v{version:06d}{tok}.parquet")
 
 
 def manifest_path(lake_dir: str, version: int) -> str:
@@ -157,6 +172,50 @@ def load_manifest(lake_dir: str, version: int | None = None) -> Manifest | None:
         return Manifest.from_json(f.read())
 
 
+class CommitConflict(ValueError):
+    """Another writer committed this version (manifest link race) or
+    published different bytes at a deterministic part path. Retryable:
+    reload the latest manifest and re-run the tick — watermark dedup
+    makes re-application exactly-once."""
+
+
+def _file_md5(path: str) -> str:
+    import hashlib
+
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def publish_part(tmp: str, out: str) -> None:
+    """Phase-1 atomic + EXCLUSIVE data-part publish.
+
+    Part names are deterministic per (partition, version), so exclusive
+    manifest commit alone cannot protect the data: two writers racing
+    the same version would silently overwrite each other's part files
+    with ``os.replace`` and the manifest winner could end up
+    referencing the loser's bytes. ``os.link`` makes the first publish
+    win; a second publish with IDENTICAL content (a Ray-retried task or
+    an idempotent re-replay — part bytes are a pure function of inputs)
+    is success, different content raises ``CommitConflict`` so the
+    losing tick aborts before its manifest commit."""
+    try:
+        os.link(tmp, out)
+    except FileExistsError:
+        if _file_md5(tmp) != _file_md5(out):
+            raise CommitConflict(
+                f"part {out} published concurrently by another writer with "
+                "different content — tick lost the version race; retry"
+            ) from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
+
+
 def commit_manifest(lake_dir: str, manifest: Manifest) -> str:
     """Phase-2 atomic publish — atomic AND exclusive: the version file
     is linked into place with ``os.link``, which fails with EEXIST if
@@ -167,7 +226,10 @@ def commit_manifest(lake_dir: str, manifest: Manifest) -> str:
     backwards in version."""
     cur = latest_version(lake_dir)
     if cur is not None and manifest.version <= cur:
-        raise ValueError(
+        # same conflict class as the link race below: the writer built
+        # this version from a manifest another writer has since
+        # superseded — retryable
+        raise CommitConflict(
             f"manifest v{manifest.version} not newer than committed v{cur}"
         )
     manifest.created_unix = time.time()
@@ -182,7 +244,7 @@ def commit_manifest(lake_dir: str, manifest: Manifest) -> str:
     try:
         os.link(tmp, path)  # atomic, EEXIST on concurrent commit
     except FileExistsError:
-        raise ValueError(
+        raise CommitConflict(
             f"manifest v{manifest.version} committed concurrently by another "
             "writer — re-read the latest manifest and retry the tick"
         ) from None

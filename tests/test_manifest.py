@@ -111,3 +111,100 @@ def test_commit_is_exclusive(tmp_path):
         with pytest.raises(ValueError, match="concurrently"):
             mmod.commit_manifest(lake, racer)
     assert [f for f in os.listdir(mdir) if ".tmp." in f] == []
+
+
+def test_publish_part_exclusive(tmp_path):
+    """publish_part: identical-content re-link is idempotent success,
+    foreign-content collision raises CommitConflict."""
+    from nifi_ray.state.manifest import CommitConflict, publish_part
+
+    out = str(tmp_path / "part.parquet")
+    a1 = str(tmp_path / "a1.tmp")
+    a2 = str(tmp_path / "a2.tmp")
+    b = str(tmp_path / "b.tmp")
+    for p, data in ((a1, b"same-bytes"), (a2, b"same-bytes"), (b, b"DIFFERENT")):
+        with open(p, "wb") as f:
+            f.write(data)
+    publish_part(a1, out)
+    publish_part(a2, out)  # retried task, same bytes -> success
+    assert not os.path.exists(a2)  # tmp always cleaned
+    with pytest.raises(CommitConflict, match="different content"):
+        publish_part(b, out)
+    with open(out, "rb") as f:
+        assert f.read() == b"same-bytes"  # first publish won
+
+
+def test_concurrent_writers_retry_to_serialized_ticks(ray_session, tmp_path):
+    """Two writers on one lake, both starting from the same manifest
+    version with different event ranges: the loser's tick aborts at
+    the exclusive part/manifest publish and its automatic retry
+    re-runs against the winner's commit — final state is the
+    sequential application of both event sets, no lost update."""
+    import pyarrow.parquet as pq
+
+    from nifi_ray.pipelines.cdc import CDCLake
+    from nifi_ray.schema import EVENT_SCHEMA
+
+    base = pa.table(
+        {
+            "doc_id": [f"d{i}" for i in range(8)],
+            "tokens": [[i] for i in range(8)],
+            "n_tok": [1] * 8,
+            "source": ["web"] * 8,
+        },
+        schema=BASE_SCHEMA,
+    )
+    bd = str(tmp_path / "b")
+    os.makedirs(bd)
+    pq.write_table(base, os.path.join(bd, "b.parquet"))
+
+    def evdir(name, lsns, tok):
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        t = pa.table(
+            {
+                "lsn": lsns,
+                "op": ["U"] * len(lsns),
+                "doc_id": [f"d{i % 8}" for i in range(len(lsns))],
+                "tokens": [[tok + i] for i in range(len(lsns))],
+                "n_tok": [1] * len(lsns),
+                "source": ["web"] * len(lsns),
+            },
+            schema=EVENT_SCHEMA,
+        )
+        pq.write_table(t, os.path.join(d, "e.parquet"))
+        return d
+
+    ev_a = evdir("ea", [1, 2, 3, 4], 100)
+    ev_b = evdir("eb", [5, 6, 7, 8], 200)
+
+    lake_dir = str(tmp_path / "lake")
+    writer_a = CDCLake(lake_dir)
+    writer_a.init_from(bd, num_partitions=2)
+    writer_b = CDCLake(lake_dir)
+
+    # writer B reads the manifest BEFORE A commits (stale snapshot)
+    stale = writer_b.manifest()
+    real = writer_b.manifest
+    seen = {"n": 0}
+
+    def stale_once(version=None):
+        seen["n"] += 1
+        return stale if (seen["n"] == 1 and version is None) else real(version)
+
+    writer_b.manifest = stale_once
+
+    assert writer_a.replay(ev_a).version == 2
+    st = writer_b.replay(ev_b)  # first attempt races v2, retries at v3
+    assert st is not None and st.version == 3 and st.events_applied == 4
+
+    # no lost update: final state == sequential application of A then B
+    seq = CDCLake(str(tmp_path / "lake_seq"))
+    seq.init_from(bd, num_partitions=2)
+    seq.replay(ev_a)
+    seq.replay(ev_b)
+    got = writer_a.read_table().sort_by("doc_id")
+    want = seq.read_table().sort_by("doc_id")
+    assert got["tokens"].to_pylist() == want["tokens"].to_pylist()
+    assert writer_a.manifest().applied_through == 8
+    assert writer_a.verify()["ok"]
