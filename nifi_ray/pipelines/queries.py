@@ -19,6 +19,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 from ..stages import dedup as dd
 from ..stages import text as tx
@@ -1586,6 +1587,77 @@ def q_cdc_replay_delta(sf_dir: str):
     return lake.read().map_batches(_cdc_summarize, batch_format="pyarrow")
 
 
+def _quarantine_fixture(sf_tag: str):
+    """CDC fixture + a deterministic malformed-events file: null
+    doc_id, null lsn, and unknown-op rows mixed into the stream. Pure
+    function of the GenConfig fixture (same /tmp keying)."""
+    cfg, base_dir, ev_dir, lake_dir = cdc_fixture(sf_tag)
+    evq_dir = ev_dir + "_withbad"
+    if not os.path.isdir(evq_dir):
+        import shutil
+
+        tmp = evq_dir + ".build"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        for f in sorted(os.listdir(ev_dir)):
+            os.link(os.path.join(ev_dir, f), os.path.join(tmp, f))
+        from ..schema import EVENT_SCHEMA
+
+        n = cfg.n_events
+        bad = pa.table(
+            {
+                "lsn": pa.array(
+                    [n + 1 + i for i in range(5)] + [None] * 5
+                    + [n + 6 + i for i in range(5)],
+                    pa.int64(),
+                ),
+                "op": ["U"] * 5 + ["U"] * 5 + ["X"] * 5,
+                "doc_id": pa.array(
+                    [None] * 5 + [f"doc-{i:07d}" for i in range(10)],
+                    pa.string(),
+                ),
+                "tokens": [[9, 9, 9]] * 15,
+                "n_tok": [3] * 15,
+                "source": ["web"] * 15,
+            },
+            schema=EVENT_SCHEMA,
+        )
+        pq.write_table(bad, os.path.join(tmp, "zz-malformed.parquet"))
+        os.replace(tmp, evq_dir)
+    return cfg, base_dir, evq_dir, lake_dir + "_quar"
+
+
+def q_quarantine(sf_dir: str):
+    """Failure-relationship routing (NiFi REL_FAILURE): replay a stream
+    carrying deterministically injected malformed events (null doc_id,
+    null lsn, op outside I/U/D) — they are routed to the lake's
+    quarantine, never applied, never abort the tick — then return the
+    quarantined rows. Oracle: the same malformed predicate in SQL over
+    the combined event files."""
+    from .cdc import CDCLake
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    cfg, base_dir, evq_dir, lake_dir = _quarantine_fixture(sf_tag)
+
+    def build():
+        lake = CDCLake(lake_dir)
+        if lake.manifest() is None:
+            lake.init_from(base_dir, num_partitions=16)
+        lake.replay(evq_dir)
+        return lake
+
+    try:
+        lake = build()
+    except Exception:
+        import shutil
+
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        lake = build()
+    q = lake.quarantine().select(["doc_id", "lsn", "op", "n_tok"])
+    q = q.set_column(3, "n_tok", pc.cast(q["n_tok"], pa.int64()))
+    return q.sort_by([("lsn", "ascending"), ("doc_id", "ascending")])
+
+
 def q_filtered_read(sf_dir: str):
     """Predicate pushdown on the merge-on-read lake:
     read(filters=[('source','=','web')]) pushes the predicate into the
@@ -1854,6 +1926,7 @@ QUERIES = {
     "cdc_replay": q_cdc_replay,
     "cdc_replay_delta": q_cdc_replay_delta,
     "filtered_read": q_filtered_read,
+    "quarantine": q_quarantine,
     "export_shards": q_export_shards,
     "cdc_consume": q_cdc_consume,
     "cdc_changes": q_cdc_changes,
@@ -2340,6 +2413,13 @@ def oracle_sql_dict() -> dict[str, str]:
         out["filtered_read"] = (
             f"SELECT * FROM ({out['cdc_replay']}) WHERE source = 'web'"
         )
+        _, _, evq_dir, _ = _quarantine_fixture(sf_tag)
+        out["quarantine"] = f"""
+            SELECT doc_id, lsn, op, CAST(n_tok AS BIGINT) AS n_tok
+            FROM read_parquet('{evq_dir}/*.parquet')
+            WHERE doc_id IS NULL OR lsn IS NULL OR op NOT IN ('I','U','D')
+            ORDER BY lsn, doc_id
+        """
         out["cdc_changes"] = _cdc_changes_oracle_sql(base_dir, ev_dir)
         out["incremental_agg"] = _cdc_agg_oracle_sql(base_dir, ev_dir)
     except Exception:
