@@ -642,8 +642,74 @@ def expected_streaming_neardup(
 
 # ------------------------------------------------------------- dispatch
 
+def expected_doc_history(sf_dir: str) -> pa.Table:
+    """Expected provenance events for q_doc_history: sequential scalar
+    replay (oracle.apply_events) of the graded stream to each of the
+    MOR lake's tick watermarks (n/3, 2n/3, n), then per sampled doc an
+    I/U/D event whenever its image appears/changes/disappears between
+    consecutive versions (pre-delete image on D — the engine's
+    Delta-CDF convention), version 1 = the init snapshot."""
+    import glob
+
+    from .oracle import apply_events, state_from_base
+    from .pipelines.queries import _history_doc_sample, cdc_fixture
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    cfg, base_dir, ev_dir, _lake = cdc_fixture(sf_tag)
+    base = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(os.path.join(base_dir, "*.parquet")))]
+    )
+    events = [pq.read_table(f) for f in sorted(glob.glob(os.path.join(ev_dir, "*.parquet")))]
+    rows: list[dict] = []
+    for t in events:
+        rows.extend(t.to_pylist())
+    n = cfg.n_events
+    states = [state_from_base(base)]
+    for hi in (n // 3, 2 * n // 3, n):
+        win = pa.Table.from_pylist([r for r in rows if r["lsn"] <= hi], schema=events[0].schema)
+        states.append(apply_events([win], initial=state_from_base(base)))
+
+    def image(s, d):
+        r = s.get(d)
+        return None if r is None else (tuple(r["tokens"] or []), r["n_tok"], r["source"])
+
+    out = {"version": [], "change_op": [], "doc_id": [], "n_tok": [], "source": [], "token_sum": []}
+
+    def emit(v, op, d, img):
+        out["version"].append(v)
+        out["change_op"].append(op)
+        out["doc_id"].append(d)
+        out["n_tok"].append(int(img[1]))
+        out["source"].append(img[2])
+        out["token_sum"].append(int(sum(img[0])))
+
+    for d in _history_doc_sample(ev_dir):
+        prev = None
+        for v, s in zip((1, 2, 3, 4), states):
+            cur = image(s, d)
+            if prev is None and cur is not None:
+                emit(v, "I", d, cur)
+            elif prev is not None and cur is None:
+                emit(v, "D", d, prev)  # pre-delete image
+            elif prev is not None and cur is not None and cur != prev:
+                emit(v, "U", d, cur)
+            prev = cur
+    t = pa.table(
+        {
+            "version": pa.array(out["version"], pa.int64()),
+            "change_op": pa.array(out["change_op"], pa.string()),
+            "doc_id": pa.array(out["doc_id"], pa.string()),
+            "n_tok": pa.array(out["n_tok"], pa.int64()),
+            "source": pa.array(out["source"], pa.string()),
+            "token_sum": pa.array(out["token_sum"], pa.int64()),
+        }
+    )
+    return t.sort_by([("doc_id", "ascending"), ("version", "ascending")])
+
+
 EXPECTED_BUILDERS = {
     "streaming_neardup": expected_streaming_neardup,
+    "doc_history": expected_doc_history,
     "export_shards": expected_export_shards,
     "simhash": expected_simhash,
     "winnow_fingerprints": expected_winnow,

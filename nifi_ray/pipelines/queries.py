@@ -1587,6 +1587,56 @@ def q_cdc_replay_delta(sf_dir: str):
     return lake.read().map_batches(_cdc_summarize, batch_format="pyarrow")
 
 
+def _history_doc_sample(ev_dir: str, k: int = 20) -> list[str]:
+    """Deterministic doc sample for the doc_history grade: stride over
+    the sorted distinct event doc_ids (shared with the oracle builder
+    so both sides pick the same docs)."""
+    import glob
+
+    ids: set[str] = set()
+    for f in sorted(glob.glob(os.path.join(ev_dir, "*.parquet"))):
+        ids.update(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())
+    ordered = sorted(x for x in ids if x is not None)
+    step = max(1, len(ordered) // k)
+    return ordered[::step][:k]
+
+
+def q_doc_history(sf_dir: str):
+    """Provenance drill-down, graded: CDCLake.doc_history for a
+    deterministic sample of docs over the 4-version merge-on-read lake
+    (init + three delta ticks) — one partition-pruned point read per
+    retained version per doc, never a lake scan. Each I/U/D change
+    event's (version, op, image) is matched against a sequential
+    scalar replay of the same stream to each tick watermark
+    (oracle_expected.expected_doc_history)."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    _cfg, _base_dir, ev_dir, _lake_dir = cdc_fixture(sf_tag)
+    lake = _built_mor_lake(sf_tag)
+    cols = {
+        "version": [], "change_op": [], "doc_id": [],
+        "n_tok": [], "source": [], "token_sum": [],
+    }
+    for d in _history_doc_sample(ev_dir):
+        for r in lake.doc_history(d).to_pylist():
+            cols["version"].append(int(r["version"]))
+            cols["change_op"].append(r["change_op"])
+            cols["doc_id"].append(r["doc_id"])
+            cols["n_tok"].append(int(r["n_tok"]))
+            cols["source"].append(r["source"])
+            cols["token_sum"].append(int(sum(r["tokens"] or [])))
+    t = pa.table(
+        {
+            "version": pa.array(cols["version"], pa.int64()),
+            "change_op": pa.array(cols["change_op"], pa.string()),
+            "doc_id": pa.array(cols["doc_id"], pa.string()),
+            "n_tok": pa.array(cols["n_tok"], pa.int64()),
+            "source": pa.array(cols["source"], pa.string()),
+            "token_sum": pa.array(cols["token_sum"], pa.int64()),
+        }
+    )
+    return t.sort_by([("doc_id", "ascending"), ("version", "ascending")])
+
+
 def _quarantine_fixture(sf_tag: str):
     """CDC fixture + a deterministic malformed-events file: null
     doc_id, null lsn, and unknown-op rows mixed into the stream. Pure
@@ -1927,6 +1977,7 @@ QUERIES = {
     "cdc_replay_delta": q_cdc_replay_delta,
     "filtered_read": q_filtered_read,
     "quarantine": q_quarantine,
+    "doc_history": q_doc_history,
     "export_shards": q_export_shards,
     "cdc_consume": q_cdc_consume,
     "cdc_changes": q_cdc_changes,
