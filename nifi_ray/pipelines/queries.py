@@ -1708,6 +1708,17 @@ def q_quarantine(sf_dir: str):
     return q.sort_by([("lsn", "ascending"), ("doc_id", "ascending")])
 
 
+def q_time_travel(sf_dir: str):
+    """Snapshot isolation, graded: read the merge-on-read lake AT
+    VERSION 2 (the first delta tick, watermark n/3) after two further
+    ticks have been committed on top — the manifest chain keeps every
+    retained version fully readable. Oracle: the final-state SQL
+    restricted to events with lsn <= n/3."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    lake = _built_mor_lake(sf_tag)
+    return lake.read(version=2).map_batches(_cdc_summarize, batch_format="pyarrow")
+
+
 def q_filtered_read(sf_dir: str):
     """Predicate pushdown on the merge-on-read lake:
     read(filters=[('source','=','web')]) pushes the predicate into the
@@ -1978,6 +1989,7 @@ QUERIES = {
     "filtered_read": q_filtered_read,
     "quarantine": q_quarantine,
     "doc_history": q_doc_history,
+    "time_travel": q_time_travel,
     "export_shards": q_export_shards,
     "cdc_consume": q_cdc_consume,
     "cdc_changes": q_cdc_changes,
@@ -2339,15 +2351,18 @@ ORACLE_SQL = {
 }
 
 
-def _cdc_replay_oracle_sql(base_dir: str, ev_dir: str) -> str:
+def _cdc_replay_oracle_sql(base_dir: str, ev_dir: str, lsn_hi: int | None = None) -> str:
     """DuckDB oracle for the flagship: final lake state = last event per
     doc by LSN over base ∪ events, deletes excluded (exactly the
     sequential-oracle semantics in nifi_ray/oracle.py: I/U both set the
-    full row image even for docs absent from base; D removes)."""
+    full row image even for docs absent from base; D removes).
+    ``lsn_hi`` restricts the stream — the state AT an intermediate tick
+    watermark (time travel)."""
+    bound = f"WHERE lsn <= {int(lsn_hi)}" if lsn_hi is not None else ""
     return f"""
         WITH ev AS (
           SELECT doc_id, tokens, n_tok, source, lsn, op
-          FROM read_parquet('{ev_dir}/*.parquet')
+          FROM read_parquet('{ev_dir}/*.parquet') {bound}
         ),
         last_ev AS (
           SELECT * FROM (
@@ -2463,6 +2478,9 @@ def oracle_sql_dict() -> dict[str, str]:
         out["cdc_consume"] = out["cdc_replay"]
         out["filtered_read"] = (
             f"SELECT * FROM ({out['cdc_replay']}) WHERE source = 'web'"
+        )
+        out["time_travel"] = _cdc_replay_oracle_sql(
+            base_dir, ev_dir, lsn_hi=_cfg.n_events // 3
         )
         _, _, evq_dir, _ = _quarantine_fixture(sf_tag)
         out["quarantine"] = f"""
