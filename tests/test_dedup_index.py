@@ -228,3 +228,52 @@ def test_spec_conflict_and_idempotent_create(ray_session, dirs):
         create_dedup_index(lake, "nd", num_hashes=64, bands=16)
     with pytest.raises(FileNotFoundError):
         load_index_manifest(lake.lake_dir, "missing")
+
+
+def test_dense_tick_triggers_early_rebuild(ray_session, tmp_path):
+    """A delta tick rewriting most docs must route to the full-rebuild
+    fallback from footer metadata alone (estimated rows × bands >
+    max_delta_rows) — and the rebuilt index equals a from-scratch one."""
+    base = pa.table(
+        {
+            "doc_id": [f"d{i}" for i in range(40)],
+            "tokens": [[i, i + 1, i + 2, i + 3] for i in range(40)],
+            "n_tok": [4] * 40,
+            "source": ["web"] * 40,
+        },
+        schema=BASE_SCHEMA,
+    )
+    bd = str(tmp_path / "b")
+    os.makedirs(bd)
+    pq.write_table(base, os.path.join(bd, "b.parquet"))
+    lake = CDCLake(str(tmp_path / "lake"))
+    lake.init_from(bd, num_partitions=2)
+    create_dedup_index(lake, "nd", **IDX_KW)
+    # dense tick: every doc updated
+    ed = str(tmp_path / "e")
+    os.makedirs(ed)
+    ev = pa.table(
+        {
+            "lsn": list(range(1, 41)),
+            "op": ["U"] * 40,
+            "doc_id": [f"d{i}" for i in range(40)],
+            "tokens": [[100 + i, 101 + i, 102 + i, 103 + i] for i in range(40)],
+            "n_tok": [4] * 40,
+            "source": ["web"] * 40,
+        },
+        schema=EVENT_SCHEMA,
+    )
+    pq.write_table(ev, os.path.join(ed, "e.parquet"))
+    lake.replay(ed, mode="delta")
+    # max_delta_rows tiny -> metadata estimate must choose rebuild;
+    # rebuilt buckets carry NO delta chains (fresh bases)
+    refresh_dedup_index(lake, "nd", max_delta_rows=10)
+    idx = load_index_manifest(lake.lake_dir, "nd")
+    assert all(len(e["deltas"]) == 0 for e in idx["buckets"].values())
+    scratch = CDCLake(str(tmp_path / "lake2"))
+    scratch.init_from(bd, num_partitions=2)
+    scratch.replay(ed, mode="delta")
+    create_dedup_index(scratch, "nd", **IDX_KW)
+    assert _rows_set(read_index_rows(lake, "nd")) == _rows_set(
+        read_index_rows(scratch, "nd")
+    )
