@@ -1253,21 +1253,29 @@ class CDCLake:
             outs = []
             for row in batch.to_pylist():
                 k = int(row["k"])
-                new_t = snap(row["new_file"], row["new_deltas"])
-                olds = [
-                    snap(f, d) for f, d in zip(row["old_files"], row["old_deltas"])
-                ]
-                old_t = (
-                    pa.concat_tables(olds, promote_options="permissive")
-                    if olds
-                    else tgt.empty_table()
-                )
-                if not same_p and old_t.num_rows:
-                    # keep only docs this NEW partition owns (an old
-                    # partition feeds p_new/g new partitions)
-                    old_t = old_t.filter(
-                        pa.array(partition_of(old_t["doc_id"], p_new) == k)
+                if row.get("suffix_deltas") is not None:
+                    # delta-append fast path: read only the appended
+                    # delta files + point reads of those docs' old
+                    # images (O(delta) bytes, never two full
+                    # snapshots); _diff_snapshots still drops no-op
+                    # writes by image comparison
+                    old_t, new_t = _suffix_changed_images(lake_dir, row, tgt)
+                else:
+                    new_t = snap(row["new_file"], row["new_deltas"])
+                    olds = [
+                        snap(f, d) for f, d in zip(row["old_files"], row["old_deltas"])
+                    ]
+                    old_t = (
+                        pa.concat_tables(olds, promote_options="permissive")
+                        if olds
+                        else tgt.empty_table()
                     )
+                    if not same_p and old_t.num_rows:
+                        # keep only docs this NEW partition owns (an old
+                        # partition feeds p_new/g new partitions)
+                        old_t = old_t.filter(
+                            pa.array(partition_of(old_t["doc_id"], p_new) == k)
+                        )
                 outs.append(_diff_snapshots(old_t, new_t))
             out = (
                 pa.concat_tables(outs)
