@@ -707,9 +707,111 @@ def expected_doc_history(sf_dir: str) -> pa.Table:
     return t.sort_by([("doc_id", "ascending"), ("version", "ascending")])
 
 
+_SM_GOLD = 0x9E3779B97F4A7C15
+_SM_D1 = 0xD6E8FEB86659FD93
+_M64 = (1 << 64) - 1
+
+
+def _mix64_scalar(x: int) -> int:
+    """splitmix64 finalizer on python ints (scalar dual of
+    ann_index._mix64)."""
+    x = (x + _SM_GOLD) & _M64
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & _M64
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & _M64
+    x ^= x >> 31
+    return x
+
+
+def _embed_scalar(tokens: list[int], dim: int, seed: int) -> np.ndarray:
+    """Scalar dual of ann_index.token_embeddings for ONE doc: python-int
+    hashing, sequential float accumulation in the same order, then the
+    same numpy normalization — bit-identical to the vectorized path."""
+    vec = np.zeros(dim, dtype=np.float64)
+    for j in range(dim):
+        cj = _mix64_scalar((seed * _SM_D1 ^ j) & _M64)
+        acc = 0.0
+        for t in tokens or []:
+            h = _mix64_scalar((t * _SM_GOLD ^ cj) & _M64)
+            acc += (h >> 11) / float(1 << 53) * 2.0 - 1.0
+        vec[j] = acc
+    n = np.linalg.norm(vec)
+    return vec / n if n > 1e-12 else vec
+
+
+def expected_ann_search(
+    sf_dir: str,
+    dim: int = 16,
+    n_cells: int = 16,
+    seed: int = 7,
+    sample: int = 256,
+    k: int = 5,
+    nprobe: int = 4,
+) -> pa.Table:
+    """Expected neighbors for q_ann_maintained: sequential scalar
+    replay of the stream to the creation tick (n/3) for the quantizer
+    training sample and to the head for the corpus; scalar splitmix64
+    embeddings; shared kmeans_lite quantizer (an input constant, the
+    expected_knn_ivf convention); exhaustive probe-and-score with the
+    engine's (−sim, doc_id) tie order."""
+    import glob
+
+    from .oracle import apply_events, state_from_base
+    from .pipelines.queries import _history_doc_sample, cdc_fixture
+    from .stages.similarity import kmeans_lite
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    cfg, base_dir, ev_dir, _lake = cdc_fixture(sf_tag)
+    base = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(os.path.join(base_dir, "*.parquet")))]
+    )
+    events = [pq.read_table(f) for f in sorted(glob.glob(os.path.join(ev_dir, "*.parquet")))]
+    rows: list[dict] = []
+    for t in events:
+        rows.extend(t.to_pylist())
+    n = cfg.n_events
+    win = pa.Table.from_pylist(
+        [r for r in rows if r["lsn"] <= n // 3], schema=events[0].schema
+    )
+    state_v2 = apply_events([win], initial=state_from_base(base))
+    state_final = apply_events(events, initial=state_from_base(base))
+
+    head = sorted(state_v2)[:sample]
+    C = kmeans_lite(
+        np.vstack([_embed_scalar(state_v2[d]["tokens"], dim, seed) for d in head]),
+        n_cells=n_cells,
+        seed=seed,
+    )
+    emb = {d: _embed_scalar(v["tokens"], dim, seed) for d, v in state_final.items()}
+    cells = {d: int(np.argmax(C @ v)) for d, v in emb.items()}
+
+    out_q, out_d, out_r = [], [], []
+    for qd in _history_doc_sample(ev_dir, k=8):
+        if qd not in state_final:
+            continue  # deleted docs have no current image to query with
+        qv = emb[qd]
+        probe = set(np.argsort(-(C @ qv))[:nprobe].tolist())
+        scored = sorted(
+            ((float(v @ qv), d) for d, v in emb.items() if cells[d] in probe),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (_s, d) in enumerate(scored[:k], start=1):
+            out_q.append(qd), out_d.append(d), out_r.append(rank)
+    t = pa.table(
+        {
+            "query_doc": pa.array(out_q, pa.string()),
+            "doc_id": pa.array(out_d, pa.string()),
+            "rank": pa.array(out_r, pa.int64()),
+        }
+    )
+    return t.sort_by([("query_doc", "ascending"), ("rank", "ascending")])
+
+
 EXPECTED_BUILDERS = {
     "streaming_neardup": expected_streaming_neardup,
     "doc_history": expected_doc_history,
+    "ann_maintained": expected_ann_search,
     "export_shards": expected_export_shards,
     "simhash": expected_simhash,
     "winnow_fingerprints": expected_winnow,

@@ -1330,6 +1330,28 @@ class CDCLake:
 
         return refresh_dedup_index(self, name, **kw)
 
+    def create_ann_index(self, name: str = "ann", **kw) -> dict:
+        """Create an incrementally-maintained IVF ANN index over the
+        lake's token embeddings (pipelines/ann_index.py)."""
+        from .ann_index import create_ann_index
+
+        return create_ann_index(self, name, **kw)
+
+    def refresh_ann_index(self, name: str = "ann", **kw) -> dict:
+        """Advance the ANN index to the latest lake version — O(changed
+        docs) cell patches, dense ticks rebuild (pipelines/ann_index.py)."""
+        from .ann_index import refresh_ann_index
+
+        return refresh_ann_index(self, name, **kw)
+
+    def ann_search(self, query_doc_ids: list[str], name: str = "ann", **kw):
+        """Top-k cosine neighbors of these docs' current images against
+        the maintained index — point-read queries, nprobe cell reads,
+        never a scan (pipelines/ann_index.py)."""
+        from .ann_index import ann_search
+
+        return ann_search(self, name, query_doc_ids, **kw)
+
     def near_dup_candidates(
         self, since_version: int, name: str = "neardup", **kw
     ) -> pa.Table:

@@ -1708,6 +1708,51 @@ def q_quarantine(sf_dir: str):
     return q.sort_by([("lsn", "ascending"), ("doc_id", "ascending")])
 
 
+def q_ann_maintained(sf_dir: str):
+    """Similarity search as maintained lake state: an IVF ANN index
+    over deterministic token embeddings is created at the FIRST delta
+    tick and advanced through two more ticks by O(changed-docs) cell
+    patches (pipelines/ann_index.py — same manifest-diff machinery as
+    the near-dup index); queries then probe nprobe cells via point
+    reads, never a scan. Oracle: scalar splitmix64 embedding replay +
+    the shared kmeans quantizer + exhaustive probe-and-score over the
+    sequentially-replayed final state
+    (oracle_expected.expected_ann_search)."""
+    from .ann_index import ann_search, create_ann_index, refresh_ann_index
+    from .cdc import CDCLake
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    cfg, base_dir, ev_dir, lake_dir = cdc_fixture(sf_tag)
+    lake_dir = lake_dir + "_ann"
+
+    def build():
+        lake = CDCLake(lake_dir)
+        n = cfg.n_events
+        if lake.manifest() is None:
+            lake.init_from(base_dir, num_partitions=16)
+        lake.replay(ev_dir, lsn_hi=n // 3, mode="delta")
+        create_ann_index(lake, "ann", dim=16, n_cells=16, seed=7, sample=256)
+        lake.replay(ev_dir, lsn_hi=2 * n // 3, mode="delta")
+        refresh_ann_index(lake, "ann")
+        lake.replay(ev_dir, mode="delta")
+        refresh_ann_index(lake, "ann")
+        return lake
+
+    try:
+        lake = build()
+    except Exception:
+        import shutil
+
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        lake = build()
+
+    qdocs = _history_doc_sample(ev_dir, k=8)
+    res = ann_search(lake, "ann", qdocs, k=5, nprobe=4)
+    return res.select(["query_doc", "doc_id", "rank"]).sort_by(
+        [("query_doc", "ascending"), ("rank", "ascending")]
+    )
+
+
 def q_time_travel(sf_dir: str):
     """Snapshot isolation, graded: read the merge-on-read lake AT
     VERSION 2 (the first delta tick, watermark n/3) after two further
@@ -1990,6 +2035,7 @@ QUERIES = {
     "quarantine": q_quarantine,
     "doc_history": q_doc_history,
     "time_travel": q_time_travel,
+    "ann_maintained": q_ann_maintained,
     "export_shards": q_export_shards,
     "cdc_consume": q_cdc_consume,
     "cdc_changes": q_cdc_changes,
