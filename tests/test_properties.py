@@ -251,3 +251,34 @@ def test_avro_container_roundtrip(rows, codec, block_rows):
     back = avro_to_table(table_to_avro(t, codec=codec, block_rows=block_rows))
     assert back.schema == t.schema
     assert back.equals(t)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.text(min_size=1, max_size=12),
+            st.lists(st.integers(min_value=0, max_value=2**31 - 1), max_size=16),
+        ),
+        min_size=0,
+        max_size=50,
+    )
+)
+def test_parquet_part_bytes_deterministic(tmp_path_factory, rows):
+    """Load-bearing assumption of publish_part's identical-bytes dedup
+    and the export entry-hash: writing the same Arrow table twice (even
+    from different paths/processes) produces BYTE-IDENTICAL parquet.
+    If a pyarrow upgrade ever embeds timestamps or nondeterministic
+    ordering, this catches it before it breaks crash-retry semantics."""
+    import pyarrow.parquet as pqq
+
+    d = tmp_path_factory.mktemp("detparq")
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.string()),
+            "tokens": pa.array([r[1] for r in rows], pa.list_(pa.int32())),
+        }
+    )
+    pqq.write_table(t, str(d / "a.parquet"), compression="zstd")
+    pqq.write_table(t, str(d / "b.parquet"), compression="zstd")
+    assert (d / "a.parquet").read_bytes() == (d / "b.parquet").read_bytes()
