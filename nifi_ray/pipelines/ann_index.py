@@ -511,26 +511,44 @@ def ann_search(
     Q = token_embeddings(qt["doc_id"], qt["tokens"], dim, spec["seed"])
     probe_cells = np.argsort(-(Q @ centroids.T), axis=1)[:, :nprobe]
     need = sorted({int(c) for row in probe_cells for c in row})
+    by_cell: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for c in probe_cells[qi]:
+            by_cell.setdefault(int(c), []).append(qi)
     lake_dir = lake.lake_dir
+    q_ref = ray.put(Q)
 
     @ray.remote(num_cpus=1)
-    def read_cell(c: int, entry) -> tuple:
-        return c, _read_cell(lake_dir, entry, dim)
+    def score_cell(c: int, entry, q_idx: list[int], Qm) -> list[tuple]:
+        """Score this cell's members against the queries probing it and
+        return ONLY their per-cell top-k — O(k·queries) rows leave the
+        task, never the cell itself (a cell is corpus/n_cells sized;
+        shipping it to the driver would not scale)."""
+        t = _read_cell(lake_dir, entry, dim)
+        if t.num_rows == 0:
+            return []
+        M = np.asarray(t["emb"].combine_chunks().flatten()).reshape(-1, dim)
+        ids = t["doc_id"].to_pylist()
+        out = []
+        for qi in q_idx:
+            sims = M @ Qm[qi]
+            top = sorted(zip(sims.tolist(), ids), key=lambda x: (-x[0], x[1]))[:k]
+            out.append((qi, top))
+        return out
 
-    got = dict(
-        ray.get([read_cell.remote(c, idx["buckets"].get(str(c))) for c in need])
+    partials = ray.get(
+        [
+            score_cell.remote(c, idx["buckets"].get(str(c)), by_cell[c], q_ref)
+            for c in need
+        ]
     )
+    merged: dict[int, list[tuple]] = {}
+    for part in partials:
+        for qi, top in part:
+            merged.setdefault(qi, []).extend(top)
     out_q, out_d, out_r, out_s = [], [], [], []
     for qi, qd in enumerate(qids):
-        parts = [got[int(c)] for c in probe_cells[qi] if got.get(int(c)) is not None]
-        parts = [t for t in parts if t.num_rows]
-        if not parts:
-            continue
-        cand = pa.concat_tables(parts)
-        M = np.asarray(cand["emb"].combine_chunks().flatten()).reshape(-1, dim)
-        sims = M @ Q[qi]
-        ids = cand["doc_id"].to_pylist()
-        scored = sorted(zip(sims.tolist(), ids), key=lambda t: (-t[0], t[1]))
+        scored = sorted(merged.get(qi, []), key=lambda t: (-t[0], t[1]))
         for rank, (s, d) in enumerate(scored[:k], start=1):
             out_q.append(qd), out_d.append(d), out_r.append(rank), out_s.append(s)
     return pa.table(
