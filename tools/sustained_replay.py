@@ -75,10 +75,14 @@ def main():
         agg_create = time.perf_counter() - t0
         t0 = time.perf_counter()
         lake.create_dedup_index("nd", num_hashes=64, bands=16, num_buckets=256)
+        index_create = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        lake.create_ann_index("ann", dim=16, n_cells=64, seed=7, sample=512)
         print(json.dumps({
             "event": "MAINTAIN_CREATE",
             "agg_create_sec": round(agg_create, 2),
-            "index_create_sec": round(time.perf_counter() - t0, 2),
+            "index_create_sec": round(index_create, 2),
+            "ann_create_sec": round(time.perf_counter() - t0, 2),
         }))
 
     ticks = []
@@ -107,6 +111,9 @@ def main():
             t0 = time.perf_counter()
             lake.refresh_dedup_index("nd")
             rec["index_refresh_sec"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            lake.refresh_ann_index("ann")
+            rec["ann_refresh_sec"] = round(time.perf_counter() - t0, 2)
         if args.mode == "delta" and args.compact_every and tick_no % args.compact_every == 0:
             t0 = time.perf_counter()
             m = lake.compact()
@@ -134,6 +141,9 @@ def main():
                 ),
                 "steady_index_refresh_sec": round(
                     sorted(t["index_refresh_sec"] for t in ticks)[len(ticks) // 2], 2
+                ),
+                "steady_ann_refresh_sec": round(
+                    sorted(t["ann_refresh_sec"] for t in ticks)[len(ticks) // 2], 2
                 ),
             }
             if args.maintain
