@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import time
 
 
 def main(argv=None):
@@ -40,6 +41,11 @@ def main(argv=None):
                         "shards (one parquet per partition) under DIR")
     p.add_argument("--max-seq-len", type=int, default=2048,
                    help="sequence length for --export-shards packing")
+    p.add_argument("--maintain", action="store_true",
+                   help="create-if-absent and refresh the maintained consumers "
+                        "after each run: a by-source GROUP BY view ('by_source'), "
+                        "the MinHash/LSH near-dup index ('nd'), and the IVF ANN "
+                        "index ('ann') — each advanced O(changed docs)")
     p.add_argument("--gc", action="store_true", help="expire old versions + GC orphans at the end")
     p.add_argument("--verify", action="store_true", help="recompute per-partition checksums vs the manifest at the end")
     args = p.parse_args(argv)
@@ -85,6 +91,25 @@ def main(argv=None):
         m = lake.compact(min_deltas=args.compact_after)
         if m is not None:
             print(json.dumps({"event": "COMPACT", "version": m.version}))
+
+    if args.maintain:
+        t0 = time.perf_counter()
+        lake.create_aggregate(
+            "by_source", ["source"], ["n_tok", "token_sum"],
+            [["token_sum", "list_sum", "tokens"]],
+        )
+        a = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        lake.create_dedup_index("nd")
+        b = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        lake.create_ann_index("ann")
+        print(json.dumps({
+            "event": "MAINTAIN",
+            "agg_sec": round(a, 2),
+            "neardup_sec": round(b, 2),
+            "ann_sec": round(time.perf_counter() - t0, 2),
+        }))
 
     if args.export_shards:
         rows = lake.export_shards(args.export_shards, max_len=args.max_seq_len)

@@ -60,3 +60,36 @@ def test_cli_export_shards(ray_session, tmp_path, capsys):
     exp = next(e for e in lines if e["event"] == "EXPORT")
     assert exp["shards"] == 4 and exp["n_seqs"] > 0
     assert len([f for r, _, fs in os.walk(out) for f in fs if f.endswith(".parquet")]) == 4
+
+
+def test_cli_maintain_creates_and_refreshes_consumers(ray_session, tmp_path, capsys):
+    """--maintain on a first run creates the view + both indexes; on a
+    later run (new events) it refreshes them to the new version."""
+    from nifi_ray.pipelines.ann_index import _load_manifest as ann_manifest
+    from nifi_ray.pipelines.dedup_index import load_index_manifest
+    from nifi_ray.pipelines.matview import read_aggregate
+
+    base, ev, lake = (str(tmp_path / d) for d in ("b", "e", "l"))
+    write_base(CFG, base, shards=1)
+    write_events(CFG, ev, shards=2)
+    rc = main(
+        ["--base", base, "--events", ev, "--lake", lake, "--partitions", "4",
+         "--lsn-end", "400", "--mode", "delta", "--maintain"]
+    )
+    assert rc == 0
+    assert '"event": "MAINTAIN"' in capsys.readouterr().out
+    from nifi_ray.pipelines.cdc import CDCLake
+
+    lk = CDCLake(lake)
+    v1 = lk.manifest().version
+    assert load_index_manifest(lake, "nd")["version"] == v1
+    assert ann_manifest(lake, "ann")["version"] == v1
+
+    rc = main(["--events", ev, "--lake", lake, "--mode", "delta", "--maintain"])
+    assert rc == 0
+    v2 = lk.manifest().version
+    assert v2 > v1
+    assert load_index_manifest(lake, "nd")["version"] == v2
+    assert ann_manifest(lake, "ann")["version"] == v2
+    agg = read_aggregate(lk, "by_source")
+    assert agg.num_rows > 0
