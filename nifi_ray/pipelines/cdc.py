@@ -505,6 +505,7 @@ def _cdc_delta_task(
                 "partition_id": k,
                 "delta_file": rel,
                 "delta_rows": payload.num_rows,
+                "delta_hash": int(state_checksum(payload)),
                 "max_lsn": max_lsn,
                 "events_applied": events_live,
                 "events_in": events_in,
@@ -1530,6 +1531,14 @@ class CDCLake:
             if mode == "delta":
                 e = dict(partitions[k])
                 e["deltas"] = list(e.get("deltas", [])) + [r["delta_file"]]
+                # per-delta-file integrity record so verify() can cover
+                # merge-on-read lakes without compacting first
+                dm = dict(e.get("delta_meta", {}))
+                dm[r["delta_file"]] = {
+                    "rows": int(r["delta_rows"]),
+                    "hash": int(r["delta_hash"]),
+                }
+                e["delta_meta"] = dm
                 e["max_lsn"] = int(r["max_lsn"])
                 partitions[k] = e
             else:
@@ -1749,9 +1758,12 @@ class CDCLake:
         agree on a running checksum before COMPLETE). One Ray task per
         partition; returns {ok, partitions_checked, mismatches}.
 
-        Partitions with live deltas are skipped (their manifest hash
-        describes the last COMPACTED state by contract) and reported in
-        ``skipped_deltas`` — run compact() first for full coverage."""
+        Merge-on-read partitions are covered too: the base file checks
+        against the entry's (compacted-state) hash and every delta file
+        against the per-file ``delta_meta`` record written at apply
+        time, so a MOR lake needs no compaction for full verification.
+        Delta files predating ``delta_meta`` (legacy manifests) are the
+        only skip, reported in ``skipped_deltas``."""
         m = self.manifest(version)
         if m is None:
             raise FileNotFoundError("lake not initialized")
@@ -1761,27 +1773,48 @@ class CDCLake:
         def check(k: int, rel: str) -> dict:
             _limit_arrow_threads()
             t = pq.read_table(os.path.join(lake_dir, rel))
-            return {"partition_id": k, "rows": t.num_rows, "token_hash": state_checksum(t)}
+            return {
+                "partition_id": k,
+                "file": rel,
+                "rows": t.num_rows,
+                "token_hash": state_checksum(t),
+            }
 
-        todo = {
-            k: e for k, e in m.partitions.items() if not e.get("deltas")
-        }
-        refs = [check.remote(k, e["file"]) for k, e in todo.items()]
+        refs, want = [], {}
+        skipped = 0
+        for k, e in m.partitions.items():
+            meta = e.get("delta_meta", {})
+            deltas = e.get("deltas", [])
+            if any(d not in meta for d in deltas):
+                skipped += 1  # legacy manifest without per-delta records
+                continue
+            refs.append(check.remote(k, e["file"]))
+            want[(k, e["file"])] = {"rows": e["rows"], "hash": int(e["token_hash"])}
+            for d in deltas:
+                refs.append(check.remote(k, d))
+                want[(k, d)] = {
+                    "rows": meta[d]["rows"],
+                    "hash": int(meta[d]["hash"]),
+                }
         mismatches = []
+        checked_parts = set()
         for r in ray.get(refs):
-            e = m.partitions[r["partition_id"]]
-            if r["rows"] != e["rows"] or int(r["token_hash"]) != int(e["token_hash"]):
+            exp = want[(r["partition_id"], r["file"])]
+            checked_parts.add(r["partition_id"])
+            if r["rows"] != exp["rows"] or int(r["token_hash"]) != exp["hash"]:
                 mismatches.append(
                     {
                         "partition_id": r["partition_id"],
-                        "rows": [e["rows"], r["rows"]],
-                        "token_hash": [int(e["token_hash"]), int(r["token_hash"])],
+                        "file": r["file"],
+                        "rows": [exp["rows"], r["rows"]],
+                        "token_hash": [exp["hash"], int(r["token_hash"])],
                     }
                 )
         return {
             "ok": not mismatches,
-            "partitions_checked": len(todo),
-            "skipped_deltas": len(m.partitions) - len(todo),
+            "partitions_checked": len(checked_parts),
+            "files_checked": len(want),
+            "skipped_deltas": skipped,
             "mismatches": mismatches,
         }
 

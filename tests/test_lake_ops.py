@@ -92,12 +92,27 @@ def test_verify_checksums(ray_session, tmp_path):
     assert not rep2["ok"]
     assert rep2["mismatches"][0]["partition_id"] == k
 
-    # delta partitions are skipped with a count
+    # merge-on-read lakes verify WITHOUT compacting: base files check
+    # against the entry hash, delta files against delta_meta
     lake2 = CDCLake(str(tmp_path / "l2"))
     lake2.init_from(b, num_partitions=4)
     lake2.replay(e, lsn_hi=300, mode="delta")
     rep3 = lake2.verify()
-    assert rep3["skipped_deltas"] > 0
+    assert rep3["ok"] and rep3["skipped_deltas"] == 0
+    assert rep3["partitions_checked"] == 4 and rep3["files_checked"] > 4
+
+    # corrupting a DELTA file must be detected too
+    m2 = lake2.manifest()
+    k2, entry2 = next(
+        (k, e2) for k, e2 in m2.partitions.items() if e2.get("deltas")
+    )
+    dpath = os.path.join(str(tmp_path / "l2"), entry2["deltas"][0])
+    t2 = pq.read_table(dpath)
+    pq.write_table(t2.slice(0, max(t2.num_rows - 1, 0)), dpath)
+    rep4 = lake2.verify()
+    assert not rep4["ok"]
+    assert rep4["mismatches"][0]["partition_id"] == k2
+    assert rep4["mismatches"][0]["file"] == entry2["deltas"][0]
 
 
 def test_large_p_grouped_init_and_replay(ray_session, tmp_path, monkeypatch):
