@@ -180,7 +180,7 @@ def _premerge_fn(num_partitions: int, applied_through: int, quarantine_dir: str 
 
 def _apply_partition_fn(
     lake_dir: str,
-    base_files: dict[int, str],
+    base_files: dict[int, dict],
     target_schema_b64: bytes,
     next_version: int,
     applied_through: int,
@@ -221,9 +221,22 @@ def _apply_partition_fn(
         group = collapse_last_writer(group, count_col="ev_count")
         max_lsn = int(pc.max(group["lsn"]).as_py()) if group.num_rows else 0
 
-        base_rel = base_files.get(k)
-        if base_rel is not None:
-            base = pq.read_table(os.path.join(lake_dir, base_rel))
+        entry = base_files.get(k)
+        if entry is not None:
+            base = pq.read_table(os.path.join(lake_dir, entry["file"]))
+            if entry.get("deltas"):
+                # a COW tick on a merge-on-read lake folds the live
+                # delta parts in as part of its base — otherwise the
+                # rewrite would silently revert every doc the deltas
+                # updated to its last-compacted image (data loss)
+                base = _merge_partition(
+                    base,
+                    [
+                        pq.read_table(os.path.join(lake_dir, d))
+                        for d in entry["deltas"]
+                    ],
+                    target_schema,
+                )
         else:
             base = target_schema.empty_table()
         if not base.schema.equals(target_schema):
@@ -1485,7 +1498,10 @@ class CDCLake:
             target = unify(target, s)
         schema_version = m.schema_version + (0 if target.equals(m.schema) else 1)
 
-        base_files = {k: e["file"] for k, e in m.partitions.items()}
+        base_files = {
+            k: {"file": e["file"], "deltas": list(e.get("deltas", []))}
+            for k, e in m.partitions.items()
+        }
         next_version = m.version + 1
         qdir = os.path.join(self.lake_dir, "_quarantine")
         q_before = _quarantine_row_count(qdir)
@@ -1671,7 +1687,10 @@ class CDCLake:
         if lsn_hi is not None:
             pred = pred & (pc.field("lsn") <= pa.scalar(lsn_hi, pa.int64()))
         ds = rd.read_parquet(files, filter=pred)
-        base_files = {k: e["file"] for k, e in m.partitions.items()}
+        base_files = {
+            k: {"file": e["file"], "deltas": list(e.get("deltas", []))}
+            for k, e in m.partitions.items()
+        }
         return (
             _use_hash_shuffle(ds)
             .map_batches(
@@ -1706,7 +1725,10 @@ class CDCLake:
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         n_maps = max(1, min(len(files), ncpu))
         chunks = [files[i::n_maps] for i in range(n_maps)]
-        base_files = {k: e["file"] for k, e in m.partitions.items()}
+        base_files = {
+            k: {"file": e["file"], "deltas": list(e.get("deltas", []))}
+            for k, e in m.partitions.items()
+        }
         schema_b64 = target.serialize().to_pybytes()
 
         # grouped shards: at huge P a map task cannot reasonably return

@@ -267,3 +267,29 @@ def test_filtered_read_pushdown_respects_overlay(ray_session, tmp_path):
         )
     )
     assert sorted(cow["doc_id"].to_pylist()) == ["in_stays", "new_in", "out_enters"]
+
+
+def test_cow_tick_on_live_deltas_keeps_delta_state(ray_session, tmp_path):
+    """Regression: a COW-mode tick on a lake carrying live delta parts
+    must fold them into its base — previously it read only the base
+    file and silently reverted every delta-updated doc to its
+    last-compacted image."""
+    from nifi_ray.oracle import apply_events, state_from_base
+
+    cfg = GenConfig(seed=53, n_docs=400, n_events=3000)
+    b, e, l = (str(tmp_path / d) for d in ("b", "e", "l"))
+    write_base(cfg, b, shards=2)
+    write_events(cfg, e, shards=2)
+    lake = CDCLake(l)
+    lake.init_from(b, num_partitions=4)
+    lake.replay(e, lsn_hi=1500, mode="delta")   # live deltas, NO compact
+    assert lake.manifest().has_deltas()
+    lake.replay(e, mode="cow")                  # cow to head over live deltas
+    assert not lake.manifest().has_deltas()     # folded, not dropped
+
+    oracle = apply_events([events_table(cfg)], state_from_base(base_table(cfg)))
+    got = lake.read_table()
+    assert got.num_rows == len(oracle)
+    toks = dict(zip(got["doc_id"].to_pylist(), got["tokens"].to_pylist()))
+    assert all(toks[k] == v["tokens"] for k, v in oracle.items())
+    assert lake.verify()["ok"]
