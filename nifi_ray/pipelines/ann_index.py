@@ -48,6 +48,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from ..state.manifest import publish_part
 from .dedup_index import _dir, _publish, index_versions
 
 _IDX_RE_NAME = "ann"
@@ -89,6 +90,12 @@ def token_embeddings(
     starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
     n = len(lens)
     out = np.zeros((n, dim), dtype=np.float64)
+    # reduceat only over NON-EMPTY segments: an empty list followed by no
+    # further tokens has start == flat.size, and clipping it backward would
+    # truncate the previous doc's segment, making embeddings depend on batch
+    # composition (breaking the "index is a pure function of lake state"
+    # invariant). Scatter per-segment sums into the zero matrix instead.
+    nz = lens > 0
     for j in range(dim):
         # uint64 wraparound is the intended arithmetic (numpy warns on
         # scalar overflow only; the array ops below wrap silently)
@@ -96,9 +103,8 @@ def token_embeddings(
             cj = _mix64(np.array([np.uint64(seed) * _D1 ^ np.uint64(j)], np.uint64))[0]
         h = _mix64(flat * _GOLD ^ cj)
         vals = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53) * 2.0 - 1.0
-        if flat.size:
-            seg = np.add.reduceat(vals, np.clip(starts, 0, flat.size - 1))
-            out[:, j] = np.where(lens > 0, seg, 0.0)
+        if flat.size and nz.any():
+            out[nz, j] = np.add.reduceat(vals, starts[nz])
     norms = np.linalg.norm(out, axis=1)
     nz = norms > 1e-12
     out[nz] = out[nz] / norms[nz, None]
@@ -177,15 +183,30 @@ def _merge_cell(tables: list[pa.Table], dim: int) -> pa.Table:
     return plus.take(pa.array(np.sort(idx)))
 
 
-def _write_cell(lake_dir, name, cell, version, rows: pa.Table, kind="part") -> str:
-    rel = os.path.join(
-        "_indexes", name, f"c={cell:04d}", f"{kind}-v{version:06d}.parquet"
+def _write_cell(lake_dir, name, cell, version, rows: pa.Table, kind="part",
+                from_version: int | None = None) -> str:
+    """Cell base/delta writer. Refresh-written bytes depend on the
+    refresh's FROM-version (which snapshot diff was computed), so the
+    from-version is part of the file name — two refreshers racing the
+    same lake version from different origins land on different paths and
+    the exclusive idx_v{V}.json winner references only its own bytes.
+    ``publish_part`` makes retried tasks no-ops and any residual
+    same-path/different-bytes collision loud (see dedup_index)."""
+    tag = f"{kind}-v{version:06d}" + (
+        f"-from{from_version:06d}" if from_version is not None else ""
     )
+    rel = os.path.join("_indexes", name, f"c={cell:04d}", f"{tag}.parquet")
     path = os.path.join(lake_dir, rel)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + f".tmp-{os.getpid()}"
-    pq.write_table(rows, tmp, compression="zstd")
-    os.replace(tmp, path)
+    # deterministic byte layout: cell bytes must be a pure function of
+    # (lake version, spec, from_version) for publish_part's
+    # identical-bytes dedup to treat retried tasks as no-ops
+    order = [("doc_id", "ascending"), ("emb_hash", "ascending"),
+             ("sign", "ascending")] if "sign" in rows.schema.names else [
+        ("doc_id", "ascending"), ("emb_hash", "ascending")]
+    pq.write_table(rows.sort_by(order), tmp, compression="zstd")
+    publish_part(tmp, path)
     return rel
 
 
@@ -445,10 +466,13 @@ def refresh_ann_index(
     cells_map = {k: dict(v) for k, v in idx["buckets"].items()}
     new_version = m_new.version
 
+    v_from = int(idx["version"])
+
     @ray.remote(num_cpus=1)
     def apply_cell(c: int, entry: dict | None, patch: pa.Table) -> tuple:
         entry = dict(entry) if entry else {"file": None, "deltas": []}
-        rel = _write_cell(lake_dir, name, c, new_version, patch, kind="delta")
+        rel = _write_cell(lake_dir, name, c, new_version, patch, kind="delta",
+                          from_version=v_from)
         deltas = list(entry.get("deltas", [])) + [rel]
         if len(deltas) > max_deltas:
             parts = []
@@ -458,7 +482,8 @@ def refresh_ann_index(
             merged = _merge_cell(parts, dim)
             if merged.num_rows == 0:
                 return c, None
-            base = _write_cell(lake_dir, name, c, new_version, merged)
+            base = _write_cell(lake_dir, name, c, new_version, merged,
+                               from_version=v_from)
             return c, {"file": base, "deltas": []}
         return c, {"file": entry.get("file"), "deltas": deltas}
 

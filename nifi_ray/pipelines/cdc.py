@@ -1139,6 +1139,7 @@ class CDCLake:
         the retention window, exactly like the reference's provenance
         index. Columns: version, watermark, change_op, then the row
         image (the pre-delete image for 'D', Delta-CDF style)."""
+        from ..stages.evolve import conform as _conform
         from ..state.manifest import retained_versions
         from ..util.hashing import row_image_hash
 
@@ -1153,14 +1154,19 @@ class CDCLake:
             schema = m.schema
             t = self.lookup([doc_id], version=v)
             cur = t if t.num_rows else None
-            payload = [n for n in m.schema.names if n != "doc_id"]
             if prev is None and cur is not None:
                 events.append((v, m.applied_through, "I", cur))
             elif prev is not None and cur is None:
                 events.append((v, m.applied_through, "D", prev))
             elif prev is not None and cur is not None:
-                if list(row_image_hash(cur, payload)) != list(
-                    row_image_hash(prev.select(cur.schema.names), payload)
+                # schema may have evolved between retained versions:
+                # conform BOTH images to this version's (unified-latest)
+                # schema — prev gains null-filled added columns, so an
+                # added column with a value in cur reads as 'U', while
+                # selecting cur's names out of prev would KeyError
+                payload = [n for n in m.schema.names if n != "doc_id"]
+                if list(row_image_hash(_conform(cur, m.schema), payload)) != list(
+                    row_image_hash(_conform(prev, m.schema), payload)
                 ):
                     events.append((v, m.applied_through, "U", cur))
             prev = cur
@@ -1173,9 +1179,11 @@ class CDCLake:
             return empty
         from ..stages.evolve import conform
 
-        latest = events[-1][3].schema
+        # conform every image to the LATEST manifest schema (not the last
+        # event's image schema — a trailing 'D' stores a pre-delete image
+        # that may predate later column adds)
         rows = pa.concat_tables(
-            [conform(img, latest) for _, _, _, img in events]
+            [conform(img, schema) for _, _, _, img in events]
         )
         out = rows
         out = out.add_column(0, "change_op", pa.array([e[2] for e in events], pa.string()))

@@ -47,6 +47,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..stages.dedup import TokenMinHasher
+from ..state.manifest import publish_part
 
 _IDX_DIR = "_indexes"
 _IDX_RE = re.compile(r"^idx_v(\d{6})\.json$")
@@ -152,17 +153,29 @@ SIGNED_SCHEMA = ROWS_SCHEMA.append(pa.field("sign", pa.int8()))
 
 
 def _write_bucket_file(
-    lake_dir, name, bucket: int, version: int, rows: pa.Table, kind: str = "part"
+    lake_dir, name, bucket: int, version: int, rows: pa.Table, kind: str = "part",
+    from_version: int | None = None,
 ) -> str:
-    rel = os.path.join(
-        _IDX_DIR, name, f"b={bucket:04d}", f"{kind}-v{version:06d}.parquet"
+    """Write one bucket base/delta file under a name that is unique per
+    (bucket, target version, REFRESH ORIGIN). Refresh-written bytes are a
+    function of the from-version too (which snapshot diff was computed),
+    so two concurrent refreshers starting from different index versions
+    but racing the same lake version must land on DIFFERENT paths — the
+    exclusive idx_v{V}.json winner then references only its own bytes
+    (the loser's files are unreferenced orphans). Publishing goes through
+    ``publish_part`` (exclusive link, identical-bytes dedup) so a retried
+    task is a no-op and any residual same-path/different-bytes race
+    raises instead of silently cross-linking."""
+    tag = f"{kind}-v{version:06d}" + (
+        f"-from{from_version:06d}" if from_version is not None else ""
     )
+    rel = os.path.join(_IDX_DIR, name, f"b={bucket:04d}", f"{tag}.parquet")
     path = os.path.join(lake_dir, rel)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + f".tmp-{os.getpid()}"
     pq.write_table(rows.sort_by([("band_hash", "ascending"), ("doc_id", "ascending"),
                                  ("band_id", "ascending")]), tmp)
-    os.replace(tmp, path)  # deterministic name: a retried task overwrites itself
+    publish_part(tmp, path)
     return rel
 
 
@@ -445,7 +458,9 @@ def refresh_dedup_index(
         delta chain exceeds ``max_deltas`` — the lake's merge-on-read
         policy applied to its own index."""
         entry = dict(entry) if entry else {"file": None, "deltas": []}
-        rel = _write_bucket_file(lake_dir, name, b, new_version, patch, kind="delta")
+        rel = _write_bucket_file(
+            lake_dir, name, b, new_version, patch, kind="delta", from_version=v_from
+        )
         deltas = list(entry.get("deltas", [])) + [rel]
         if len(deltas) > max_deltas:
             parts = []
@@ -455,7 +470,9 @@ def refresh_dedup_index(
             merged = _merge_bucket(parts)
             if merged.num_rows == 0:
                 return b, None
-            base = _write_bucket_file(lake_dir, name, b, new_version, _signed(merged, 1))
+            base = _write_bucket_file(
+                lake_dir, name, b, new_version, _signed(merged, 1), from_version=v_from
+            )
             return b, {"file": base, "deltas": []}
         return b, {"file": entry.get("file"), "deltas": deltas}
 

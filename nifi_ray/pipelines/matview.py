@@ -96,12 +96,14 @@ def _derive_cols(t: pa.Table, derive: list[list[str]]) -> pa.Table:
         lens = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
         lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
         starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-        sums = (
-            np.add.reduceat(flat, np.clip(starts, 0, max(flat.size - 1, 0)))
-            if flat.size
-            else np.zeros(len(lens), np.int64)
-        )
-        sums = np.where(lens > 0, sums, 0)
+        # reduceat only over NON-EMPTY segments: an empty trailing list has
+        # start == flat.size, and clipping it backward would truncate the
+        # previous segment (reduceat treats a non-increasing index pair as a
+        # single-element segment). Scatter results into a zero vector instead.
+        sums = np.zeros(len(lens), np.int64)
+        nz = lens > 0
+        if flat.size and nz.any():
+            sums[nz] = np.add.reduceat(flat, starts[nz])
         t = t.append_column(out, pa.array(sums, pa.int64()))
     return t
 

@@ -1444,7 +1444,7 @@ def q_video_frames(sf_dir: str):
 # Bump when replay/apply/summarize semantics change: the lake workdir is
 # keyed by this + the GenConfig fingerprint, so a stale-but-valid lake
 # built by older code is never silently reused (ADVICE r1).
-_CDC_QUERY_REV = 2
+_CDC_QUERY_REV = 3  # r3: reduceat empty-segment fix (matview/ann embeddings)
 
 
 def cdc_fixture(sf_tag: str):

@@ -1,0 +1,158 @@
+"""Round-3 advice regressions:
+
+1. list_sum / token_embeddings reduceat over EMPTY trailing token lists
+   (the np.clip bug truncated the previous segment, corrupting maintained
+   aggregates and making embeddings batch-composition-dependent).
+2. Index bucket/cell files carry the refresh's from-version in their name
+   and publish exclusively (two refreshers racing the same lake version
+   from different origins can no longer silently cross-link bytes).
+3. doc_history across schema evolution between retained versions (the
+   old-image select raised KeyError on later-added columns).
+"""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from nifi_ray.pipelines.ann_index import token_embeddings
+from nifi_ray.pipelines.matview import _derive_cols
+from nifi_ray.state.manifest import CommitConflict
+
+
+def test_list_sum_empty_and_null_trailing_lists():
+    t = pa.table(
+        {"tokens": pa.array([[1, 2], [], [5], None, []], pa.list_(pa.int32()))}
+    )
+    out = _derive_cols(t, [["token_sum", "list_sum", "tokens"]])
+    # pre-fix: clip moved the trailing empty starts backward → [1, 0, 5, ...]
+    assert out["token_sum"].to_pylist() == [3, 0, 5, 0, 0]
+
+
+def test_list_sum_all_empty():
+    t = pa.table({"tokens": pa.array([[], [], None], pa.list_(pa.int32()))})
+    out = _derive_cols(t, [["s", "list_sum", "tokens"]])
+    assert out["s"].to_pylist() == [0, 0, 0]
+
+
+def test_token_embeddings_batch_composition_independent():
+    """A doc's embedding must not depend on which other docs share its
+    batch — empty-token docs anywhere in the batch included."""
+    ids = ["a", "b", "c", "d", "e"]
+    toks = [[1, 2, 3], [], [7], [], [9, 10]]
+    arr = pa.array(toks, pa.list_(pa.int32()))
+    batch = token_embeddings(pa.array(ids), arr, dim=6, seed=42)
+    for i in range(len(ids)):
+        solo = token_embeddings(
+            pa.array([ids[i]]), pa.array([toks[i]], pa.list_(pa.int32())), 6, 42
+        )
+        assert np.array_equal(batch[i], solo[0]), f"doc {ids[i]} batch-dependent"
+    # empty docs embed to exactly zero
+    assert np.all(batch[1] == 0.0) and np.all(batch[3] == 0.0)
+
+
+def test_bucket_file_names_include_from_version(tmp_path):
+    from nifi_ray.pipelines.dedup_index import ROWS_SCHEMA, _signed, _write_bucket_file
+
+    rows_a = _signed(
+        pa.table(
+            {
+                "doc_id": pa.array(["d1"]),
+                "band_id": pa.array([0], pa.int32()),
+                "band_hash": pa.array([11], pa.uint64()),
+            },
+            schema=ROWS_SCHEMA,
+        ),
+        1,
+    )
+    rows_b = _signed(
+        pa.table(
+            {
+                "doc_id": pa.array(["d2"]),
+                "band_id": pa.array([1], pa.int32()),
+                "band_hash": pa.array([22], pa.uint64()),
+            },
+            schema=ROWS_SCHEMA,
+        ),
+        -1,
+    )
+    lake = str(tmp_path)
+    # refreshers from different origins → DIFFERENT paths, both survive
+    rel_a = _write_bucket_file(lake, "ix", 3, 7, rows_a, kind="delta", from_version=5)
+    rel_b = _write_bucket_file(lake, "ix", 3, 7, rows_b, kind="delta", from_version=6)
+    assert rel_a != rel_b
+    assert "from000005" in rel_a and "from000006" in rel_b
+    assert pq.read_table(os.path.join(lake, rel_a))["doc_id"].to_pylist() == ["d1"]
+    assert pq.read_table(os.path.join(lake, rel_b))["doc_id"].to_pylist() == ["d2"]
+    # retried task (same origin, same bytes) → no-op success
+    rel_a2 = _write_bucket_file(lake, "ix", 3, 7, rows_a, kind="delta", from_version=5)
+    assert rel_a2 == rel_a
+    # same path + DIFFERENT bytes → loud, not a silent cross-link
+    with pytest.raises(CommitConflict):
+        _write_bucket_file(lake, "ix", 3, 7, rows_b, kind="delta", from_version=5)
+
+
+def test_cell_file_names_include_from_version(tmp_path):
+    from nifi_ray.pipelines.ann_index import _rows_schema, _write_cell
+
+    dim = 4
+    rows = pa.table(
+        {
+            "doc_id": pa.array(["d1"]),
+            "emb_hash": pa.array([9], pa.uint64()),
+            "emb": pa.array([[0.1] * dim], pa.list_(pa.float64(), dim)),
+            "sign": pa.array([1], pa.int8()),
+        },
+        schema=_rows_schema(dim),
+    )
+    rel = _write_cell(str(tmp_path), "ann", 2, 9, rows, kind="delta", from_version=4)
+    assert "from000004" in rel
+    # retried task with identical content dedups
+    assert _write_cell(str(tmp_path), "ann", 2, 9, rows, kind="delta",
+                       from_version=4) == rel
+
+
+def test_doc_history_across_schema_evolution(ray_session, tmp_path):
+    """doc_history must not KeyError when a column was added between
+    retained versions, and must flag a value arriving in the new column
+    as an update."""
+    from nifi_ray.gen import GenConfig, write_base
+    from nifi_ray.pipelines.cdc import CDCLake
+    from nifi_ray.schema import EVENT_SCHEMA
+
+    cfg = GenConfig(seed=5, n_docs=40, n_events=0)
+    base_dir, lake_dir = (str(tmp_path / d) for d in ("b", "l"))
+    write_base(cfg, base_dir, shards=1)
+    lake = CDCLake(lake_dir)
+    lake.init_from(base_dir, num_partitions=2)  # v1
+
+    def tick(lsn, tokens, lang, n):
+        cols = {
+            "lsn": pa.array([lsn], pa.int64()),
+            "op": pa.array(["U"], pa.string()),
+            "doc_id": pa.array(["evo_doc"], pa.string()),
+            "tokens": pa.array([tokens], pa.list_(pa.int32())),
+            "n_tok": pa.array([len(tokens)], pa.int32()),
+            "source": pa.array(["web"], pa.string()),
+        }
+        if lang is None:
+            ev = pa.table(cols).cast(EVENT_SCHEMA)
+        else:
+            ev = pa.table({**cols, "lang": pa.array([lang], pa.string())})
+        d = str(tmp_path / f"ev{n}")
+        os.makedirs(d)
+        pq.write_table(ev, os.path.join(d, "e.parquet"))
+        lake.replay(d)
+
+    hi = cfg.lsn_start + cfg.n_events
+    tick(hi + 1, [1, 2], None, 1)        # v2: insert, original schema
+    tick(hi + 2, [1, 2], "en", 2)        # v3: same tokens, NEW column value
+    tick(hi + 3, [3], "en", 3)           # v4: token update under evolved schema
+
+    h = lake.doc_history("evo_doc")  # pre-fix: KeyError 'lang'
+    assert h["change_op"].to_pylist() == ["I", "U", "U"]
+    assert h["version"].to_pylist() == [2, 3, 4]
+    assert h["lang"].to_pylist() == [None, "en", "en"]
+    assert h["tokens"].to_pylist() == [[1, 2], [1, 2], [3]]
