@@ -60,7 +60,12 @@ def pre_aggregate(ds, keys: list[str] | str, specs: dict[str, tuple[str, str]]):
         merge_aggs.append(cls(tmp, alias_name=tmp))
     if needs_count:
         merge_aggs.append(Sum("__n", alias_name="__n"))
-    merged = partials.groupby(keys).aggregate(*merge_aggs)
+    from ..util.io import drop_schemaless_empties
+
+    # Ray's hash-shuffle aggregate emits empty hash partitions as
+    # schema-less blocks (bench-tail "RefBundle with a different
+    # schema" warnings); strip them before finalize
+    merged = drop_schemaless_empties(partials.groupby(keys).aggregate(*merge_aggs))
 
     def finalize(batch: pa.Table) -> pa.Table:
         cols = {k: batch[k] for k in keys}

@@ -19,6 +19,8 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..util.io import drop_schemaless_empties
+
 
 def connected_components_ds(pairs, max_rounds: int = 16):
     """Distributed min-label propagation: pairs is a Dataset of {a, b}
@@ -45,25 +47,29 @@ def connected_components_ds(pairs, max_rounds: int = 16):
     def init_labels(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch["u"], "label": batch["u"]})
 
-    labels = (
+    # strip schema-less empty blocks after every groupby/map_groups —
+    # they would otherwise flow INTO the next round's join, whose Arrow
+    # kernel rejects blocks lacking the key field ("No match … for key
+    # field reference" — visible at elevated partition counts where most
+    # hash partitions are empty)
+    labels = drop_schemaless_empties(
         edges.map_batches(init_labels, batch_format="pyarrow")
         .groupby("node")
         .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-        .materialize()
-    )
+    ).materialize()
+
+    from .joins import lookup_join
 
     for _ in range(max_rounds):
-        # propagate: attach u's label to each edge, emit to v
-        msgs = (
-            edges.join(labels, "inner", num_partitions=4, on=("u",), right_on=("node",),
-                       aggregator_ray_remote_args={"num_cpus": 0.1})
-            .map_batches(
-                lambda t: pa.table({"node": t["v"], "cand": t["label"]}),
-                batch_format="pyarrow",
-            )
-            .repartition(4)  # re-block: join emits schema-less empties
+        # propagate: attach u's label to each edge, emit to v. Sort-
+        # exchange lookup_join, not Dataset.join — the hash-join
+        # aggregator fails on the empty hash partitions that label
+        # propagation guarantees (few live keys, cluster-many partitions)
+        msgs = lookup_join(edges, labels, "u", "node", how="inner").map_batches(
+            lambda t: pa.table({"node": t["v"], "cand": t["label"]}),
+            batch_format="pyarrow",
         )
-        merged = (
+        merged = drop_schemaless_empties(
             labels.map_batches(
                 lambda t: pa.table({"node": t["node"], "cand": t["label"]}),
                 batch_format="pyarrow",
@@ -76,8 +82,7 @@ def connected_components_ds(pairs, max_rounds: int = 16):
                 ),
                 batch_format="pyarrow",
             )
-            .materialize()
-        )
+        ).materialize()
         # exact convergence check: labels only decrease, so any change
         # shows as a differing (node, label) pair between rounds
         changed = (

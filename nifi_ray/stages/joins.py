@@ -149,3 +149,94 @@ class RangeLookup:
         for c in self.columns:
             batch = batch.append_column(c, self.ranges[c].take(take))
         return batch
+
+
+def lookup_join(left, right, left_key: str, right_key: str, how: str = "inner"):
+    """Distributed equi-join for a UNIQUE-keyed right side, built on a
+    sort exchange (``groupby().map_groups``) instead of ``Dataset.join``.
+
+    Why not the native hash join here: Ray 2.49's hash-join aggregator
+    hands Acero a SCHEMA-LESS table for any hash partition that received
+    zero rows, and Acero rejects it ("No match or multiple matches for
+    key field reference …"). Empty partitions are guaranteed whenever
+    the cluster-derived partition count exceeds the number of live keys
+    — i.e. precisely on the sparse exchanges (candidate pairs, label
+    propagation) this helper serves. The sort exchange has no empty-
+    partition failure mode; schema-less empties it emits are stripped.
+
+    Semantics: each left row gains the right row's non-key columns where
+    ``left[left_key] == right[right_key]``; ``how='inner'`` drops left
+    rows with no match, ``how='left'`` null-fills them. The right side
+    must be unique per key (duplicate right rows would demand a cross
+    product — assert-guarded per group).
+    """
+    from ..util.io import drop_schemaless_empties
+
+    lschema = left.schema()
+    rschema = right.schema()
+    lnames = list(lschema.names)
+    rpayload = [n for n in rschema.names if n != right_key]
+    overlap = set(lnames) & set(rpayload)
+    if overlap:
+        raise ValueError(f"lookup_join: overlapping non-key columns {overlap}")
+    key_t = lschema.types[lnames.index(left_key)]
+    out_fields = (
+        [(n, lschema.types[lnames.index(n)]) for n in lnames]
+        + [(n, rschema.types[list(rschema.names).index(n)]) for n in rpayload]
+    )
+    uni = pa.schema(
+        [pa.field("__k", key_t), pa.field("__side", pa.int8())]
+        + [pa.field(n, t) for n, t in out_fields]
+    )
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {"__k": t[left_key].cast(key_t),
+                "__side": pa.array(np.ones(t.num_rows, np.int8))}
+        for n, typ in out_fields:
+            cols[n] = t[n].cast(typ) if n in t.schema.names else pa.nulls(
+                t.num_rows, typ)
+        return pa.table(cols, schema=uni)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {"__k": t[right_key].cast(key_t),
+                "__side": pa.array(np.zeros(t.num_rows, np.int8))}
+        for n, typ in out_fields:
+            cols[n] = t[n].cast(typ) if n in t.schema.names else pa.nulls(
+                t.num_rows, typ)
+        return pa.table(cols, schema=uni)
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema([pa.field(n, t) for n, t in out_fields])
+
+    def attach(g: pa.Table) -> pa.Table:
+        rrows = g.filter(pc.equal(g["__side"], 0))
+        lrows = g.filter(pc.equal(g["__side"], 1))
+        if lrows.num_rows == 0:
+            return out_schema.empty_table()
+        if rrows.num_rows == 0:
+            if how == "inner":
+                return out_schema.empty_table()
+            return pa.table(
+                {n: lrows[n] if n in lschema.names else pa.nulls(
+                    lrows.num_rows, t) for n, t in out_fields},
+                schema=out_schema,
+            )
+        assert rrows.num_rows == 1, (
+            f"lookup_join: right side not unique on {right_key!r} "
+            f"(key {g['__k'][0].as_py()!r} has {rrows.num_rows} rows)"
+        )
+        cols = {}
+        for n, t in out_fields:
+            if n in lschema.names:
+                cols[n] = lrows[n]
+            else:
+                v = rrows[n][0]
+                cols[n] = pa.array([v.as_py()] * lrows.num_rows, t)
+        return pa.table(cols, schema=out_schema)
+
+    return drop_schemaless_empties(
+        both.groupby("__k").map_groups(attach, batch_format="pyarrow")
+    )

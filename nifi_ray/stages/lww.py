@@ -105,11 +105,18 @@ def lww_latest(
     """Dataset-level last-writer-wins: latest row per key by ``order``.
 
     Two-level: batch-local collapse (map_batches, cuts the shuffle and
-    absorbs hot keys), then a keyed HASH repartition — not a sort-based
-    groupby: co-location by key is all the final collapse needs, and
-    sorting payload rows to get it is pure waste (same reasoning as the
-    CDC exchange, pipelines/cdc.py). The shuffle carries ≤ one row per
-    (key, batch); the block-level collapse picks each key's winner.
+    absorbs hot keys) then per-key collapse (groupby.map_groups). The
+    shuffle carries ≤ one row per (key, batch), not the full stream.
+
+    Exchange choice, MEASURED: round 2 swapped the sort-based groupby
+    for a keyed hash ``repartition(16)`` expecting to skip the sort —
+    and regressed the driver bench 1.8→2.5 s. A same-session A/B at
+    sf0.1/32 CPUs (3 interleaved runs each, min-of-3): hash exchange
+    3.24/3.49 s vs groupby 1.50/1.59 s — the hash-shuffle aggregator
+    actors cost more than sorting the already-collapsed (tiny) rows.
+    So: sort-based groupby on the collapsed stream is the keeper;
+    ``num_partitions`` is kept for API compatibility (the sort exchange
+    picks its own partitioning).
     """
 
     def local(batch: pa.Table) -> pa.Table:
@@ -117,17 +124,14 @@ def lww_latest(
             batch.replace_schema_metadata(None), key=key, order=order
         )
 
-    def final(block: pa.Table) -> pa.Table:
-        out = collapse_last_writer(block, key=key, order=order)
+    def final(group: pa.Table) -> pa.Table:
+        out = collapse_last_writer(group, key=key, order=order)
         return out.select(payload_cols) if payload_cols else out
 
-    from ray.data.context import ShuffleStrategy
-
-    collapsed = ds.map_batches(local, batch_format="pyarrow")
-    collapsed.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    collapsed.context.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
-    return collapsed.repartition(num_partitions, keys=[key]).map_batches(
-        final, batch_format="pyarrow", batch_size=None
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(final, batch_format="pyarrow")
     )
 
 

@@ -43,3 +43,23 @@ def read_parquet_clean(path_or_paths, *, columns=None, filter=None, **kwargs):
     return rd.read_parquet(
         path_or_paths, schema=schema, columns=columns, filter=filter, **kwargs
     )
+
+
+def drop_schemaless_empties(ds):
+    """Strip the zero-column empty blocks Ray's hash-shuffle join /
+    aggregate emits for EMPTY hash partitions (they surface as
+    "Operator produced a RefBundle with a different schema … new
+    schema: ." warnings and break downstream Arrow kernels — a chained
+    join used to need a repartition() workaround per call site). A
+    generator map_batches yields only schema-ful blocks, so the block
+    stream downstream is schema-uniform again; cost is one zero-copy
+    pass-through per block."""
+    import pyarrow as _pa
+
+    def keep(t: _pa.Table):
+        # empty hash partitions also surface as zero-ROW blocks whose
+        # columns are null-typed — equally poisonous to schema unify
+        if t.num_columns and t.num_rows:
+            yield t
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -156,3 +156,71 @@ def test_doc_history_across_schema_evolution(ray_session, tmp_path):
     assert h["version"].to_pylist() == [2, 3, 4]
     assert h["lang"].to_pylist() == [None, "en", "en"]
     assert h["tokens"].to_pylist() == [[1, 2], [1, 2], [3]]
+
+
+def test_scale_knobs_derive_from_cluster(monkeypatch):
+    from nifi_ray.util import scale
+
+    monkeypatch.setattr(scale, "cluster_cpus", lambda default=4: 128)
+    assert scale.join_partitions() == 64
+    monkeypatch.setattr(scale, "cluster_cpus", lambda default=4: 1)
+    assert scale.join_partitions() == 2  # floor keeps the partitioned path alive
+    monkeypatch.setenv("NIFI_RAY_BROADCAST_BUDGET", "12345")
+    assert scale.broadcast_budget_bytes() == 12345
+
+
+def test_parquet_avg_row_bytes(tmp_path):
+    from nifi_ray.util.scale import parquet_avg_row_bytes
+
+    t = pa.table({"doc_id": [f"d{i}" for i in range(100)],
+                  "text": ["x" * 100] * 100,
+                  "other": list(range(100))})
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(t, p)
+    full = parquet_avg_row_bytes(p)
+    sub = parquet_avg_row_bytes(p, columns=["doc_id", "text"])
+    assert 0 < sub <= full
+
+
+def test_components_correct_on_sparse_edges(ray_session):
+    """Label propagation over a tiny sparse edge set — the regime where
+    Dataset.join used to die in Ray's hash-shuffle aggregator (empty
+    hash partitions handed to Acero schema-less). The sort-exchange
+    lookup_join path must converge to exact components."""
+    import ray.data as rd
+
+    from nifi_ray.stages import components as C
+
+    edges = pa.table({"a": ["d1", "d2", "x1"], "b": ["d2", "d3", "x2"]})
+    out = C.connected_components_ds(rd.from_arrow(edges)).to_pandas()
+    got = dict(zip(out["node"], out["component"]))
+    assert got == {"d1": "d1", "d2": "d1", "d3": "d1", "x1": "x1", "x2": "x1"}
+
+
+def test_lookup_join_inner_and_left(ray_session):
+    import ray.data as rd
+
+    from nifi_ray.stages.joins import lookup_join
+
+    left = rd.from_arrow(pa.table({"k": ["a", "b", "a", "z"], "v": [1, 2, 3, 4]}))
+    right = rd.from_arrow(pa.table({"kk": ["a", "b", "c"], "w": [10, 20, 30]}))
+    inner = lookup_join(left, right, "k", "kk", how="inner").to_pandas()
+    assert sorted(zip(inner["k"], inner["v"], inner["w"])) == [
+        ("a", 1, 10), ("a", 3, 10), ("b", 2, 20)]
+    lft = lookup_join(left, right, "k", "kk", how="left").to_pandas()
+    z = lft[lft["k"] == "z"]
+    assert len(z) == 1 and z["w"].isna().all()
+
+
+def test_minhash_pairs_fallback_matches_fast_path(ray_session, monkeypatch):
+    """Force the broadcast byte budget to zero so minhash_pairs takes the
+    partitioned lookup-join fallback; its verified pairs must equal the
+    semi-join fast path's."""
+    from nifi_ray.pipelines.queries import q_minhash_pairs
+
+    sf = "/root/testdata/sf0.001"
+    fast = q_minhash_pairs(sf).to_pandas()
+    monkeypatch.setenv("NIFI_RAY_BROADCAST_BUDGET", "1")
+    slow = q_minhash_pairs(sf).to_pandas()
+    key = lambda df: sorted(zip(df["a"], df["b"]))
+    assert key(fast) == key(slow) and len(fast) > 0

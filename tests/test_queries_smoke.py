@@ -49,3 +49,28 @@ def test_query_matches_oracle(ray_session, con, name):
             assert (got[c] - want[c].astype(float)).abs().max() < 1e-9
         else:
             assert got[c].astype(str).tolist() == want[c].astype(str).tolist()
+
+
+def test_oracle_builder_failure_is_loud_and_isolated(monkeypatch, capsys):
+    """A raising oracle builder must (a) print the failure to stderr and
+    (b) leave every OTHER builder's oracles intact — a single cold/broken
+    fixture can never silently un-grade an unrelated query block."""
+    from nifi_ray.pipelines import queries as Q
+
+    def boom(out, sf_tag):
+        raise RuntimeError("forced fixture failure")
+
+    monkeypatch.setattr(
+        Q, "_ORACLE_BUILDERS",
+        [("cdc", boom)] + [b for b in Q._ORACLE_BUILDERS if b[0] != "cdc"],
+    )
+    out = Q.oracle_sql_dict()
+    err = capsys.readouterr().err
+    assert "ORACLE BUILDER 'cdc' FAILED" in err
+    assert "forced fixture failure" in err
+    # cdc-group oracles dropped...
+    assert "cdc_replay" not in out and "crash_resume" not in out
+    # ...but static SQL and the other builders' oracles survive
+    assert "lww_upsert" in out
+    assert "quarantine" in out          # quarantine builder still ran
+    assert "asof_enrich" in out         # rates builder still ran
