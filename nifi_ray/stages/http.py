@@ -72,3 +72,95 @@ class HttpFetch:
             .append_column("response_body", pa.array(resp, pa.binary()))
             .append_column("error", pa.array(err, pa.string()))
         )
+
+
+class HttpPut:
+    """Actor-pool PUSH egress — the PostHTTP analog (reference
+    nifi-standard-processors/.../standard/PostHTTP.java:1020 onSuccess
+    commits the session only AFTER the server's 2xx acknowledgment;
+    TestPostHTTP.java pins retry-on-5xx semantics).
+
+    Per row: POST ``content_col`` to ``url`` (a fixed endpoint or a
+    per-row ``url_col``). Transport errors and 5xx responses are retried
+    with exponential backoff up to ``max_retries`` (the reference routes
+    to `retry` and redelivers; a bounded in-stage retry is the batch
+    analog — what still fails is routed, never raised). 4xx is routed to
+    failure immediately (reference: non-retryable). Each attempt carries
+    a deterministic ``X-Idempotency-Key`` (md5 of the content) so a
+    redelivered row is server-side dedupable — ack-after-success with
+    at-least-once delivery, the same contract as the FTP dot-rename and
+    Kafka commit-after-session sinks.
+
+    Output columns: ``status_code`` (int32 final attempt, -1 transport),
+    ``attempts`` (int32), ``error`` (string | null on success).
+    """
+
+    def __init__(
+        self,
+        url: str | None = None,
+        url_col: str | None = None,
+        content_col: str = "content",
+        content_type: str = "application/octet-stream",
+        timeout: float = 10.0,
+        max_retries: int = 3,
+        backoff_s: float = 0.05,
+        headers: dict | None = None,
+    ):
+        import urllib.request
+
+        if (url is None) == (url_col is None):
+            raise ValueError("exactly one of url / url_col is required")
+        self.url, self.url_col, self.content_col = url, url_col, content_col
+        self.content_type, self.timeout = content_type, timeout
+        self.max_retries, self.backoff_s = max_retries, backoff_s
+        self.headers = dict(headers or {})
+        self.opener = urllib.request.build_opener()  # once per actor
+
+    def _one(self, url: str | None, content) -> tuple[int, int, str | None]:
+        import hashlib
+        import time
+        import urllib.error
+        import urllib.request
+
+        if not url or content is None:
+            return -1, 0, "empty url or content"
+        body = content.encode() if isinstance(content, str) else bytes(content)
+        idem = hashlib.md5(body).hexdigest()
+        last_err: str | None = None
+        status = -1
+        for attempt in range(1, self.max_retries + 2):
+            try:
+                req = urllib.request.Request(url, data=body, method="POST")
+                req.add_header("Content-Type", self.content_type)
+                req.add_header("X-Idempotency-Key", idem)
+                for k, v in self.headers.items():
+                    req.add_header(k, v)
+                with self.opener.open(req, timeout=self.timeout) as resp:
+                    return resp.status, attempt, None
+            except urllib.error.HTTPError as e:
+                status = e.code
+                if 400 <= e.code < 500:  # non-retryable (reference: failure)
+                    return e.code, attempt, f"HTTP {e.code}"
+                last_err = f"HTTP {e.code}"
+            except Exception as e:  # noqa: BLE001 — transport: retryable
+                status, last_err = -1, f"{type(e).__name__}: {e}"
+            if attempt <= self.max_retries:
+                time.sleep(self.backoff_s * (2 ** (attempt - 1)))
+        return status, self.max_retries + 1, last_err
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = (
+            batch[self.url_col].to_pylist()
+            if self.url_col
+            else [self.url] * batch.num_rows
+        )
+        contents = batch[self.content_col].to_pylist()
+        status, attempts, errs = [], [], []
+        for u, c in zip(urls, contents):
+            s, a, e = self._one(u, c)
+            status.append(s), attempts.append(a), errs.append(e)
+        return (
+            batch.append_column("status_code", pa.array(status, pa.int32()))
+            .append_column("attempts", pa.array(attempts, pa.int32()))
+            .append_column("error", pa.array(errs, pa.string()))
+        )

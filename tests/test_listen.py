@@ -455,3 +455,78 @@ def test_relp_listener_accept_ack_and_malformed(tmp_path):
         assert s2.makefile("rb").read(1) == b""  # server closed it
         s2.close()
         s.close()
+
+
+def test_http_put_push_egress(tmp_path, ray_session):
+    """PostHTTP analog: 2xx acks, 5xx retried with the SAME idempotency
+    key until success, 4xx fails fast, dead endpoint exhausts retries —
+    all routed to columns, never raised."""
+    import http.server
+    import socketserver
+    from collections import defaultdict
+
+    import ray.data
+
+    from nifi_ray.stages.http import HttpPut
+
+    seen = defaultdict(list)  # path -> list of idempotency keys
+    flaky_fails = {"n": 0}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            self.rfile.read(n)
+            seen[self.path].append(self.headers.get("X-Idempotency-Key"))
+            if self.path == "/bad":
+                self.send_response(400)
+            elif self.path == "/flaky" and flaky_fails["n"] < 2:
+                flaky_fails["n"] += 1
+                self.send_response(503)
+            else:
+                self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    class Srv(socketserver.ThreadingMixIn, http.server.HTTPServer):
+        daemon_threads = True
+
+    srv = Srv(("127.0.0.1", 0), H)
+    port = srv.server_address[1]
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    try:
+        rows = [
+            {"url": f"http://127.0.0.1:{port}/ok", "content": b"payload-ok"},
+            {"url": f"http://127.0.0.1:{port}/flaky", "content": b"payload-flaky"},
+            {"url": f"http://127.0.0.1:{port}/bad", "content": b"payload-bad"},
+            {"url": "http://127.0.0.1:1/dead", "content": b"payload-dead"},
+        ]
+        # concurrency=1 so the flaky endpoint's failure counter is hit by
+        # one deterministic actor sequence
+        out = {
+            r["url"].rsplit("/", 1)[1]: r
+            for r in ray.data.from_items(rows)
+            .map_batches(
+                HttpPut(url_col="url", max_retries=3, backoff_s=0.01),
+                batch_format="pyarrow",
+                concurrency=1,
+                batch_size=4,
+            )
+            .take_all()
+        }
+        assert out["ok"]["status_code"] == 200 and out["ok"]["attempts"] == 1
+        assert out["ok"]["error"] is None
+        # 503, 503, 200 → three attempts, same idempotency key each time
+        assert out["flaky"]["status_code"] == 200 and out["flaky"]["attempts"] == 3
+        assert len(set(seen["/flaky"])) == 1 and len(seen["/flaky"]) == 3
+        # 4xx: fail fast, exactly one attempt
+        assert out["bad"]["status_code"] == 400 and out["bad"]["attempts"] == 1
+        assert out["bad"]["error"] == "HTTP 400"
+        # dead endpoint: transport error, retries exhausted
+        assert out["dead"]["status_code"] == -1 and out["dead"]["attempts"] == 4
+        assert out["dead"]["error"]
+    finally:
+        srv.shutdown()
+        srv.server_close()
