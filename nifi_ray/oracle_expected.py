@@ -23,7 +23,7 @@ import pyarrow.parquet as pq
 
 # Bump when any expected-value implementation (or the engine semantics
 # it mirrors) changes — keys the /tmp cache.
-_REV = 3
+_REV = 4  # r3: jpeg rows in image_decode fixture
 
 _M64 = (1 << 64) - 1
 
@@ -220,16 +220,90 @@ def expected_multimodal_decode(n: int = 200, seed: int = 1) -> pa.Table:
 _BMP_DIMS = [(32, 24), (48, 32), (40, 40), (64, 48)]  # synth_bmp_table
 
 
+def _expected_jpeg_pixels(rgb, quality: int, subsample: str):
+    """Independent inverse for jpeg fixture rows: take the SHARED
+    forward definition's quantized coefficients
+    (stages.jpeg.component_coefficients — the same arrays the encoder
+    huffman-codes) and reconstruct pixels with a straight re-
+    implementation of dequantize → IDCT → round/clip → replicate-
+    upsample → YCbCr→RGB. The engine decodes the actual BYTES through
+    its huffman/bitstream reader; equality therefore pins that entire
+    entropy layer (a one-bit slip anywhere breaks every later block)."""
+    import numpy as np
+
+    from .stages.jpeg import ZIGZAG, _T, component_coefficients, scaled_qtables
+
+    h, w = rgb.shape[:2]
+    comps, (hs, vs) = component_coefficients(rgb, quality, subsample)
+    qt_l, qt_c = scaled_qtables(quality)
+
+    def plane_from(zzs, qt, H, W):
+        plane = np.zeros((H, W))
+        n_bx = W // 8
+        for bi in range(len(zzs)):
+            by, bx = divmod(bi, n_bx)
+            coef = np.zeros(64)
+            coef[ZIGZAG] = zzs[bi].astype(float) * qt
+            plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                _T.T @ coef.reshape(8, 8) @ _T + 128.0
+            )
+        return np.clip(np.floor(plane + 0.5), 0, 255)
+
+    Hy = -(-h // (8 * vs)) * 8 * vs
+    Wy = -(-w // (8 * hs)) * 8 * hs
+    if subsample == "4:2:0":
+        # luma arrives in MCU order (TL,TR,BL,BR per 16x16); back to raster
+        bw = Wy // 8
+        idx = []
+        for mr in range(Hy // 16):
+            for mc in range(Wy // 16):
+                r0, c0 = 2 * mr, 2 * mc
+                idx += [r0 * bw + c0, r0 * bw + c0 + 1,
+                        (r0 + 1) * bw + c0, (r0 + 1) * bw + c0 + 1]
+        raster = np.empty_like(comps[0])
+        raster[np.array(idx)] = comps[0]
+        y = plane_from(raster, qt_l, Hy, Wy)
+        cb = plane_from(comps[1], qt_c, Hy // 2, Wy // 2)
+        cr = plane_from(comps[2], qt_c, Hy // 2, Wy // 2)
+        cb = np.repeat(np.repeat(cb, 2, 0), 2, 1)
+        cr = np.repeat(np.repeat(cr, 2, 0), 2, 1)
+    else:
+        y = plane_from(comps[0], qt_l, Hy, Wy)
+        cb = plane_from(comps[1], qt_c, Hy, Wy)
+        cr = plane_from(comps[2], qt_c, Hy, Wy)
+    yf = y[:h, :w]
+    cbf = cb[:h, :w] - 128.0
+    crf = cr[:h, :w] - 128.0
+    r = yf + 1.402 * crf
+    g = yf - 0.344136 * cbf - 0.714136 * crf
+    b = yf + 1.772 * cbf
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.int64)
+
+
 def expected_image_decode(_sf: str, n: int = 96, seed: int = 7) -> pa.Table:
     """Per-image exact channel sums (queries.q_image_decode over
-    synth_bmp_table(96, seed=7)), scalar from the pattern spec."""
+    synth_bmp_table(96, seed=7, with_jpeg=True)): lossless rows scalar
+    from the pattern spec; every 4th row is jpeg — reconstructed via
+    the coefficient path (_expected_jpeg_pixels)."""
+    import numpy as np
+
+    from .stages.multimodal import JPEG_FIXTURE_KW, _synth_rgb
+
     ids, pws, phs, sums = [], [], [], []
     for i in range(n):
         w, h = _BMP_DIMS[i % len(_BMP_DIMS)]
         key = seed * 1_000_003 + i
-        s = [0, 0, 0]
-        for j in range(h * w * 3):
-            s[j % 3] += _mix64(j ^ key) % 256
+        if i % 4 == 3:  # jpeg row (encoders rotate bmp,png,ppm,jpeg)
+            rgb = _synth_rgb(w, h, key)
+            px = _expected_jpeg_pixels(
+                rgb, JPEG_FIXTURE_KW["quality"], JPEG_FIXTURE_KW["subsample"]
+            )
+            s = [int(px[:, :, c].sum()) for c in range(3)]
+        else:
+            s = [0, 0, 0]
+            for j in range(h * w * 3):
+                s[j % 3] += _mix64(j ^ key) % 256
         ids.append(f"img{i:06d}")
         pws.append(w)
         phs.append(h)

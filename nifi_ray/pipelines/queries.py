@@ -1353,16 +1353,18 @@ def q_multimodal_decode(sf_dir: str):
 
 
 def q_image_decode(sf_dir: str):
-    """Real image decode: synthetic 24-bit BMP payloads → actor-pool
-    DecodeImage (pure-numpy BMP codec) → exact per-image integer pixel
-    stats. Oracle = sequential scalar mirror over the same generator
-    (oracle_expected.expected_image_decode) — the codec round-trip and
-    the distributed decode path are what's under test."""
+    """Real image decode: synthetic payloads rotating BMP / PNG / PPM /
+    baseline-JPEG (pure-Python T.81 codec, 4:2:0 + restart markers) →
+    actor-pool DecodeImage → exact per-image integer pixel stats.
+    Oracle = sequential scalar mirror (oracle_expected
+    .expected_image_decode): lossless rows from the pattern spec, jpeg
+    rows reconstructed through the coefficient path — the huffman/
+    bitstream layer is what the jpeg rows pin."""
     import ray.data as rd
 
     from ..stages.multimodal import DecodeImage, synth_bmp_table
 
-    ds = rd.from_arrow(synth_bmp_table(96, seed=7))
+    ds = rd.from_arrow(synth_bmp_table(96, seed=7, with_jpeg=True))
     decoded = ds.map_batches(
         DecodeImage, batch_format="pyarrow", batch_size=16, concurrency=2
     )

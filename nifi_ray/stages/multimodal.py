@@ -291,9 +291,13 @@ def _decode_rgb(payload: bytes) -> np.ndarray:
         if img.ndim == 2:
             return np.repeat(img[:, :, None], 3, axis=2)
         return img[:, :, :3]  # drop alpha
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "no codec for this payload in-container (BMP/PPM/PNG supported; "
-        "jpeg needs an imaging library)"
+        "no codec for this payload in-container "
+        "(BMP/PPM/PNG/baseline-JPEG supported)"
     )
 
 
@@ -497,22 +501,36 @@ def _synth_rgb(w: int, h: int, key: int) -> np.ndarray:
     return (vals % np.uint64(256)).astype(np.uint8).reshape(h, w, 3)
 
 
-def synth_bmp_table(n: int, seed: int = 0) -> pa.Table:
+# graded jpeg fixture parameters (shared with the oracle dual)
+JPEG_FIXTURE_KW = {"quality": 85, "subsample": "4:2:0", "restart_interval": 2}
+
+
+def synth_bmp_table(n: int, seed: int = 0, with_jpeg: bool = False) -> pa.Table:
     """n real image payloads with varied small dims — format rotates
-    BMP / PNG / PPM per row so every codec path is graded (the
-    expected-table oracle recomputes pixel sums from the pattern SPEC,
-    format-independent — oracle_expected.expected_image_decode)."""
+    BMP / PNG / PPM (+ baseline JPEG when ``with_jpeg``) per row so
+    every codec path is graded. For the lossless formats the
+    expected-table oracle recomputes pixel sums from the pattern SPEC;
+    jpeg rows are lossy, so the oracle reconstructs their pixels through
+    the COEFFICIENT path (forward transform shared, scalar inverse
+    re-implemented — oracle_expected._expected_jpeg_pixels), which pins
+    the decoder's huffman/bitstream layer exactly."""
     dims = [(32, 24), (48, 32), (40, 40), (64, 48)]
     encoders = [
         (encode_bmp, "image/bmp"),
         (encode_png, "image/png"),
         (encode_ppm, "image/x-portable-pixmap"),
     ]
+    if with_jpeg:
+        from .jpeg import encode_jpeg_baseline
+
+        encoders.append(
+            (lambda img: encode_jpeg_baseline(img, **JPEG_FIXTURE_KW), "image/jpeg")
+        )
     ids, types, payloads, ws, hs = [], [], [], [], []
     for i in range(n):
         w, h = dims[i % len(dims)]
         img = _synth_rgb(w, h, seed * 1_000_003 + i)
-        enc, mime = encoders[i % 3]
+        enc, mime = encoders[i % len(encoders)]
         ids.append(f"img{i:06d}")
         types.append(mime)
         payloads.append(enc(img))

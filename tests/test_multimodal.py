@@ -69,17 +69,24 @@ def test_decode_image_real_stats():
 
 
 def test_decode_image_unknown_format_raises():
-    t = pa.table(
-        {
-            "media_id": ["x"],
-            "media_type": ["image/jpeg"],
-            "payload": pa.array([b"\xff\xd8\xff\xe0 not decodable"], pa.binary()),
-            "width": pa.array([1], pa.int32()),
-            "height": pa.array([1], pa.int32()),
-        }
-    )
+    # jpeg is now a real codec (stages/jpeg.py) — corrupt jpeg bytes are a
+    # ValueError from the parser; a format with NO codec (GIF) stays a
+    # loud NotImplementedError seam
+    def row(payload, mime):
+        return pa.table(
+            {
+                "media_id": ["x"],
+                "media_type": [mime],
+                "payload": pa.array([payload], pa.binary()),
+                "width": pa.array([1], pa.int32()),
+                "height": pa.array([1], pa.int32()),
+            }
+        )
+
+    with pytest.raises(ValueError):
+        DecodeImage()(row(b"\xff\xd8\xff\xe0 not decodable", "image/jpeg"))
     with pytest.raises(NotImplementedError):
-        DecodeImage()(t)
+        DecodeImage()(row(b"GIF87a not supported", "image/gif"))
 
 
 def test_resize_nearest_identity_and_downscale():
