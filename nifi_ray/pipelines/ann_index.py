@@ -325,13 +325,14 @@ def _build_cells(lake, name, spec, centroids, version) -> dict:
         return pa.table({"cell": pa.array([c], pa.int32()),
                          "file": pa.array([rel])})
 
-    entries = (
+    from ..util.io import drop_schemaless_empties
+
+    entries = drop_schemaless_empties(
         lake.read(columns=["doc_id", "tokens"])
         .map_batches(rows_with_cell, batch_format="pyarrow")
         .groupby("cell")
         .map_groups(write_group, batch_format="pyarrow")
-        .take_all()
-    )
+    ).take_all()
     return {str(int(e["cell"])): {"file": e["file"], "deltas": []} for e in entries}
 
 

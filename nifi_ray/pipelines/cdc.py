@@ -55,6 +55,7 @@ from ..stages.lww import collapse_last_writer, merge_into_base
 from ..state.manifest import (
     CommitConflict,
     Manifest,
+    append_lineage,
     commit_manifest,
     load_manifest,
     manifest_path,
@@ -1597,7 +1598,7 @@ class CDCLake:
             schema=target,
             applied_through=hi,
             partitions=partitions,
-            lineage=m.lineage + [lineage],
+            lineage=append_lineage(m.lineage, lineage),
         )
         commit_manifest(self.lake_dir, m2)
         from ..state.metrics import append_tick_metrics
@@ -1670,15 +1671,15 @@ class CDCLake:
             schema=m.schema,
             applied_through=m.applied_through,
             partitions=partitions,
-            lineage=m.lineage
-            + [
+            lineage=append_lineage(
+                m.lineage,
                 {
                     "kind": "RESCALE",
                     "from_partitions": m.num_partitions,
                     "to_partitions": P,
                     "rows": sum(p["rows"] for p in partitions.values()),
-                }
-            ],
+                },
+            ),
         )
         commit_manifest(self.lake_dir, m2)
         return m2
@@ -1894,15 +1895,15 @@ class CDCLake:
             schema=m.schema,
             applied_through=m.applied_through,
             partitions=partitions,
-            lineage=m.lineage
-            + [
+            lineage=append_lineage(
+                m.lineage,
                 {
                     "kind": "COMPACT",
                     "partitions": sorted(todo),
                     "deltas_folded": sum(len(e["deltas"]) for e in todo.values()),
                     "bytes_written": bytes_written,
-                }
-            ],
+                },
+            ),
         )
         commit_manifest(self.lake_dir, m2)
         return m2
@@ -1930,8 +1931,9 @@ class CDCLake:
                 m2 = load_manifest(self.lake_dir)
                 m2.version += 1
                 m2.applied_through = hi
-                m2.lineage = m2.lineage + [
-                    {"kind": "APPLY", "lsn_range": [lo, hi], "events_applied": 0}
-                ]
+                m2.lineage = append_lineage(
+                    m2.lineage,
+                    {"kind": "APPLY", "lsn_range": [lo, hi], "events_applied": 0},
+                )
                 commit_manifest(self.lake_dir, m2)
         return out

@@ -284,13 +284,14 @@ def _build_buckets(lake, name: str, spec: dict, version: int) -> dict:
                          "file": pa.array([rel]),
                          "rows": pa.array([g.num_rows], pa.int64())})
 
-    entries = (
+    from ..util.io import drop_schemaless_empties
+
+    entries = drop_schemaless_empties(
         lake.read(columns=["doc_id", "tokens"])
         .map_batches(rows_with_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(write_group, batch_format="pyarrow")
-        .take_all()
-    )
+    ).take_all()
     return {str(int(e["bucket"])): {"file": e["file"], "deltas": []} for e in entries}
 
 

@@ -46,6 +46,61 @@ import pyarrow as pa
 _MANIFEST_DIR = "_manifest"
 _V_RE = re.compile(r"^v(\d{6})\.json$")
 
+# Inline provenance window: each committed manifest carries at most this
+# many full lineage records; older records are aged off into one ROLLUP
+# head (NiFi analog: the provenance repository's max.storage.time age-off,
+# reference nifi-docs/src/main/asciidoc/administration-guide.adoc
+# provenance section). Without the bound, every commit re-serializes
+# O(history) JSON — at the 10^10-event regime (10^4-10^5 ticks) commit
+# cost and manifest bytes would grow linearly with lake age (measured:
+# ~15 KB/tick with 64 partitions). Full per-tick provenance within the
+# retention window stays queryable from the RETAINED older manifests.
+LINEAGE_KEEP = int(os.environ.get("NIFI_RAY_LINEAGE_KEEP", "64"))
+
+# counters summed into the rollup when a record ages off
+_ROLLUP_SUMS = (
+    "events_applied",
+    "dups_dropped",
+    "quarantined",
+    "deletes",
+    "bytes_written",
+    "wall_sec",
+    "deltas_folded",
+)
+
+
+def append_lineage(
+    prev: list[dict[str, Any]], record: dict[str, Any], keep: int | None = None
+) -> list[dict[str, Any]]:
+    """``prev + [record]`` with the oldest records aged off into a single
+    ROLLUP head once the inline window exceeds ``keep``. The newest
+    ``keep`` records are always carried verbatim (``lineage[-1]`` is
+    stable for callers); the rollup preserves the aggregate counters."""
+    keep = LINEAGE_KEEP if keep is None else keep
+    out = list(prev) + [record]
+    if len(out) <= keep + 1:  # +1: an existing rollup head doesn't count
+        return out
+    head = (
+        dict(out[0])
+        if out and out[0].get("kind") == "ROLLUP"
+        else {"kind": "ROLLUP", "records": 0, "kinds": {}, **{k: 0 for k in _ROLLUP_SUMS}}
+    )
+    aged, out = out[:-keep], out[-keep:]
+    if aged and aged[0].get("kind") == "ROLLUP":
+        aged = aged[1:]
+    for r in aged:
+        head["records"] += 1
+        kinds = head.setdefault("kinds", {})
+        kinds[r.get("kind", "?")] = kinds.get(r.get("kind", "?"), 0) + 1
+        for k in _ROLLUP_SUMS:
+            if k in r:
+                head[k] = round(head.get(k, 0) + r[k], 3)
+        rng = r.get("lsn_range")
+        if rng:
+            head["lsn_lo"] = min(head.get("lsn_lo", rng[0]), rng[0])
+            head["lsn_hi"] = max(head.get("lsn_hi", rng[1]), rng[1])
+    return [head] + out
+
 
 def _schema_to_b64(schema: pa.Schema) -> str:
     import base64

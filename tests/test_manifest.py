@@ -208,3 +208,52 @@ def test_concurrent_writers_retry_to_serialized_ticks(ray_session, tmp_path):
     assert got["tokens"].to_pylist() == want["tokens"].to_pylist()
     assert writer_a.manifest().applied_through == 8
     assert writer_a.verify()["ok"]
+
+
+# ---------------------------------------------------------------- lineage rollup
+def test_append_lineage_rolls_up_old_records():
+    from nifi_ray.state.manifest import append_lineage
+
+    lin: list = []
+    for i in range(10):
+        lin = append_lineage(
+            lin,
+            {
+                "kind": "APPLY",
+                "lsn_range": [i * 100, (i + 1) * 100],
+                "events_applied": 10,
+                "bytes_written": 5,
+            },
+            keep=4,
+        )
+    # newest 4 carried verbatim; lineage[-1] stays the latest tick record
+    assert lin[-1]["lsn_range"] == [900, 1000]
+    assert [r["kind"] for r in lin] == ["ROLLUP"] + ["APPLY"] * 4
+    head = lin[0]
+    assert head["records"] == 6
+    assert head["kinds"] == {"APPLY": 6}
+    assert head["events_applied"] == 60
+    assert head["bytes_written"] == 30
+    assert head["lsn_lo"] == 0 and head["lsn_hi"] == 600
+
+    # further appends keep aging the oldest in-window records into the head
+    lin = append_lineage(lin, {"kind": "COMPACT", "deltas_folded": 3, "bytes_written": 7}, keep=4)
+    lin = append_lineage(lin, {"kind": "APPLY", "events_applied": 1}, keep=4)
+    head = lin[0]
+    assert head["kind"] == "ROLLUP"
+    assert len(lin) == 5  # ROLLUP + newest 4 (incl. the COMPACT, still in-window)
+    assert [r["kind"] for r in lin] == ["ROLLUP", "APPLY", "APPLY", "COMPACT", "APPLY"]
+    assert head["records"] == 8
+    assert head["kinds"] == {"APPLY": 8}
+    assert head["events_applied"] == 80
+    assert head["bytes_written"] == 40
+
+
+def test_append_lineage_within_window_is_plain_append():
+    from nifi_ray.state.manifest import append_lineage
+
+    lin: list = []
+    for i in range(4):
+        lin = append_lineage(lin, {"kind": "APPLY", "i": i}, keep=4)
+    assert [r["i"] for r in lin] == [0, 1, 2, 3]
+    assert all(r["kind"] == "APPLY" for r in lin)

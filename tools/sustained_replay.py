@@ -31,6 +31,15 @@ def main():
     p.add_argument("--tick", type=int, default=2_000_000)
     p.add_argument("--mode", choices=["cow", "delta"], default="cow")
     p.add_argument("--compact-every", type=int, default=0)
+    p.add_argument(
+        "--retain",
+        type=int,
+        default=0,
+        help="keep only the newest N manifest versions: after every tick "
+        "run expire_versions(keep_last=N) + gc_orphans, recording GC'd "
+        "file counts/bytes and manifest-chain size — the long-horizon "
+        "(thousands-of-commits) regime evidence",
+    )
     p.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     p.add_argument("--keep", action="store_true", help="keep the lake dir")
     p.add_argument(
@@ -119,15 +128,56 @@ def main():
             m = lake.compact()
             rec["compact_sec"] = round(time.perf_counter() - t0, 2)
             rec["compact_bytes"] = m.lineage[-1]["bytes_written"] if m else 0
+        if args.retain:
+            from nifi_ray.state.manifest import (
+                expire_versions,
+                gc_orphans,
+                manifest_path,
+                retained_versions,
+            )
+
+            t0 = time.perf_counter()
+            expired = expire_versions(lake_dir, keep_last=args.retain)
+            orphans = gc_orphans(lake_dir)
+            rec["gc_sec"] = round(time.perf_counter() - t0, 3)
+            rec["gc_expired_manifests"] = len(expired)
+            rec["gc_removed_files"] = len(orphans)
+            retained = retained_versions(lake_dir)
+            rec["retained_versions"] = len(retained)
+            rec["manifest_bytes"] = sum(
+                os.path.getsize(manifest_path(lake_dir, v)) for v in retained
+            )
+            rec["lake_files"] = sum(len(fs) for _, _, fs in os.walk(lake_dir))
+            rec["lake_bytes"] = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(lake_dir)
+                for f in fs
+            )
         ticks.append(rec)
         print(json.dumps(rec))
 
     rows = lake.read().count()
     walls = [t["wall_sec"] for t in ticks]
+    extra = {}
+    if args.retain:
+        # first-quartile vs last-quartile medians: flat curves = no
+        # manifest-chain / file-count creep over the horizon
+        q = max(len(ticks) // 4, 1)
+        med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+        extra = {
+            "tick_sec_first_quartile": med([t["wall_sec"] for t in ticks[:q]]),
+            "tick_sec_last_quartile": med([t["wall_sec"] for t in ticks[-q:]]),
+            "gc_sec_last_quartile": med([t["gc_sec"] for t in ticks[-q:]]),
+            "lake_files_final": ticks[-1]["lake_files"],
+            "lake_bytes_final": ticks[-1]["lake_bytes"],
+            "manifest_bytes_final": ticks[-1]["manifest_bytes"],
+            "retained_versions_final": ticks[-1]["retained_versions"],
+        }
     print(json.dumps({
         "event": "SUMMARY",
         "mode": args.mode,
         "ticks": len(ticks),
+        **extra,
         "total_events": args.events,
         "rows_final": rows,
         "steady_tick_sec": round(sorted(walls)[len(walls) // 2], 2),
