@@ -164,3 +164,137 @@ class HttpPut:
             .append_column("attempts", pa.array(attempts, pa.int32()))
             .append_column("error", pa.array(errs, pa.string()))
         )
+
+
+class BulkRecordPut:
+    """Bulk record egress — the PutElasticsearchHttp analog (reference
+    nifi-elasticsearch-bundle/nifi-elasticsearch-processors/src/main/java/
+    org/apache/nifi/processors/elasticsearch/PutElasticsearchHttp.java:219
+    builds ONE ``_bulk`` NDJSON request per batch of records; :334-349
+    walks the response's per-item ``status`` array and routes every record
+    success/failure independently; PutSQS.java batches the same way).
+
+    Rows are serialized as NDJSON action+source line pairs and POSTed in
+    chunks of ``batch_records`` — one request per chunk, not per record:
+    ``HttpPut`` is for payloads that ARE whole documents; record streams
+    must amortize the round-trip (at 100 TB a per-record POST is 10^10
+    requests). Whole-request 5xx/transport failures retry with backoff
+    like ``HttpPut``; rows of a chunk that still fails all carry
+    ``status_code = -1`` (reference: whole flowfile → retry). A 2xx
+    response is parsed for per-item statuses: rows whose item status is
+    >= 300 carry that status plus the server's reason in ``error``
+    (reference: those records route to failure, the rest to success).
+
+    Output columns: ``status_code`` (int32 per record), ``error``
+    (string | null), ``requests`` (int32 — HTTP requests this row's
+    chunk needed, for retry observability).
+    """
+
+    def __init__(
+        self,
+        url: str,
+        id_col: str = "doc_id",
+        index: str = "docs",
+        op: str = "index",
+        content_cols: list[str] | None = None,
+        batch_records: int = 500,
+        timeout: float = 10.0,
+        max_retries: int = 3,
+        backoff_s: float = 0.05,
+        headers: dict | None = None,
+    ):
+        import urllib.request
+
+        if op not in ("index", "create", "update", "delete"):
+            raise ValueError(f"unsupported bulk op: {op}")
+        self.url = url.rstrip("/") + "/_bulk"
+        self.id_col, self.index, self.op = id_col, index, op
+        self.content_cols = list(content_cols) if content_cols else None
+        self.batch_records = int(batch_records)
+        self.timeout, self.max_retries = timeout, max_retries
+        self.backoff_s, self.headers = backoff_s, dict(headers or {})
+        self.opener = urllib.request.build_opener()  # once per actor
+
+    # ---------------------------------------------------------- request
+    def _post(self, body: bytes) -> tuple[int, bytes | None, str | None, int]:
+        """POST one bulk body; returns (status, resp_bytes, err, requests).
+        Retries whole-request 5xx/transport with exponential backoff."""
+        import time
+        import urllib.error
+        import urllib.request
+
+        last_err: str | None = None
+        status = -1
+        for attempt in range(1, self.max_retries + 2):
+            try:
+                req = urllib.request.Request(self.url, data=body, method="POST")
+                req.add_header("Content-Type", "application/x-ndjson")
+                for k, v in self.headers.items():
+                    req.add_header(k, v)
+                with self.opener.open(req, timeout=self.timeout) as resp:
+                    return resp.status, resp.read(), None, attempt
+            except urllib.error.HTTPError as e:
+                status = e.code
+                if 400 <= e.code < 500:  # non-retryable whole-request
+                    return e.code, None, f"HTTP {e.code}", attempt
+                last_err = f"HTTP {e.code}"
+            except Exception as e:  # noqa: BLE001 — transport: retryable
+                status, last_err = -1, f"{type(e).__name__}: {e}"
+            if attempt <= self.max_retries:
+                time.sleep(self.backoff_s * (2 ** (attempt - 1)))
+        return status, None, last_err, self.max_retries + 1
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+
+        cols = self.content_cols or [
+            c for c in batch.column_names if c != self.id_col
+        ]
+        ids = batch[self.id_col].to_pylist()
+        sources = batch.select(cols).to_pylist()
+        n = batch.num_rows
+        status = [0] * n
+        errs: list[str | None] = [None] * n
+        reqs = [0] * n
+        for lo in range(0, n, self.batch_records):
+            hi = min(lo + self.batch_records, n)
+            lines = []
+            for i in range(lo, hi):
+                lines.append(json.dumps(
+                    {self.op: {"_index": self.index, "_id": str(ids[i])}},
+                    separators=(",", ":")))
+                if self.op != "delete":
+                    lines.append(json.dumps(
+                        sources[i], separators=(",", ":"), default=str))
+            body = ("\n".join(lines) + "\n").encode()
+            http_status, resp, err, attempts = self._post(body)
+            for i in range(lo, hi):
+                reqs[i] = attempts
+            if err is not None or resp is None:
+                for i in range(lo, hi):  # whole chunk → retry relationship
+                    status[i], errs[i] = http_status, err or "empty response"
+                continue
+            try:
+                items = json.loads(resp)["items"]
+                if len(items) != hi - lo:
+                    raise ValueError(
+                        f"bulk response has {len(items)} items for "
+                        f"{hi - lo} records")
+            except Exception as e:  # noqa: BLE001 — malformed response
+                for i in range(lo, hi):
+                    status[i], errs[i] = -1, f"bad bulk response: {e}"
+                continue
+            for i, item in zip(range(lo, hi), items):
+                d = item.get(self.op) or next(iter(item.values()), {})
+                st = int(d.get("status", -1))
+                status[i] = st
+                if st >= 300:
+                    reason = d.get("error") or {}
+                    errs[i] = (
+                        reason.get("reason", str(reason))
+                        if isinstance(reason, dict) else str(reason))
+        return (
+            batch.append_column("status_code", pa.array(status, pa.int32()))
+            .append_column("error", pa.array(errs, pa.string()))
+            .append_column("requests", pa.array(reqs, pa.int32()))
+        )
