@@ -157,6 +157,13 @@ def main():
         print(json.dumps(rec))
 
     rows = lake.read().count()
+    if args.retain:
+        # integrity after N expire+GC cycles: every file the final
+        # manifest references must exist and match its recorded checksum
+        v = lake.verify()
+        if not v["ok"]:
+            print(json.dumps({"event": "VERIFY_FAILED", **v}), file=sys.stderr)
+            raise SystemExit(2)
     walls = [t["wall_sec"] for t in ticks]
     extra = {}
     if args.retain:
