@@ -129,6 +129,10 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
+    from nifi_ray.util.io import silence_mixed_schema_warnings
+
+    silence_mixed_schema_warnings()  # expected empty-partition bundles
+
     from nifi_ray.gen import GenConfig
     from nifi_ray.pipelines.cdc import CDCLake
     from nifi_ray.pipelines.queries import QUERIES

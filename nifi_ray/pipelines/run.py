@@ -46,6 +46,10 @@ def main(argv=None):
                         "after each run: a by-source GROUP BY view ('by_source'), "
                         "the MinHash/LSH near-dup index ('nd'), and the IVF ANN "
                         "index ('ann') — each advanced O(changed docs)")
+    p.add_argument("--report-url", default=None,
+                   help="POST a flow-health metrics snapshot (new ticks since "
+                   "the last acknowledged report + lag) to this collector URL "
+                   "— the ReportingTask analog; cursor advances on 2xx only")
     p.add_argument("--gc", action="store_true", help="expire old versions + GC orphans at the end")
     p.add_argument("--verify", action="store_true", help="recompute per-partition checksums vs the manifest at the end")
     args = p.parse_args(argv)
@@ -117,6 +121,12 @@ def main(argv=None):
                           "n_seqs": sum(r["n_seqs"] for r in rows)}))
 
     print(json.dumps({"event": "LAG", **lag_report(args.lake, head)}))
+    if args.report_url:
+        from ..state.metrics import MetricsReporter
+
+        rep = MetricsReporter(args.lake, args.report_url)
+        print(json.dumps({"event": "REPORT",
+                          **rep.report_once(log_head_lsn=head)}))
     if args.verify:
         print(json.dumps({"event": "VERIFY", **lake.verify()}))
     if args.gc:

@@ -63,3 +63,29 @@ def drop_schemaless_empties(ds):
             yield t
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def silence_mixed_schema_warnings() -> None:
+    """Install a targeted logging filter for Ray's streaming-executor
+    "Operator produced a RefBundle with a different schema" warning.
+
+    The engine deliberately produces those bundles: Ray's shuffle
+    aggregate/join emits EMPTY hash/sort partitions as schema-less
+    blocks, which ``drop_schemaless_empties`` strips one operator later
+    — the executor logs the mixed-schema boundary before the filter can
+    run, so the warning is expected and already handled, not a defect.
+    Only that exact message class is dropped; every other executor
+    warning still surfaces."""
+    import logging
+
+    class _F(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return "produced a RefBundle with a different schema" not in (
+                record.getMessage()
+            )
+
+    for name in (
+        "ray.data._internal.execution.streaming_executor_state",
+        "ray.data",
+    ):
+        logging.getLogger(name).addFilter(_F())
