@@ -1602,6 +1602,88 @@ def q_crash_resume(sf_dir: str):
     return lake.read().map_batches(_cdc_summarize, batch_format="pyarrow")
 
 
+def _evolution_fixture(sf_tag: str):
+    """Evolved-stream fixture: the shared cdc_fixture base plus a
+    two-segment WAL under the same workdir — segment dir ``plain``
+    holds events 1..half with the ORIGINAL schema (no lang, int32
+    n_tok), ``evolved`` holds half+1.. with a new ``lang`` column AND
+    ``n_tok`` widened to int64 (FIXTURES.md F4 add_col + widen as one
+    mid-stream schema cut, the way a real upstream ALTER TABLE lands in
+    a binlog). Idempotent skip-if-exists writes, atomic per file."""
+    from ..gen import GenConfig, events_table
+
+    cfg, base_dir, _ev, lake_dir = cdc_fixture(sf_tag)
+    half = cfg.n_events // 2
+    evo_root = os.path.join(os.path.dirname(base_dir), "events_evo")
+    plain_dir = os.path.join(evo_root, "plain")
+    evolved_dir = os.path.join(evo_root, "evolved")
+    evo_cfg = GenConfig(**{**cfg.__dict__, "evolve_after": half})
+
+    def _write(dir_, table_fn, lo, hi, shards):
+        os.makedirs(dir_, exist_ok=True)
+        bounds = np.linspace(lo, hi, shards + 1).astype(int)
+        for s in range(shards):
+            path = os.path.join(dir_, f"events-{s:05d}.parquet")
+            if os.path.exists(path):
+                continue
+            tbl = table_fn(int(bounds[s]), int(bounds[s + 1]))
+            tmp = path + f".tmp.{os.getpid()}"
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, path)
+
+    _write(plain_dir, lambda a, b: events_table(cfg, a, b), 0, half, 4)
+
+    def _evolved(a, b):
+        t = events_table(evo_cfg, a, b)
+        i = t.schema.get_field_index("n_tok")
+        return t.set_column(i, "n_tok", t["n_tok"].cast(pa.int64()))
+
+    _write(evolved_dir, _evolved, half, cfg.n_events, 4)
+    return cfg, base_dir, plain_dir, evolved_dir, lake_dir + "_evo"
+
+
+def q_schema_evolution(sf_dir: str):
+    """Mid-stream schema evolution (north-rule core): tick 1 replays the
+    original-schema WAL segment, tick 2 a segment that ADDS ``lang``
+    and WIDENS ``n_tok`` to int64 — the lake schema evolves via Arrow
+    unification (schema_version bumps, pre-evolution rows null-filled,
+    ints promoted) and the final state is graded against a
+    union_by_name SQL oracle whose per-doc ``lang`` is the LAST event's
+    value: null for docs last touched before the cut and for untouched
+    base docs. Reference analog: kite ConvertAvroSchema.java's
+    declarative Avro migration / JdbcCommon.java:229-242 on-the-fly
+    schema — here a first-class lake operation (stages/evolve.py)."""
+    from .cdc import CDCLake
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    cfg, base_dir, plain_dir, evolved_dir, lake_dir = _evolution_fixture(sf_tag)
+    half = cfg.n_events // 2
+
+    def build():
+        lake = CDCLake(lake_dir)
+        if lake.manifest() is None:
+            lake.init_from(base_dir, num_partitions=16)
+            lake.replay(plain_dir, lsn_hi=half)
+        lake.replay(evolved_dir)  # no-op (None) when already current
+        return lake
+
+    try:
+        lake = build()
+    except Exception:
+        import shutil
+
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        lake = build()
+
+    def summarize(t: pa.Table) -> pa.Table:
+        out = _cdc_summarize(t)
+        i = out.schema.get_field_index("n_tok")
+        out = out.set_column(i, "n_tok", pc.cast(out["n_tok"], pa.int64()))
+        return out.append_column("lang", pc.cast(t["lang"], pa.string()))
+
+    return lake.read().map_batches(summarize, batch_format="pyarrow")
+
+
 def _built_mor_lake(sf_tag: str):
     """The graded merge-on-read lake: three delta ticks, deltas left
     live (no compact) so read() exercises the LWW overlay."""
@@ -2027,10 +2109,11 @@ def _cdc_summarize(t: pa.Table) -> pa.Table:
 # operators that were all driver-green in round 2 and remain verifiable
 # via tools/check_correctness.py (the judge's driver-style checker).
 QUERIES = {
-    # ── lake-state / CDC family (the north rule) — 1..14 ──
+    # ── lake-state / CDC family (the north rule) — 1..15 ──
     "cdc_replay": q_cdc_replay,
     "cdc_replay_delta": q_cdc_replay_delta,
     "crash_resume": q_crash_resume,
+    "schema_evolution": q_schema_evolution,
     "lww_upsert": q_lww_upsert,
     "filtered_read": q_filtered_read,
     "quarantine": q_quarantine,
@@ -2051,8 +2134,8 @@ QUERIES = {
     "detect_duplicate": q_detect_duplicate,
     "knn_cosine": q_knn_cosine,
     "knn_ivf": q_knn_ivf,
-    # ── multimodal — 23..27 ──
-    "multimodal_decode": q_multimodal_decode,
+    # ── multimodal — 24..27 (real codecs; the legacy fake-payload
+    # plumbing query multimodal_decode moved to the 51+ tail) ──
     "image_decode": q_image_decode,
     "image_resize": q_image_resize,
     "audio_decode": q_audio_decode,
@@ -2083,6 +2166,7 @@ QUERIES = {
     "syslog_roundtrip": q_syslog_roundtrip,
     "listen_ingest": q_listen_ingest,
     # ── 51+: outside the driver's grading window (all r2 driver-green) ──
+    "multimodal_decode": q_multimodal_decode,
     "html_extract": q_html_extract,
     "validate_route": q_validate_route,
     "extract_first_word": q_extract_first_word,
@@ -2492,6 +2576,41 @@ def _cdc_replay_oracle_sql(base_dir: str, ev_dir: str, lsn_hi: int | None = None
     """
 
 
+def _cdc_evolution_oracle_sql(
+    base_dir: str, plain_dir: str, evolved_dir: str
+) -> str:
+    """DuckDB oracle for mid-stream schema evolution: same LWW CTE as
+    the flagship, but the event scan unions the original-schema and
+    evolved-schema WAL segments by name (missing ``lang`` → NULL,
+    int32/int64 ``n_tok`` promoted), so per-doc ``lang`` is the last
+    event's value and both sides agree on BIGINT n_tok."""
+    return f"""
+        WITH ev AS (
+          SELECT doc_id, tokens, n_tok, source, lang, lsn, op
+          FROM read_parquet(
+            ['{plain_dir}/*.parquet', '{evolved_dir}/*.parquet'],
+            union_by_name=true)
+        ),
+        last_ev AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+            FROM ev) t
+          WHERE rn = 1
+        ),
+        final AS (
+          SELECT doc_id, tokens, n_tok, source, lang FROM last_ev WHERE op <> 'D'
+          UNION ALL
+          SELECT b.doc_id, b.tokens, CAST(b.n_tok AS BIGINT), b.source,
+                 CAST(NULL AS VARCHAR) AS lang
+          FROM read_parquet('{base_dir}/*.parquet') b
+          WHERE b.doc_id NOT IN (SELECT doc_id FROM ev)
+        )
+        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, source, lang,
+               CAST(coalesce(list_sum(tokens), 0) AS BIGINT) AS token_sum
+        FROM final
+    """
+
+
 def _cdc_agg_oracle_sql(base_dir: str, ev_dir: str) -> str:
     """DuckDB oracle for the maintained GROUP BY view: a plain
     full-scan aggregate over the LWW final-state CTE — what the engine
@@ -2587,6 +2706,10 @@ def _build_cdc_oracles(out: dict, sf_tag: str) -> None:
     )
     out["cdc_changes"] = _cdc_changes_oracle_sql(base_dir, ev_dir)
     out["incremental_agg"] = _cdc_agg_oracle_sql(base_dir, ev_dir)
+    _, evo_base, plain_dir, evolved_dir, _ = _evolution_fixture(sf_tag)
+    out["schema_evolution"] = _cdc_evolution_oracle_sql(
+        evo_base, plain_dir, evolved_dir
+    )
 
 
 def _build_quarantine_oracle(out: dict, sf_tag: str) -> None:
