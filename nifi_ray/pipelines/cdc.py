@@ -782,13 +782,17 @@ class CDCLake:
                 ),
             )
 
+        from ..util.io import drop_schemaless_empties
+
         stats = (
-            _use_hash_shuffle(ds)
-            .map_batches(
-                lambda b: add_partition_column(b, num_partitions),
-                batch_format="pyarrow",
+            drop_schemaless_empties(
+                _use_hash_shuffle(ds)
+                .map_batches(
+                    lambda b: add_partition_column(b, num_partitions),
+                    batch_format="pyarrow",
+                )
+                .repartition(num_partitions, keys=["partition_id"])
             )
-            .repartition(num_partitions, keys=["partition_id"])
             .map_batches(write_block, batch_format="pyarrow", batch_size=None)
             .take_all()
         )
@@ -894,6 +898,15 @@ class CDCLake:
         expr = pq.filters_to_expression(filters) if filters else None
         if not m.has_deltas():
             kw = {"filter": expr} if expr is not None else {}
+            if columns is None:
+                # partitioning=None: the p=NNNNN dir layout must not be
+                # hive-inferred into a phantom `p` column (it leaked into
+                # downstream schemas, e.g. a replica bootstrapped from
+                # this Dataset). Only safe WITHOUT columns= — Ray 2.49's
+                # parquet datasource raises UnboundLocalError on
+                # partitioning=None + columns; an explicit projection
+                # already excludes the phantom column anyway.
+                kw["partitioning"] = None
             return rd.read_parquet(
                 m.data_files(self.lake_dir), columns=columns, **kw
             )

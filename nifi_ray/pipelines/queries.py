@@ -1684,6 +1684,48 @@ def q_schema_evolution(sf_dir: str):
     return lake.read().map_batches(summarize, batch_format="pyarrow")
 
 
+def q_replicate(sf_dir: str):
+    """Site-to-site replication graded end-to-end: a source lake ticks
+    twice (COW half-stream, then a merge-on-read delta tick), each span
+    replicated into a replica lake — bootstrap ships the pinned
+    snapshot, the second trigger ships the change feed with CRC
+    confirmation and commit-after-session cursor ordering
+    (pipelines/replicate.py; reference
+    nifi-site-to-site-client AbstractTransaction.java:177-210). The
+    REPLICA's final state is graded against the SAME final-state SQL
+    oracle as cdc_replay, and the distributed cross-lake fingerprint
+    (verify_replica) must match before any rows are returned."""
+    from .cdc import CDCLake
+    from .replicate import replicate, verify_replica
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    cfg, base_dir, ev_dir, lake_dir = cdc_fixture(sf_tag)
+    src_dir, dst_dir = lake_dir + "_repsrc", lake_dir + "_repdst"
+
+    def build():
+        src = CDCLake(src_dir)
+        if src.manifest() is None:
+            src.init_from(base_dir, num_partitions=16)
+            src.replay(ev_dir, lsn_hi=cfg.n_events // 2)
+            replicate(src, dst_dir)  # bootstrap at the half-stream snapshot
+        src.replay(ev_dir, mode="delta")  # no-op when already current
+        replicate(src, dst_dir)  # incremental change-feed ship (noop if current)
+        return src, CDCLake(dst_dir)
+
+    try:
+        src, dst = build()
+    except Exception:
+        import shutil
+
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(dst_dir, ignore_errors=True)
+        src, dst = build()
+    rep = verify_replica(src, dst)
+    if not rep["match"]:
+        raise AssertionError(f"replica diverged from source: {rep}")
+    return dst.read().map_batches(_cdc_summarize, batch_format="pyarrow")
+
+
 def _built_mor_lake(sf_tag: str):
     """The graded merge-on-read lake: three delta ticks, deltas left
     live (no compact) so read() exercises the LWW overlay."""
@@ -2114,6 +2156,7 @@ QUERIES = {
     "cdc_replay_delta": q_cdc_replay_delta,
     "crash_resume": q_crash_resume,
     "schema_evolution": q_schema_evolution,
+    "replicate": q_replicate,
     "lww_upsert": q_lww_upsert,
     "filtered_read": q_filtered_read,
     "quarantine": q_quarantine,
@@ -2150,7 +2193,6 @@ QUERIES = {
     "deterministic_shuffle": q_deterministic_shuffle,
     "source_mix": q_source_mix,
     "decontaminate": q_decontaminate,
-    "systematic_sample": q_systematic_sample,
     "curation_pipeline": q_curation_pipeline,
     # ── NiFi operator representatives — 39..50 ──
     "route_events": q_route_events,
@@ -2167,6 +2209,7 @@ QUERIES = {
     "listen_ingest": q_listen_ingest,
     # ── 51+: outside the driver's grading window (all r2 driver-green) ──
     "multimodal_decode": q_multimodal_decode,
+    "systematic_sample": q_systematic_sample,
     "html_extract": q_html_extract,
     "validate_route": q_validate_route,
     "extract_first_word": q_extract_first_word,
@@ -2698,6 +2741,8 @@ def _build_cdc_oracles(out: dict, sf_tag: str) -> None:
     out["cdc_consume"] = out["cdc_replay"]
     # crash + resume must converge to the exact straight-replay state
     out["crash_resume"] = out["cdc_replay"]
+    # the replica must converge to the exact source (= straight-replay) state
+    out["replicate"] = out["cdc_replay"]
     out["filtered_read"] = (
         f"SELECT * FROM ({out['cdc_replay']}) WHERE source = 'web'"
     )
