@@ -61,6 +61,108 @@ def split_text(
     return fn
 
 
+def segment_content(
+    col: str = "content",
+    segment_size: int = 1 << 20,
+    out: str = "segment",
+):
+    """SegmentContent.java analog: explode a binary column into
+    fixed-size byte segments with the ``fragment.*`` split→merge
+    contract (the reference stamps segment.original.filename +
+    fragment id/index/count; reassembly is MergeContent Defragment =
+    ``defragment_fn``). Each output byte is copied exactly once
+    (memoryview slices); the loop is over segments, not bytes."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vals = batch[col].to_pylist()
+        lens = np.array([0 if v is None else len(v) for v in vals], np.int64)
+        nseg = np.maximum((lens + segment_size - 1) // segment_size, 1)
+        parent_idx = np.repeat(np.arange(batch.num_rows), nseg)
+        pieces, frag_idx = [], []
+        for v, n in zip(vals, nseg):
+            if v is None:
+                pieces.append(None), frag_idx.append(0)
+                continue
+            mv = memoryview(v)
+            for i in range(n):
+                pieces.append(bytes(mv[i * segment_size : (i + 1) * segment_size]))
+                frag_idx.append(i)
+        return (
+            batch.take(pa.array(parent_idx))
+            .append_column(out, pa.array(pieces, pa.binary()))
+            .append_column(
+                "fragment_index", pa.array(np.array(frag_idx, np.int32))
+            )
+            .append_column(
+                "fragment_count",
+                pa.array(np.repeat(nseg, nseg).astype(np.int32)),
+            )
+        )
+
+    return fn
+
+
+def split_content(
+    col: str = "content",
+    byte_sequence: bytes = b"\n",
+    keep: str | None = None,  # None | "trailing" | "leading"
+    out: str = "piece",
+    keep_empty: bool = False,
+):
+    """SplitContent.java analog: explode a binary column on an
+    arbitrary byte sequence. ``keep`` mirrors the reference's Keep Byte
+    Sequence + Byte Sequence Location properties: ``"trailing"``
+    re-attaches the delimiter to the piece before it, ``"leading"`` to
+    the piece after it, ``None`` drops it. Same fragment contract as
+    ``segment_content``."""
+    if keep not in (None, "trailing", "leading"):
+        raise ValueError("keep must be None, 'trailing' or 'leading'")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vals = batch[col].to_pylist()
+        all_pieces: list[list[bytes] | None] = []
+        for v in vals:
+            if v is None:
+                all_pieces.append(None)
+                continue
+            parts = bytes(v).split(byte_sequence)
+            if keep == "trailing":
+                parts = [
+                    p + byte_sequence if i < len(parts) - 1 else p
+                    for i, p in enumerate(parts)
+                ]
+            elif keep == "leading":
+                parts = [
+                    byte_sequence + p if i > 0 else p for i, p in enumerate(parts)
+                ]
+            if not keep_empty:
+                parts = [p for p in parts if p] or [b""]
+            all_pieces.append(parts)
+        nseg = np.array(
+            [1 if p is None else len(p) for p in all_pieces], np.int64
+        )
+        parent_idx = np.repeat(np.arange(batch.num_rows), nseg)
+        flat = [
+            piece
+            for parts in all_pieces
+            for piece in (parts if parts is not None else [None])
+        ]
+        frag_idx = np.concatenate([np.arange(n) for n in nseg]) if len(nseg) else []
+        return (
+            batch.take(pa.array(parent_idx))
+            .append_column(out, pa.array(flat, pa.binary()))
+            .append_column(
+                "fragment_index", pa.array(np.asarray(frag_idx, np.int32))
+            )
+            .append_column(
+                "fragment_count",
+                pa.array(np.repeat(nseg, nseg).astype(np.int32)),
+            )
+        )
+
+    return fn
+
+
 def defragment_fn(
     piece_col: str,
     id_col: str = "fragment_id",

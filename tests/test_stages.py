@@ -263,3 +263,53 @@ def test_tokenizer_produces_lake_schema():
     hid = lambda w: int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % (1 << 15)
     assert out["tokens"].to_pylist()[0] == [hid("hello"), hid("world")]
     assert out["tokens"].to_pylist()[3] == [hid("a"), hid("1"), hid("b"), hid("!")]
+
+
+def test_segment_content_fixed_size_roundtrip():
+    import pyarrow as pa
+
+    from nifi_ray.stages.split_merge import segment_content
+
+    tbl = pa.table({"fid": ["a", "b", "c"], "content": [b"0123456789", b"xy", None]})
+    out = segment_content(segment_size=4)(tbl)
+    a = out.filter(pa.compute.equal(out["fid"], "a"))
+    assert a["segment"].to_pylist() == [b"0123", b"4567", b"89"]
+    assert a["fragment_index"].to_pylist() == [0, 1, 2]
+    assert a["fragment_count"].to_pylist() == [3, 3, 3]
+    b = out.filter(pa.compute.equal(out["fid"], "b"))
+    assert b["segment"].to_pylist() == [b"xy"]
+    # reassembly closes the split->merge contract
+    joined = b"".join(a["segment"].to_pylist())
+    assert joined == b"0123456789"
+
+
+def test_split_content_byte_sequence_keep_modes():
+    import pyarrow as pa
+
+    from nifi_ray.stages.split_merge import split_content
+
+    tbl = pa.table({"content": [b"aa|bb|cc"]})
+    assert split_content(byte_sequence=b"|")(tbl)["piece"].to_pylist() == [
+        b"aa",
+        b"bb",
+        b"cc",
+    ]
+    assert split_content(byte_sequence=b"|", keep="trailing")(tbl)[
+        "piece"
+    ].to_pylist() == [b"aa|", b"bb|", b"cc"]
+    assert split_content(byte_sequence=b"|", keep="leading")(tbl)[
+        "piece"
+    ].to_pylist() == [b"aa", b"|bb", b"|cc"]
+    # keep modes preserve the original bytes on concat
+    for keep in ("trailing", "leading"):
+        got = b"".join(
+            split_content(byte_sequence=b"|", keep=keep)(tbl)["piece"].to_pylist()
+        )
+        assert got == b"aa|bb|cc"
+    # multi-byte sequence + empties dropped by default
+    tbl2 = pa.table({"content": [b"x<>y<><>z"]})
+    assert split_content(byte_sequence=b"<>")(tbl2)["piece"].to_pylist() == [
+        b"x",
+        b"y",
+        b"z",
+    ]
