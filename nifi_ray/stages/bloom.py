@@ -82,6 +82,34 @@ def gram_hashes(
     return h, glens
 
 
+def token_gram_hashes(
+    tokens: pa.Array | pa.ChunkedArray, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Token-axis twin of ``gram_hashes``: n-token-gram hashes straight
+    over the lake's ``tokens list<int32>`` column (no text, no
+    tokenizer — decontamination after tokenization compares what the
+    model actually trains on). Same splitmix chain, token ids as the
+    word hashes."""
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    lens_f = pc.list_value_length(tokens).to_numpy(zero_copy_only=False)
+    lens = np.nan_to_num(lens_f.astype(np.float64), nan=0.0).astype(np.int64)
+    flat = pc.list_flatten(tokens)  # null lists contribute zero elements
+    th = mix_u64(flat.to_numpy(zero_copy_only=False).astype(np.uint64))
+    glens = np.maximum(lens - n + 1, 0)
+    total = int(glens.sum())
+    if total == 0:
+        return np.empty(0, np.uint64), glens
+    tstarts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    gram_start = np.repeat(tstarts, glens) + (
+        np.arange(total) - np.repeat(np.cumsum(glens) - glens, glens)
+    )
+    h = th[gram_start]
+    for j in range(1, n):
+        h = mix_u64(h * _GOLDEN ^ th[gram_start + j])
+    return h, glens
+
+
 class BloomFilter:
     """Numpy bit-array Bloom filter over u64 hashes."""
 
@@ -143,16 +171,26 @@ class BloomDecontaminator:
     semantics: every truly contaminated doc is flagged; a false
     positive drops a clean doc at the configured ``fp_rate``."""
 
-    def __init__(self, bloom, col: str = "text", n: int = 5, out: str = "contaminated"):
+    def __init__(
+        self,
+        bloom,
+        col: str = "text",
+        n: int = 5,
+        out: str = "contaminated",
+        mode: str = "text",  # "text" | "tokens" (probe the tokens column)
+    ):
         import ray
 
         if isinstance(bloom, ray.ObjectRef):
             bloom = ray.get(bloom)
         self.bloom: BloomFilter = bloom
         self.col, self.n, self.out = col, n, out
+        if mode not in ("text", "tokens"):
+            raise ValueError("mode must be 'text' or 'tokens'")
+        self.hash_fn = gram_hashes if mode == "text" else token_gram_hashes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        h, glens = gram_hashes(batch[self.col], self.n)
+        h, glens = self.hash_fn(batch[self.col], self.n)
         hits = self.bloom.contains_hashes(h)
         flags = np.zeros(batch.num_rows, bool)
         nz = glens > 0

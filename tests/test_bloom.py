@@ -127,3 +127,44 @@ def test_empty_and_null_batches():
     assert out["contaminated"].to_pylist() == [False, False, False]
     out2 = dec(pa.table({"text": pa.array(["x a b c d e y"], pa.string())}))
     assert out2["contaminated"].to_pylist() == [True]
+
+
+def test_token_gram_hashes_matches_scalar_dual():
+    from nifi_ray.stages.bloom import token_gram_hashes
+    from nifi_ray.util.hashing import mix_u64
+
+    docs = [[1, 2, 3, 4, 5, 6], [7, 8], None, [], [9, 10, 11, 12, 13]]
+    h, glens = token_gram_hashes(pa.array(docs, pa.list_(pa.int32())), n=5)
+    assert glens.tolist() == [2, 0, 0, 0, 1]
+
+    def scalar(gram):
+        GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+        ws = [mix_u64(np.array([t], np.uint64))[0] for t in gram]
+        acc = ws[0]
+        for w in ws[1:]:
+            acc = mix_u64(np.array([acc * GOLDEN ^ w], np.uint64))[0]
+        return acc
+
+    with np.errstate(over="ignore"):
+        exp = [scalar([1, 2, 3, 4, 5]), scalar([2, 3, 4, 5, 6]), scalar([9, 10, 11, 12, 13])]
+    assert h.tolist() == exp
+
+
+def test_token_mode_decontaminator_on_lake_schema():
+    from nifi_ray.stages.bloom import BloomFilter, token_gram_hashes
+
+    bench_tokens = pa.array([[5, 6, 7, 8, 9, 10]], pa.list_(pa.int32()))
+    h, _ = token_gram_hashes(bench_tokens, n=5)
+    bloom = BloomFilter(len(np.unique(h)))
+    bloom.add_hashes(np.unique(h))
+    dec = BloomDecontaminator(bloom, col="tokens", n=5, mode="tokens")
+    batch = pa.table(
+        {
+            "doc_id": ["a", "b", "c"],
+            "tokens": pa.array(
+                [[1, 2, 5, 6, 7, 8, 9, 3], [1, 2, 3, 4, 5, 6], None],
+                pa.list_(pa.int32()),
+            ),
+        }
+    )
+    assert dec(batch)["contaminated"].to_pylist() == [True, False, False]
