@@ -689,6 +689,66 @@ def q_decontaminate(sf_dir: str):
     )
 
 
+def q_decontaminate_bloom(sf_dir: str):
+    """The 100-TB decontamination path (stages/bloom): same benchmark
+    split and contamination predicate as ``decontaminate``, but the
+    probe is a Bloom filter (~10 bits/gram numpy bit array, ray.put
+    once) instead of a broadcast Python-string set. Graded against the
+    SAME exact-set SQL oracle: the hashing is deterministic, and at the
+    configured fp_rate (1e-9 — ~43 bits/gram: the corpus probes ~1e6
+    grams, so expected false positives ≈ 1e-3; still ~200× smaller than
+    the 60+ bytes/gram string set) no false positive fires on this
+    corpus, so the bloom answer must EQUAL the exact answer — the
+    oracle proves both the no-false-negative construction and the fp
+    bound in one check."""
+    import ray
+
+    from ..stages.bloom import BloomDecontaminator, BloomFilter
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "is_bench",
+            pc.equal(pc.utf8_slice_codeunits(
+                pa.array([hashlib.md5(str(v).encode()).hexdigest()
+                          for v in t["doc_id"].to_pylist()]), 0, 1), "0"),
+        ),
+        batch_format="pyarrow",
+    )
+    # build once from the benchmark texts: stream batches, keep only the
+    # u64 gram hashes (8 bytes/gram — the benchmark suite is the small
+    # side by definition), size ONE filter from the deduped union
+    import numpy as np
+
+    from ..stages.bloom import gram_hashes
+
+    parts = [
+        gram_hashes(b["text"], 5)[0]
+        for b in ds.filter(expr="is_bench")
+        .select_columns(["text"])
+        .iter_batches(batch_format="pyarrow")
+    ]
+    uniq = (
+        np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+    )
+    bloom = BloomFilter(len(uniq), fp_rate=1e-9)
+    bloom.add_hashes(uniq)
+    bloom_ref = ray.put(bloom)
+    corpus = ds.filter(expr="is_bench == False").map_batches(
+        BloomDecontaminator,
+        fn_constructor_args=(bloom_ref, "text", 5),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    flagged = corpus.map_batches(
+        lambda t: t.append_column("c", pc.cast(t["contaminated"], pa.int64())),
+        batch_format="pyarrow",
+    )
+    return pre_aggregate(
+        flagged, "lang", {"n_docs": ("doc_id", "count"), "n_contaminated": ("c", "sum")}
+    )
+
+
 def q_pii_redact(sf_dir: str):
     """PII scrub for curation (stages/quality.redact_pii): the synthetic
     corpus carries no PII, so the pipeline first INJECTS deterministic
@@ -2231,6 +2291,7 @@ QUERIES = {
     "topk_per_group": q_topk_per_group,
     "asof_enrich": q_asof_enrich,
     "range_enrich": q_range_enrich,
+    "decontaminate_bloom": q_decontaminate_bloom,
 }
 
 
@@ -2585,6 +2646,11 @@ ORACLE_SQL = {
         SELECT query_id, vec_id, rank FROM r WHERE rank <= 5
     """,
 }
+
+# The bloom path must EQUAL the exact-set answer (no false negatives by
+# construction; no false positive fires at fp=1e-4 on this corpus), so
+# it is graded against the identical oracle.
+ORACLE_SQL["decontaminate_bloom"] = ORACLE_SQL["decontaminate"]
 
 
 def _cdc_replay_oracle_sql(base_dir: str, ev_dir: str, lsn_hi: int | None = None) -> str:
