@@ -729,6 +729,173 @@ class ListenRELP(_Listener):
         self._start()
 
 
+class ListenLumberjack(_Listener):
+    """Lumberjack/beats protocol listener (nifi-lumberjack-bundle
+    ListenLumberjack.java; frame grammar frame/LumberjackDecoder.java:51
+    — frame types W/D/C/A — and the compressed-frame iteration in
+    LumberjackDecoder.processDECOMPRESSED; event fields
+    event/LumberjackEventFactory.java).
+
+    Wire format: each frame is ``version(1B) type(1B) body``:
+
+    - ``'W'`` window size: u32 — client announces the frame window.
+    - ``'D'`` data: u32 seq, u32 pair_count, then pair_count ×
+      (u32 klen, key, u32 vlen, value). One spooled record per frame:
+      ``{payload ('line' value — the filebeat convention — else the
+      field map as JSON), fields_json, seq, sender, proto}``.
+    - ``'C'`` compressed: u32 len + zlib blob holding concatenated D
+      frames ("3 data frames compressed into a single compressed
+      frame") — inflated and iterated, one record + ack per embedded
+      frame.
+    - ``'A'`` ack (server→client): u32 seq, written only AFTER the
+      record is accepted into the spool — the reference acks "after
+      successfully writing the message to a FlowFile"
+      (ListenLumberjack.java:67-69). An unacked frame is retransmitted
+      by the client; LWW replay dedups the redelivery downstream.
+
+    A malformed frame ends the connection without acking the tail
+    (client retransmits), matching the reference's frame-exception
+    channel teardown."""
+
+    def __init__(
+        self,
+        spool_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        partition: int = 0,
+        segment_rows: int = 4096,
+        max_frame_bytes: int = 16 << 20,
+    ):
+        self.writer = SpoolWriter(spool_dir, partition, segment_rows)
+        writer = self.writer
+
+        class Handler(socketserver.StreamRequestHandler):
+            def _exact(self, n: int) -> bytes | None:
+                data = self.rfile.read(n)
+                return data if len(data) == n else None
+
+            @staticmethod
+            def _parse_data_body(buf: bytes, pos: int):
+                """Parse one D-frame body at ``pos`` (past version+type).
+                Returns (seq, fields: dict, new_pos) or raises ValueError."""
+                import struct
+
+                if pos + 8 > len(buf):
+                    raise ValueError("short data frame")
+                seq, count = struct.unpack_from(">II", buf, pos)
+                pos += 8
+                fields = {}
+                for _ in range(count):
+                    if pos + 4 > len(buf):
+                        raise ValueError("short pair")
+                    (klen,) = struct.unpack_from(">I", buf, pos)
+                    pos += 4
+                    key = buf[pos : pos + klen].decode("utf-8", "replace")
+                    pos += klen
+                    if pos + 4 > len(buf):
+                        raise ValueError("short pair value")
+                    (vlen,) = struct.unpack_from(">I", buf, pos)
+                    pos += 4
+                    fields[key] = buf[pos : pos + vlen].decode("utf-8", "replace")
+                    pos += vlen
+                if pos > len(buf):
+                    raise ValueError("pair overruns frame")
+                return seq, fields, pos
+
+            def _spool_and_ack(self, seq: int, fields: dict, sender: str):
+                import json as _json
+
+                writer.append(
+                    {
+                        "payload": fields.get("line", _json.dumps(fields, sort_keys=True)),
+                        "fields_json": _json.dumps(fields, sort_keys=True),
+                        "seq": seq,
+                        "sender": sender,
+                        "proto": "lumberjack",
+                    }
+                )
+                # ack strictly after spool accept (version '1', type 'A')
+                import struct
+
+                self.wfile.write(b"1A" + struct.pack(">I", seq))
+                self.wfile.flush()
+
+            def handle(self):
+                import struct
+                import zlib
+
+                sender = self.client_address[0]
+                while True:
+                    hdr = self._exact(2)
+                    if hdr is None:
+                        return
+                    version, ftype = hdr[0:1], hdr[1:2]
+                    if version not in (b"1", b"2"):
+                        return  # protocol error: drop, client retransmits
+                    if ftype == b"W":
+                        if self._exact(4) is None:
+                            return
+                    elif ftype == b"D":
+                        body = bytearray()
+                        peek = self._exact(8)
+                        if peek is None:
+                            return
+                        _seq, count = struct.unpack(">II", peek)
+                        body += peek
+                        for _ in range(count * 2):  # k then v, length-prefixed
+                            ln_b = self._exact(4)
+                            if ln_b is None:
+                                return
+                            (ln,) = struct.unpack(">I", ln_b)
+                            if ln > max_frame_bytes:
+                                return
+                            val = self._exact(ln)
+                            if val is None:
+                                return
+                            body += ln_b + val
+                        try:
+                            seq, fields, _ = self._parse_data_body(bytes(body), 0)
+                        except ValueError:
+                            return
+                        self._spool_and_ack(seq, fields, sender)
+                    elif ftype == b"C":
+                        ln_b = self._exact(4)
+                        if ln_b is None:
+                            return
+                        (ln,) = struct.unpack(">I", ln_b)
+                        if ln > max_frame_bytes:
+                            return
+                        blob = self._exact(ln)
+                        if blob is None:
+                            return
+                        try:
+                            raw = zlib.decompress(blob)
+                        except zlib.error:
+                            return
+                        pos = 0
+                        while pos < len(raw):
+                            if raw[pos : pos + 1] not in (b"1", b"2") or raw[
+                                pos + 1 : pos + 2
+                            ] not in (b"D", b"J"):
+                                return
+                            try:
+                                seq, fields, pos = self._parse_data_body(
+                                    raw, pos + 2
+                                )
+                            except ValueError:
+                                return
+                            self._spool_and_ack(seq, fields, sender)
+                    else:
+                        return
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self.server = Server((host, port), Handler)
+        self._start()
+
+
 def spool_dataset(spool_dir: str, columns: list[str] | None = None):
     """Read every sealed segment of a spool as a Dataset (offset column
     included). For offset-tracked incremental consumption use

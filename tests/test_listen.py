@@ -530,3 +530,67 @@ def test_http_put_push_egress(tmp_path, ray_session):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_lumberjack_data_and_compressed_frames(tmp_path, ray_session):
+    import json
+    import struct
+    import zlib
+
+    from nifi_ray.sources.listen import ListenLumberjack
+
+    def d_frame(seq, fields):
+        body = struct.pack(">II", seq, len(fields))
+        for k, v in fields.items():
+            kb, vb = k.encode(), v.encode()
+            body += struct.pack(">I", len(kb)) + kb + struct.pack(">I", len(vb)) + vb
+        return b"1D" + body
+
+    spool = str(tmp_path / "spool")
+    with ListenLumberjack(spool) as srv:
+        c = socket.create_connection(("127.0.0.1", srv.port))
+        c.sendall(b"1W" + struct.pack(">I", 3))
+        c.sendall(d_frame(1, {"line": "hello one", "host": "beat1"}))
+        c.sendall(d_frame(2, {"line": "hello two", "host": "beat1"}))
+        # compressed frame embedding two data frames (the reference's
+        # processDECOMPRESSED iteration)
+        inner = d_frame(3, {"line": "zipped three"})[0:] + d_frame(4, {"k": "v4"})
+        blob = zlib.compress(inner)
+        c.sendall(b"1C" + struct.pack(">I", len(blob)) + blob)
+        # collect acks: one 1A+seq per accepted record, in order
+        acks = b""
+        while len(acks) < 4 * 6:
+            chunk = c.recv(4096)
+            assert chunk, "server closed before acking"
+            acks += chunk
+        got_seqs = [
+            struct.unpack(">I", acks[i + 2 : i + 6])[0]
+            for i in range(0, len(acks), 6)
+        ]
+        assert got_seqs == [1, 2, 3, 4]
+        assert acks[0:2] == b"1A"
+        c.close()
+        _wait_rows(srv.writer, 4)
+    rows = spool_dataset(spool).take_all()
+    by_seq = {r["seq"]: r for r in rows}
+    assert by_seq[1]["payload"] == "hello one"
+    assert json.loads(by_seq[1]["fields_json"]) == {"line": "hello one", "host": "beat1"}
+    assert by_seq[3]["payload"] == "zipped three"
+    # no 'line' key: payload falls back to the field map as JSON
+    assert json.loads(by_seq[4]["payload"]) == {"k": "v4"}
+    assert all(r["proto"] == "lumberjack" for r in rows)
+
+
+def test_lumberjack_malformed_frame_drops_connection_unacked(tmp_path):
+    import struct
+
+    from nifi_ray.sources.listen import ListenLumberjack
+
+    spool = str(tmp_path / "spool")
+    with ListenLumberjack(spool) as srv:
+        c = socket.create_connection(("127.0.0.1", srv.port))
+        c.sendall(b"9X" + struct.pack(">I", 0))  # bad version/type
+        c.settimeout(5)
+        assert c.recv(1024) == b""  # closed without ack → client retransmits
+        c.close()
+        assert srv.writer.rows_written + srv.writer.rows_buffered == 0
