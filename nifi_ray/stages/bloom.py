@@ -134,14 +134,31 @@ class BloomFilter:
         )
 
     def contains_hashes(self, h: np.ndarray) -> np.ndarray:
+        """Vectorized membership with per-round early exit: probe round
+        i only gathers for grams whose first i bits were all set. An
+        absent gram dies after ~1/(1-fill) ≈ 2 rounds instead of paying
+        all k gathers — at k=30 (fp 1e-9) that is ~15× less memory
+        traffic on the absent-dominated traffic decontamination sees."""
         h = np.asarray(h, np.uint64)
         if h.size == 0:
             return np.zeros(0, bool)
-        pos = self._positions(h)
-        bits = (
-            self.words[(pos >> np.uint64(6))] >> (pos & np.uint64(63))
-        ) & np.uint64(1)
-        return bits.all(axis=0).astype(bool)
+        res = np.ones(h.size, bool)
+        alive = np.arange(h.size)
+        h2 = mix_u64(h ^ _GOLDEN) | np.uint64(1)
+        m = np.uint64(self.m_bits)
+        for i in range(self.k):
+            ha, h2a = h[alive], h2[alive]
+            pos = (ha + np.uint64(i) * h2a) % m
+            bits = (
+                self.words[(pos >> np.uint64(6))] >> (pos & np.uint64(63))
+            ) & np.uint64(1)
+            dead = bits == 0
+            if dead.any():
+                res[alive[dead]] = False
+                alive = alive[~dead]
+                if alive.size == 0:
+                    break
+        return res
 
     @property
     def nbytes(self) -> int:
