@@ -749,6 +749,63 @@ def q_decontaminate_bloom(sf_dir: str):
     )
 
 
+def q_decontaminate_tokens(sf_dir: str):
+    """Token-axis decontamination end-to-end: tokenize BOTH sides with
+    the lake's word-hash Tokenizer (tokens list<int32> — the
+    input_hint payload), build the Bloom filter from the benchmark
+    docs' 5-TOKEN-grams (stages/bloom.token_gram_hashes) and probe the
+    corpus in mode='tokens' — screening what the model actually trains
+    on, id collisions included. The SQL oracle replays the identical
+    token ids (md5-hash % vocab, as the tokenize oracle pins) and the
+    identical token-gram overlap, so equality proves the whole
+    tokenize→hash→probe chain."""
+    import numpy as np
+    import ray
+
+    from ..stages.bloom import BloomDecontaminator, BloomFilter, token_gram_hashes
+    from ..stages.quality import Tokenizer
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    ds = ds.map_batches(
+        Tokenizer, batch_format="pyarrow", concurrency=2
+    ).map_batches(
+        lambda t: t.append_column(
+            "is_bench",
+            pc.equal(pc.utf8_slice_codeunits(
+                pa.array([hashlib.md5(str(v).encode()).hexdigest()
+                          for v in t["doc_id"].to_pylist()]), 0, 1), "0"),
+        ),
+        batch_format="pyarrow",
+    )
+    parts = [
+        token_gram_hashes(b["tokens"], 5)[0]
+        for b in ds.filter(expr="is_bench")
+        .select_columns(["tokens"])
+        .iter_batches(batch_format="pyarrow")
+    ]
+    uniq = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+    bloom = BloomFilter(len(uniq), fp_rate=1e-9)
+    bloom.add_hashes(uniq)
+    corpus = ds.filter(expr="is_bench == False").map_batches(
+        BloomDecontaminator,
+        fn_constructor_kwargs={
+            "bloom": ray.put(bloom),
+            "col": "tokens",
+            "n": 5,
+            "mode": "tokens",
+        },
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    flagged = corpus.map_batches(
+        lambda t: t.append_column("c", pc.cast(t["contaminated"], pa.int64())),
+        batch_format="pyarrow",
+    )
+    return pre_aggregate(
+        flagged, "lang", {"n_docs": ("doc_id", "count"), "n_contaminated": ("c", "sum")}
+    )
+
+
 def q_pii_redact(sf_dir: str):
     """PII scrub for curation (stages/quality.redact_pii): the synthetic
     corpus carries no PII, so the pipeline first INJECTS deterministic
@@ -2292,6 +2349,7 @@ QUERIES = {
     "asof_enrich": q_asof_enrich,
     "range_enrich": q_range_enrich,
     "decontaminate_bloom": q_decontaminate_bloom,
+    "decontaminate_tokens": q_decontaminate_tokens,
 }
 
 
@@ -2648,9 +2706,35 @@ ORACLE_SQL = {
 }
 
 # The bloom path must EQUAL the exact-set answer (no false negatives by
-# construction; no false positive fires at fp=1e-4 on this corpus), so
+# construction; no false positive fires at fp=1e-9 on this corpus), so
 # it is graded against the identical oracle.
 ORACLE_SQL["decontaminate_bloom"] = ORACLE_SQL["decontaminate"]
+
+# Token-axis variant: the oracle re-derives the Tokenizer's ids
+# (md5-hash % vocab — pinned by the tokenize oracle) and the 5-TOKEN-gram
+# overlap, id collisions and all.
+ORACLE_SQL["decontaminate_tokens"] = """
+    WITH docs AS (
+      SELECT doc_id, lang,
+             list_transform(
+               regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'),
+               w -> CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 32768
+             ) AS ts,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_bench
+      FROM documents),
+    grams AS (
+      SELECT doc_id, lang, is_bench, array_to_string(ts[i:i+4], ' ') AS g
+      FROM (SELECT doc_id, lang, is_bench, ts, generate_subscripts(ts, 1) AS i FROM docs)
+      WHERE i <= len(ts) - 4),
+    hits AS (
+      SELECT DISTINCT doc_id FROM grams
+      WHERE NOT is_bench AND g IN (SELECT DISTINCT g FROM grams WHERE is_bench))
+    SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_contaminated
+    FROM docs d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE NOT d.is_bench
+    GROUP BY d.lang
+"""
 
 
 def _cdc_replay_oracle_sql(base_dir: str, ev_dir: str, lsn_hi: int | None = None) -> str:
