@@ -57,6 +57,13 @@ class GenConfig:
     # doc ids referenced by events span [0, doc_space) — inserts can
     # create docs absent from the base table.
     doc_space_factor: float = 1.25
+    # deterministic empty-row fraction: ~p_empty of row images carry
+    # tokens = [] / n_tok = 0 (NOT null — deletes are null). Empties are
+    # the input class the r1-r3 fixtures never exercised, which let the
+    # clip-reduceat batch-composition hash bug survive three rounds
+    # (r3 VERDICT bug #2): a trailing empty-token row must not perturb
+    # the preceding row's checksum/signature anywhere in the engine.
+    p_empty: float = 0.03
     # schema evolution (FIXTURES.md F4): events with lsn > evolve_after
     # carry an extra `lang` column / widened n_tok.
     evolve_after: int | None = None
@@ -91,11 +98,22 @@ def _tokens_for_keys(keys: np.ndarray, lengths: np.ndarray, vocab: int) -> pa.Ar
     return pa.ListArray.from_arrays(pa.array(offsets), pa.array(vals))
 
 
-def _row_payload(cfg: GenConfig, doc_key: np.ndarray, version_key: np.ndarray):
+def _row_payload(
+    cfg: GenConfig,
+    doc_key: np.ndarray,
+    version_key: np.ndarray,
+    force_empty: np.ndarray | None = None,
+):
     """(tokens, n_tok, source) for a doc at a given version — the full-row
-    image carried by I/U events and by the base table (version 0)."""
+    image carried by I/U events and by the base table (version 0).
+    ``force_empty`` pins specific rows to tokens=[] (tail coverage)."""
     k = mix64(doc_key * _U64(0x632BE59BD9B4E019) ^ version_key)
     lengths = (mix64(k ^ _U64(1)) % _U64(cfg.max_tokens)).astype(np.int64) + 1
+    if cfg.p_empty > 0:
+        empty = _unit(mix64(k ^ _U64(3))) < cfg.p_empty
+        lengths = np.where(empty, 0, lengths)
+    if force_empty is not None:
+        lengths = np.where(force_empty, 0, lengths)
     tokens = _tokens_for_keys(k, lengths, cfg.vocab)
     n_tok = pa.array(lengths.astype(np.int32))
     src_idx = (mix64(k ^ _U64(2)) % _U64(len(SOURCES))).astype(np.int64)
@@ -108,7 +126,12 @@ def base_table(cfg: GenConfig, start: int = 0, end: int | None = None) -> pa.Tab
     end = cfg.n_docs if end is None else min(end, cfg.n_docs)
     idx = np.arange(start, end, dtype=np.uint64)
     doc_key = mix64(_U64(cfg.seed) ^ (idx * _U64(0xA24BAED4963EE407)))
-    tokens, n_tok, source = _row_payload(cfg, doc_key, np.zeros(len(idx), dtype=np.uint64))
+    # the LAST base doc is always empty: guarantees a trailing-empty row
+    # lands at a shard/batch tail somewhere in every e2e run
+    force_empty = (idx == cfg.n_docs - 1) if cfg.p_empty > 0 else None
+    tokens, n_tok, source = _row_payload(
+        cfg, doc_key, np.zeros(len(idx), dtype=np.uint64), force_empty
+    )
     return pa.table(
         {
             "doc_id": _doc_ids_from_index(idx),

@@ -23,7 +23,7 @@ import pyarrow.parquet as pq
 
 # Bump when any expected-value implementation (or the engine semantics
 # it mirrors) changes — keys the /tmp cache.
-_REV = 4  # r3: jpeg rows in image_decode fixture
+_REV = 5  # r4: simhash/fp_min emitted as hex strings (driver uint64 fix)
 
 _M64 = (1 << 64) - 1
 
@@ -68,7 +68,14 @@ def expected_simhash(sf_dir: str) -> pa.Table:
                     val |= 1 << j
         ids.append(str(r["doc_id"]))
         sims.append(val)
-    return pa.table({"doc_id": pa.array(ids), "simhash": pa.array(sims, pa.uint64())})
+    # hex string, not uint64: graded outputs must avoid full-range
+    # uint64 (driver hash coerces >2^63 values; r3 VERDICT ask #1)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "simhash": pa.array([format(v, "016x") for v in sims]),
+        }
+    )
 
 
 # ------------------------------------------------------------ winnowing
@@ -101,7 +108,12 @@ def expected_winnow(sf_dir: str, k: int = 5, window: int = 4) -> pa.Table:
             fp_min = min(sel)
         ids.append(str(r["doc_id"]))
         mins.append(fp_min)
-    return pa.table({"doc_id": pa.array(ids), "fp_min": pa.array(mins, pa.uint64())})
+    return pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "fp_min": pa.array([format(v, "016x") for v in mins]),
+        }
+    )
 
 
 # ------------------------------------------------------------- lang id

@@ -63,7 +63,12 @@ from ..state.manifest import (
     partition_dir,
     publish_part,
 )
-from ..util.hashing import add_partition_column, partition_of, state_checksum
+from ..util.hashing import (
+    HASH_REV,
+    add_partition_column,
+    partition_of,
+    state_checksum,
+)
 
 _EVENT_META_COLS = ("lsn", "op", "doc_id")
 
@@ -806,6 +811,7 @@ class CDCLake:
                 "rows": int(r["rows"]),
                 "max_lsn": 0,
                 "token_hash": int(r["token_hash"]),
+                "hash_rev": HASH_REV,
             }
             for r in stats
         }
@@ -1575,6 +1581,7 @@ class CDCLake:
                 dm[r["delta_file"]] = {
                     "rows": int(r["delta_rows"]),
                     "hash": int(r["delta_hash"]),
+                    "hash_rev": HASH_REV,
                 }
                 e["delta_meta"] = dm
                 e["max_lsn"] = int(r["max_lsn"])
@@ -1585,6 +1592,7 @@ class CDCLake:
                     "rows": int(r["rows"]),
                     "max_lsn": int(r["max_lsn"]),
                     "token_hash": int(r["token_hash"]),
+                    "hash_rev": HASH_REV,
                 }
         events_applied = sum(int(r["events_applied"]) for r in stats_rows)
         dups = sum(int(r["dups_dropped"]) for r in stats_rows)
@@ -1676,6 +1684,7 @@ class CDCLake:
                     "rows": row["rows"],
                     "max_lsn": m.applied_through,
                     "token_hash": row["token_hash"],
+                    "hash_rev": HASH_REV,
                 }
         m2 = Manifest(
             version=next_version,
@@ -1807,7 +1816,16 @@ class CDCLake:
         against the per-file ``delta_meta`` record written at apply
         time, so a MOR lake needs no compaction for full verification.
         Delta files predating ``delta_meta`` (legacy manifests) are the
-        only skip, reported in ``skipped_deltas``."""
+        only skip, reported in ``skipped_deltas``.
+
+        Hash-algorithm versioning: every entry carries the
+        ``hash_rev`` of the ``state_checksum`` that produced it
+        (missing = rev 1, the pre-r4 clip-reduceat kernel). A file
+        recorded under a DIFFERENT rev than this process computes is
+        row-count-checked only — never reported as corruption — and
+        counted in ``skipped_hash_rev``. Rewriting (apply / compact /
+        rescale) re-stamps entries at the current rev, so a lake
+        upgrades organically."""
         m = self.manifest(version)
         if m is None:
             raise FileNotFoundError("lake not initialized")
@@ -1833,19 +1851,30 @@ class CDCLake:
                 skipped += 1  # legacy manifest without per-delta records
                 continue
             refs.append(check.remote(k, e["file"]))
-            want[(k, e["file"])] = {"rows": e["rows"], "hash": int(e["token_hash"])}
+            want[(k, e["file"])] = {
+                "rows": e["rows"],
+                "hash": int(e["token_hash"]),
+                "rev": int(e.get("hash_rev", 1)),
+            }
             for d in deltas:
                 refs.append(check.remote(k, d))
                 want[(k, d)] = {
                     "rows": meta[d]["rows"],
                     "hash": int(meta[d]["hash"]),
+                    "rev": int(meta[d].get("hash_rev", 1)),
                 }
         mismatches = []
         checked_parts = set()
+        skipped_hash_rev = 0
         for r in ray.get(refs):
             exp = want[(r["partition_id"], r["file"])]
             checked_parts.add(r["partition_id"])
-            if r["rows"] != exp["rows"] or int(r["token_hash"]) != exp["hash"]:
+            hash_comparable = exp["rev"] == HASH_REV
+            if not hash_comparable:
+                skipped_hash_rev += 1
+            if r["rows"] != exp["rows"] or (
+                hash_comparable and int(r["token_hash"]) != exp["hash"]
+            ):
                 mismatches.append(
                     {
                         "partition_id": r["partition_id"],
@@ -1859,6 +1888,7 @@ class CDCLake:
             "partitions_checked": len(checked_parts),
             "files_checked": len(want),
             "skipped_deltas": skipped,
+            "skipped_hash_rev": skipped_hash_rev,
             "mismatches": mismatches,
         }
 
@@ -1899,6 +1929,7 @@ class CDCLake:
                 "rows": int(r["rows"]),
                 "max_lsn": int(m.partitions[k]["max_lsn"]),
                 "token_hash": int(r["token_hash"]),
+                "hash_rev": HASH_REV,
             }
             bytes_written += int(r["bytes_written"])
         m2 = Manifest(

@@ -579,9 +579,12 @@ def q_tokenize(sf_dir: str):
     def tok_sum(t: pa.Table) -> pa.Table:
         flat = pc.list_flatten(t["tokens"])
         lens = pc.list_value_length(t["tokens"]).to_numpy(zero_copy_only=False)
+        # sentinel idiom: append the add-identity and clip starts to
+        # len(flat) (NOT len-1 — that truncates the PRECEDING segment
+        # when a trailing row is empty)
         sums = np.add.reduceat(
             np.append(flat.to_numpy(zero_copy_only=False).astype(np.int64), 0),
-            np.clip(np.concatenate([[0], np.cumsum(lens)[:-1]]), 0, max(len(flat), 1) - 1),
+            np.minimum(np.concatenate([[0], np.cumsum(lens)[:-1]]), len(flat)),
         ) * (lens > 0)
         return t.append_column("tok_sum", pa.array(sums, pa.int64())).append_column(
             "n_tok64", pc.cast(t["n_tok"], pa.int64())
@@ -1382,18 +1385,47 @@ class MinHasherCompat(dd.MinHasher):
         super().__init__(col="text", id_col="doc_id", num_hashes=64, bands=16)
 
 
+def _hex64_col(t: pa.Table, col: str) -> pa.Table:
+    """Replace a uint64 column with its fixed-width 16-hex-char string.
+
+    Graded-output representation rule: full-range uint64 values (half
+    exceed int64 max) are mangled by signed/float coercion in generic
+    value-hashing paths, so no graded query may emit uint64 — signatures
+    ship as hex strings instead (r3 VERDICT ask #1)."""
+    vals = t[col].to_numpy(zero_copy_only=False).astype(np.uint64)
+    n = len(vals)
+    nyb = vals.astype(">u8").view(np.uint8).reshape(n, 8)  # big-endian bytes
+    digits = np.empty((n, 16), np.uint8)
+    digits[:, 0::2] = nyb >> 4
+    digits[:, 1::2] = nyb & 0x0F
+    chars = np.frombuffer(b"0123456789abcdef", np.uint8)[digits]
+    offsets = np.arange(n + 1, dtype=np.int32) * 16
+    sa = pa.StringArray.from_buffers(
+        n, pa.py_buffer(offsets.tobytes()), pa.py_buffer(chars.tobytes())
+    )
+    idx = t.schema.get_field_index(col)
+    return t.set_column(idx, col, sa)
+
+
 def q_simhash(sf_dir: str):
-    """SimHash signatures (rows-only: deterministic ints)."""
+    """SimHash signatures as fixed-width hex strings (rows-only:
+    deterministic; hex avoids full-range-uint64 coercion in graders)."""
     ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
     out = ds.map_batches(dd.SimHasher, batch_format="pyarrow", concurrency=2)
-    return out.map_batches(lambda t: t.select(["doc_id", "simhash"]), batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: _hex64_col(t.select(["doc_id", "simhash"]), "simhash"),
+        batch_format="pyarrow",
+    )
 
 
 def q_winnow_fingerprints(sf_dir: str):
-    """Winnowing rolling-hash fingerprints (rows-only)."""
+    """Winnowing rolling-hash fingerprints, fp_min as hex (rows-only)."""
     ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
     out = ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=2)
-    return out.map_batches(lambda t: t.select(["doc_id", "fp_min"]), batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: _hex64_col(t.select(["doc_id", "fp_min"]), "fp_min"),
+        batch_format="pyarrow",
+    )
 
 
 def q_embedding_neardup(sf_dir: str):
@@ -1572,7 +1604,7 @@ def q_video_frames(sf_dir: str):
 # Bump when replay/apply/summarize semantics change: the lake workdir is
 # keyed by this + the GenConfig fingerprint, so a stale-but-valid lake
 # built by older code is never silently reused (ADVICE r1).
-_CDC_QUERY_REV = 3  # r3: reduceat empty-segment fix (matview/ann embeddings)
+_CDC_QUERY_REV = 4  # r4: starts[nz] hash fix + empty-token fixture rows (p_empty)
 
 
 def cdc_fixture(sf_tag: str):
@@ -2246,12 +2278,12 @@ def _cdc_summarize(t: pa.Table) -> pa.Table:
     flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
     lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
     starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-    sums = (
-        np.add.reduceat(flat, np.clip(starts, 0, max(flat.size - 1, 0)))
-        if flat.size
-        else np.zeros(len(lens), np.int64)
-    )
-    sums = np.where(lens > 0, sums, 0)
+    # starts[nz]-scatter: a trailing empty token list's clipped start
+    # would truncate the PRECEDING row's token segment (see matview.py)
+    sums = np.zeros(len(lens), np.int64)
+    nz = lens > 0
+    if flat.size and nz.any():
+        sums[nz] = np.add.reduceat(flat, starts[nz])
     return pa.table(
         {
             "doc_id": t["doc_id"],

@@ -50,7 +50,23 @@ def _csv_to_events(schema: pa.Schema):
             empty = pc.or_kleene(
                 pc.is_null(batch["tokens_str"]), pc.equal(batch["tokens_str"], "")
             )
-            lists = pc.if_else(empty, pa.nulls(len(lists), lists.type), lists)
+            # CSV writes both null tokens and [] as "": the op column
+            # disambiguates — only deletes carry a null payload, an
+            # empty I/U payload is a genuine empty token list
+            is_delete = (
+                pc.equal(batch["op"], "D")
+                if "op" in batch.schema.names
+                else pa.array([True] * len(batch))
+            )
+            to_null = pc.and_kleene(empty, is_delete)
+            empty_list = pa.ListArray.from_arrays(
+                pa.array(np.zeros(len(batch) + 1, dtype=np.int32)),
+                pa.array([], pa.int32()),
+            )
+            lists = pc.if_else(to_null, pa.nulls(len(lists), lists.type), lists)
+            lists = pc.if_else(
+                pc.and_kleene(empty, pc.invert(is_delete)), empty_list, lists
+            )
             batch = batch.drop_columns(["tokens_str"]).append_column("tokens", lists)
         # CSV cannot distinguish null from "" — payload string columns
         # (everything but the CDC keys) map "" back to null

@@ -234,11 +234,13 @@ class MinHasher:
             if seg.size:
                 prod = (self.a[:, None] * seg[None, :] + self.b[:, None]) % self.MERSENNE
                 starts = (offsets[i:j] - offsets[i]).astype(np.int64)
-                red = np.minimum.reduceat(
-                    prod, np.clip(starts, 0, seg.size - 1), axis=1
-                ).T  # (j-i, H)
                 valid = doc_lens[i:j] > 0
-                sigs[i:j][valid] = red[valid]
+                # reduceat only over NON-EMPTY docs: a trailing empty doc's
+                # start == seg.size and clipping it backward truncates the
+                # PRECEDING doc's shingle segment (batch-composition bug)
+                if valid.any():
+                    red = np.minimum.reduceat(prod, starts[valid], axis=1).T
+                    sigs[i:j][valid] = red
             i = j
         return sigs
 
@@ -439,13 +441,15 @@ class SimHasher:
             )
             starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
             nz = lens > 0
-            seg = np.add.reduceat(
-                signs, np.clip(starts, 0, len(flat) - 1), axis=0, dtype=np.int64
-            )
-            packed = ((seg > 0).astype(np.uint64) * self._weights[None, :]).sum(
-                axis=1, dtype=np.uint64
-            )
-            sims[nz] = packed[nz]
+            # reduceat only over NON-EMPTY docs (starts[nz]-scatter): a
+            # trailing empty doc's clipped start would truncate the
+            # PRECEDING doc's word segment and corrupt its signature
+            if nz.any():
+                seg = np.add.reduceat(signs, starts[nz], axis=0, dtype=np.int64)
+                packed = ((seg > 0).astype(np.uint64) * self._weights[None, :]).sum(
+                    axis=1, dtype=np.uint64
+                )
+                sims[nz] = packed
         return batch.append_column(self.out, pa.array(sims, pa.uint64()))
 
 

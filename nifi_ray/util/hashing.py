@@ -24,6 +24,14 @@ import pyarrow.compute as pc
 
 _CRC_POLY = np.uint32(0xEDB88320)
 
+# Version of the content-hash kernels (state_checksum / row_image_hash).
+# Rev 1 = the pre-r4 clip-reduceat kernel whose checksums were
+# batch-composition-dependent when a trailing row had an empty token
+# list; rev 2 = the starts[nz]-scatter fix. Manifest entries record the
+# rev they were hashed under so verify() on a pre-fix lake skips hash
+# comparison (rows still checked) instead of false-alarming corruption.
+HASH_REV = 2
+
 
 def _make_crc_table() -> np.ndarray:
     table = np.zeros(256, dtype=np.uint32)
@@ -132,9 +140,13 @@ def state_checksum(table: pa.Table) -> int:
     starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
     tok_sum = np.zeros(len(lens), dtype=np.uint64)
     nz = lens > 0
-    if flat.size:
-        sums = np.add.reduceat(flat, np.clip(starts, 0, flat.size - 1))
-        tok_sum[nz] = sums[nz]
+    # reduceat only over NON-EMPTY segments: an empty trailing list has
+    # start == flat.size, and clipping it backward would truncate the
+    # PRECEDING segment (reduceat treats a non-increasing index pair as
+    # a single-element segment). Scatter into zeros instead — checksum
+    # must be batch-composition-invariant (HASH_REV 2).
+    if flat.size and nz.any():
+        tok_sum[nz] = np.add.reduceat(flat, starts[nz])
     null_mask = np.asarray(toks.is_null())
     tok_sum[null_mask] = _U64_NULL
     row = mix_u64(
@@ -199,9 +211,10 @@ def row_image_hash(table: pa.Table, cols: list[str]) -> np.ndarray:
             mixed = mix_u64(flat * np.uint64(0x9E3779B97F4A7C15) ^ pos)
             ch = np.zeros(n, dtype=np.uint64)
             nz = lens > 0
-            if flat.size:
-                red = np.bitwise_xor.reduceat(mixed, np.clip(starts, 0, flat.size - 1))
-                ch[nz] = red[nz]
+            # starts[nz]-scatter: clipping a trailing-empty row's start
+            # backward truncates the PRECEDING row's segment (HASH_REV 2)
+            if flat.size and nz.any():
+                ch[nz] = np.bitwise_xor.reduceat(mixed, starts[nz])
             ch = mix_u64(ch ^ lens.astype(np.uint64) * np.uint64(0xBF58476D1CE4E5B9))
         elif pa.types.is_floating(t):
             ch = (

