@@ -874,9 +874,14 @@ class ListenLumberjack(_Listener):
                             return
                         pos = 0
                         while pos < len(raw):
+                            # v1 D frames only, matching the uncompressed
+                            # path: a v2 J frame's JSON payload length
+                            # would be misread as a key/value pair count
+                            # by _parse_data_body (reference
+                            # LumberjackDecoder is v1 W/D/C only)
                             if raw[pos : pos + 1] not in (b"1", b"2") or raw[
                                 pos + 1 : pos + 2
-                            ] not in (b"D", b"J"):
+                            ] != b"D":
                                 return
                             try:
                                 seq, fields, pos = self._parse_data_body(

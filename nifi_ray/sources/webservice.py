@@ -34,6 +34,22 @@ import uuid
 
 import pyarrow as pa
 
+# framing / hop-by-hop response headers the server itself owns — user
+# header maps are filtered against these before send_header (RFC 9110
+# §7.6.1: hop-by-hop fields must not be forwarded)
+_FRAMING_HEADERS = frozenset(
+    {
+        "content-length",
+        "transfer-encoding",
+        "connection",
+        "keep-alive",
+        "upgrade",
+        "proxy-connection",
+        "te",
+        "trailer",
+    }
+)
+
 REQUEST_SCHEMA = pa.schema(
     [
         ("http_context_id", pa.string()),
@@ -111,6 +127,11 @@ class HttpContextServer:
                 ok = p.event.wait(timeout=max(0.0, p.deadline - time.monotonic()))
                 with outer._lock:
                     outer._pending.pop(ctx, None)
+                    # a respond() racing the expiration window completes
+                    # the exchange under the lock BEFORE this pop — honor
+                    # it (connection is still open) so its 'completed'
+                    # count never lies about a client who actually got 503
+                    ok = ok or p.event.is_set()
                 if not ok:
                     # expired registration → 503 (HandleHttpRequest.java:616)
                     self.send_error(503, explain="request expired")
@@ -118,6 +139,12 @@ class HttpContextServer:
                 payload = p.body or b""
                 self.send_response(p.status)
                 for k, v in p.headers.items():
+                    # the server owns message framing: a user-supplied
+                    # Content-Length/Transfer-Encoding/Connection header
+                    # would duplicate or conflict with the ones emitted
+                    # below (hop-by-hop headers are never forwarded)
+                    if k.lower() in _FRAMING_HEADERS:
+                        continue
                     self.send_header(k, v)
                 self.send_header("Content-Length", str(len(payload)))
                 self.end_headers()
@@ -186,18 +213,23 @@ class HttpContextServer:
             else [None] * table.num_rows
         )
         for ctx, status, body, hd in zip(ids, stats, bodies, hdrs):
+            # mutate + signal INSIDE the lock: the handler pops expired
+            # contexts under the same lock, so an exchange is either
+            # completed-before-pop (handler honors it via event.is_set)
+            # or already popped (counted missing) — never counted
+            # completed while the client actually received 503
             with self._lock:
                 p = self._pending.get(ctx)
-            if p is None:
-                missing += 1
-                continue
-            p.status = int(status)
-            p.body = (
-                body.encode() if isinstance(body, str) else bytes(body or b"")
-            )
-            if hd:
-                p.headers = json.loads(hd) if isinstance(hd, str) else dict(hd)
-            p.event.set()
+                if p is None:
+                    missing += 1
+                    continue
+                p.status = int(status)
+                p.body = (
+                    body.encode() if isinstance(body, str) else bytes(body or b"")
+                )
+                if hd:
+                    p.headers = json.loads(hd) if isinstance(hd, str) else dict(hd)
+                p.event.set()
             completed += 1
         return {"completed": completed, "missing": missing}
 

@@ -37,8 +37,11 @@ _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 def _words_per_doc(texts: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, np.ndarray]:
     """Vectorized WORD_RE tokenization: returns (flat word array,
-    words-per-doc lengths). Equals ``re.findall('[a-z0-9]+', t.lower())``
-    per doc (split on the complement, drop empties)."""
+    words-per-doc lengths). Case folding is Arrow ``utf8_lower`` —
+    the ONE fold shared by the exact-set path (packing._folded_pylist)
+    and DuckDB's ``lower()``, so bloom / exact / oracle tokenize
+    identically even on non-ASCII text (Python str.lower is full case
+    mapping and diverges on İ/Σ-final, so it is used on NEITHER side)."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     lowered = pc.utf8_lower(pc.fill_null(pc.cast(texts, pa.string()), ""))

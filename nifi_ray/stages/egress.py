@@ -63,14 +63,35 @@ class TcpPut:
             self._sock = None
 
     def _send(self, payload: bytes) -> str | None:
+        data = memoryview(payload + self.delimiter)
         for attempt in (1, 2):  # reconnect once, like FtpFetch/FtpPut
             try:
                 if self._sock is None:
                     self._sock = self._connect()
-                self._sock.sendall(payload + self.delimiter)
+            except OSError as e:
+                if attempt == 2:
+                    return f"{type(e).__name__}: {e}"
+                continue
+            written = 0
+            try:
+                while written < len(data):
+                    written += self._sock.send(data[written:])
                 return None
             except OSError as e:
                 self._close()
+                # retry ONLY zero-byte failures (a stale pooled socket
+                # the peer closed between rows — nothing entered any
+                # stream). After a PARTIAL write, a resend would append
+                # a full copy behind the fragment; under delimiter
+                # framing that fabricates a truncated extra record with
+                # a DIFFERENT payload, which LWW replay dedup cannot
+                # absorb — route to the error column instead and let
+                # the caller re-emit or quarantine the whole record.
+                if written > 0:
+                    return (
+                        f"{type(e).__name__}: {e} "
+                        f"({written}B partial frame in dead stream — not retried)"
+                    )
                 if attempt == 2:
                     return f"{type(e).__name__}: {e}"
         return "unreachable"

@@ -32,8 +32,15 @@ class ExecuteStreamCommand:
     """Pipe each row's ``content_col`` through ``argv``; argv entries
     may hold ``{column}`` placeholders filled per row. Appends
     ``cmd_output`` (binary | truncated string per ``output``),
-    ``execution_status`` (int32, -1 spawn/timeout failure) and
-    ``execution_error`` (string | null)."""
+    ``execution_status`` (int32, -1 spawn/timeout/template failure) and
+    ``execution_error`` (string | null).
+
+    SECURITY: row data interpolated into a ``sh -c`` argv entry is
+    shell-interpreted — with untrusted row content that is command
+    injection. Template into a plain argv element (each element is one
+    execve arg, never shell-parsed) or pre-sanitize the column; this
+    mirrors the reference's EL-in-arguments caveat
+    (ExecuteStreamCommand.java Command Arguments property)."""
 
     def __init__(
         self,
@@ -56,11 +63,18 @@ class ExecuteStreamCommand:
     def _one(self, content, row: dict) -> tuple[bytes | None, int, str | None]:
         import subprocess
 
-        argv = (
-            [a.format(**row) if "{" in a else a for a in self.argv]
-            if self.templated
-            else self.argv
-        )
+        # templating must honor the never-raise contract: a missing
+        # column, stray '{' or bad format spec in an argv entry routes
+        # to execution_status = -1 like any other per-row fault instead
+        # of killing the whole block retry
+        try:
+            argv = (
+                [a.format(**row) if "{" in a else a for a in self.argv]
+                if self.templated
+                else self.argv
+            )
+        except (KeyError, IndexError, ValueError) as e:
+            return None, -1, f"argv template error: {type(e).__name__}: {e}"
         stdin = None
         if not self.ignore_stdin:
             if content is None:

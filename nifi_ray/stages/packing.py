@@ -155,14 +155,26 @@ def doc_ngrams(col: str = "text", n: int = 5, out: str = "ngrams"):
 
     def fn(batch: pa.Table) -> pa.Table:
         grams_per_doc = []
-        for v in batch[col].to_pylist():
-            ws = pat.findall((v or "").lower())
+        for v in _folded_pylist(batch[col]):
+            ws = pat.findall(v)
             grams_per_doc.append(
                 [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
             )
         return batch.append_column(out, pa.array(grams_per_doc, pa.list_(pa.string())))
 
     return fn
+
+
+def _folded_pylist(col) -> list[str]:
+    """Case-fold a string column EXACTLY as the bloom path and the
+    DuckDB oracle do: Arrow utf8_lower (simple per-codepoint mapping,
+    verified equal to DuckDB lower() on İ/Σ/ẞ/ǅ edge cases). Python
+    str.lower is FULL case mapping ('AİB'.lower() → 'ai̇b') and would
+    tokenize differently, so exact-set and bloom decontamination could
+    disagree on non-ASCII text if either side used it."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.utf8_lower(pc.fill_null(pc.cast(col, pa.string()), "")).to_pylist()
 
 
 class NgramDecontaminator:
@@ -187,8 +199,8 @@ class NgramDecontaminator:
     def __call__(self, batch: pa.Table) -> pa.Table:
         n, g = self.n, self.grams
         flags = []
-        for v in batch[self.col].to_pylist():
-            ws = self.pat.findall((v or "").lower())
+        for v in _folded_pylist(batch[self.col]):
+            ws = self.pat.findall(v)
             flags.append(
                 any(" ".join(ws[i : i + n]) in g for i in range(len(ws) - n + 1))
             )

@@ -168,3 +168,29 @@ def test_token_mode_decontaminator_on_lake_schema():
         }
     )
     assert dec(batch)["contaminated"].to_pylist() == [True, False, False]
+
+
+def test_case_fold_parity_exact_vs_bloom_nonascii():
+    """One shared case fold (Arrow utf8_lower) on BOTH decontamination
+    paths: full-mapping str.lower tokenizes 'AİB' as ['ai̇b'] ≠ the
+    simple mapping's ['aib'], so a mixed fold would let bloom and the
+    exact set disagree on non-ASCII text (ADVICE r3)."""
+    bench = ["AİB c d e f", "ΣA b c d e"]
+    corpus = ["aib c d e f tail", "σa b c d e tail", "clean doc with words here"]
+    n = 5
+    from nifi_ray.stages.packing import doc_ngrams
+
+    bench_t = pa.table({"text": pa.array(bench, pa.string())})
+    grams = {
+        g
+        for lst in doc_ngrams("text", n=n)(bench_t)["ngrams"].to_pylist()
+        for g in lst
+    }
+    exact = NgramDecontaminator(grams, n=n)
+    t = pa.table({"text": pa.array(corpus, pa.string())})
+    exact_flags = exact(t)["contaminated"].to_pylist()
+
+    bloom = BloomFilter.build_from_texts(pa.array(bench, pa.string()), n=n, fp_rate=1e-9)
+    bloom_flags = BloomDecontaminator(bloom, n=n)(t)["contaminated"].to_pylist()
+
+    assert exact_flags == bloom_flags == [True, True, False]
