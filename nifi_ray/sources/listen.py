@@ -901,6 +901,200 @@ class ListenLumberjack(_Listener):
         self._start()
 
 
+class ListenAMQP(_Listener):
+    """AMQP 0-9-1 ingest edge (reference nifi-amqp-bundle ConsumeAMQP
+    consumes from an external broker via the RabbitMQ client; this
+    sandbox has no broker or client libs, so — like ListenMQTT — the
+    engine IS the broker edge): a server-side subset of the public
+    AMQP 0-9-1 spec speaking the connection/channel handshake,
+    ``basic.publish`` (method frame → content header → body frames)
+    and publisher confirms (``confirm.select`` → per-message
+    ``basic.ack``). The Basic.Ack for a published message is written
+    only AFTER the message is appended to the durable spool — the same
+    ack-after-accept (commit-after-session) ordering as ListenRELP and
+    ListenMQTT QoS1, which is the semantics ConsumeAMQP's
+    ack-after-session provides on the consumer side.
+
+    Spools ``{payload, exchange, routing_key, confirmed, sender,
+    proto}`` per message. Unsupported classes (basic.consume, tx, …)
+    close the channel loudly rather than misparse.
+
+    Wire format (spec §2.3): frame = type(1) channel(2) size(4)
+    payload(size) 0xCE; method payload = class-id(2) method-id(2) args.
+    """
+
+    _FRAME_END = 0xCE
+
+    def __init__(
+        self,
+        spool_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        partition: int = 0,
+        segment_rows: int = 4096,
+        max_message_bytes: int = 16 << 20,
+    ):
+        import struct
+
+        self.writer = SpoolWriter(spool_dir, partition, segment_rows)
+        writer = self.writer
+        frame_end = self._FRAME_END
+
+        def shortstr(s: bytes) -> bytes:
+            return bytes([len(s)]) + s
+
+        def longstr(s: bytes) -> bytes:
+            return struct.pack(">I", len(s)) + s
+
+        class Handler(socketserver.StreamRequestHandler):
+            def _frame(self, ftype: int, channel: int, payload: bytes):
+                self.wfile.write(
+                    struct.pack(">BHI", ftype, channel, len(payload))
+                    + payload
+                    + bytes([frame_end])
+                )
+
+            def _method(self, channel: int, cls: int, meth: int, args: bytes = b""):
+                self._frame(1, channel, struct.pack(">HH", cls, meth) + args)
+
+            def _read_frame(self):
+                h = self.rfile.read(7)
+                if len(h) < 7:
+                    return None
+                ftype, channel, size = struct.unpack(">BHI", h)
+                if size > max_message_bytes:
+                    return None
+                payload = self.rfile.read(size)
+                end = self.rfile.read(1)
+                if len(payload) < size or end != bytes([frame_end]):
+                    return None
+                return ftype, channel, payload
+
+            def handle(self):
+                try:
+                    hdr = self.rfile.read(8)
+                    if hdr != b"AMQP\x00\x00\x09\x01":
+                        # spec §4.2.2: answer with the supported
+                        # protocol header and close
+                        self.wfile.write(b"AMQP\x00\x00\x09\x01")
+                        return
+                    # Connection.Start: ver 0.9, empty server-props,
+                    # PLAIN mechanisms, en_US locales
+                    self._method(
+                        0, 10, 10,
+                        b"\x00\x09" + longstr(b"") + longstr(b"PLAIN")
+                        + longstr(b"en_US"),
+                    )
+                    confirm = {}  # channel -> next delivery tag (confirm mode)
+                    pending = {}  # channel -> publish awaiting header/body
+                    while True:
+                        fr = self._read_frame()
+                        if fr is None:
+                            return
+                        ftype, channel, payload = fr
+                        if ftype == 8:  # heartbeat
+                            self._frame(8, 0, b"")
+                            continue
+                        if ftype == 2:  # content header
+                            p = pending.get(channel)
+                            if p is None:
+                                return
+                            body_size = struct.unpack(">Q", payload[4:12])[0]
+                            if body_size > max_message_bytes:
+                                return
+                            p["remaining"] = body_size
+                            p["body"] = bytearray()
+                            if body_size == 0:
+                                self._complete(channel, pending, confirm)
+                            continue
+                        if ftype == 3:  # content body
+                            p = pending.get(channel)
+                            if p is None or "remaining" not in p:
+                                return
+                            p["body"] += payload
+                            p["remaining"] -= len(payload)
+                            if p["remaining"] <= 0:
+                                self._complete(channel, pending, confirm)
+                            continue
+                        if ftype != 1:
+                            return
+                        cls, meth = struct.unpack(">HH", payload[:4])
+                        args = payload[4:]
+                        if (cls, meth) == (10, 11):  # Connection.StartOk
+                            # Tune: channel-max 0, frame-max 128K, no heartbeat
+                            self._method(
+                                0, 10, 30, struct.pack(">HIH", 0, 131072, 0)
+                            )
+                        elif (cls, meth) == (10, 31):  # Connection.TuneOk
+                            pass
+                        elif (cls, meth) == (10, 40):  # Connection.Open
+                            self._method(0, 10, 41, b"\x00")
+                        elif (cls, meth) == (10, 50):  # Connection.Close
+                            self._method(0, 10, 51)
+                            return
+                        elif (cls, meth) == (20, 10):  # Channel.Open
+                            self._method(channel, 20, 11, longstr(b""))
+                        elif (cls, meth) == (20, 40):  # Channel.Close
+                            self._method(channel, 20, 41)
+                            confirm.pop(channel, None)
+                            pending.pop(channel, None)
+                        elif (cls, meth) == (85, 10):  # Confirm.Select
+                            confirm[channel] = 1
+                            if not args or not (args[0] & 1):  # not nowait
+                                self._method(channel, 85, 11)
+                        elif (cls, meth) == (60, 40):  # Basic.Publish
+                            pos = 2  # skip reserved-1
+                            xlen = args[pos]
+                            exchange = args[pos + 1 : pos + 1 + xlen]
+                            pos += 1 + xlen
+                            klen = args[pos]
+                            rkey = args[pos + 1 : pos + 1 + klen]
+                            pending[channel] = {
+                                "exchange": exchange.decode("utf-8", "replace"),
+                                "routing_key": rkey.decode("utf-8", "replace"),
+                            }
+                        else:
+                            # unsupported class/method: Connection.Close
+                            # 540 not-implemented (loud, never misparse)
+                            reason = shortstr(b"not implemented")
+                            self._method(
+                                0, 10, 50,
+                                struct.pack(">H", 540) + reason
+                                + struct.pack(">HH", cls, meth),
+                            )
+                            return
+                except (ConnectionError, OSError, struct.error, IndexError):
+                    return
+
+            def _complete(self, channel, pending, confirm):
+                p = pending.pop(channel)
+                writer.append(
+                    {
+                        "payload": bytes(p["body"]).decode("utf-8", "replace"),
+                        "exchange": p["exchange"],
+                        "routing_key": p["routing_key"],
+                        "confirmed": channel in confirm,
+                        "sender": self.client_address[0],
+                        "proto": "amqp",
+                    }
+                )
+                if channel in confirm:
+                    # Basic.Ack AFTER the spool append: delivery-tag,
+                    # multiple=0 — the durable-accept-then-ack ordering
+                    tag = confirm[channel]
+                    confirm[channel] = tag + 1
+                    self._method(
+                        channel, 60, 80, struct.pack(">QB", tag, 0)
+                    )
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self.server = Server((host, port), Handler)
+        self._start()
+
+
 def spool_dataset(spool_dir: str, columns: list[str] | None = None):
     """Read every sealed segment of a spool as a Dataset (offset column
     included). For offset-tracked incremental consumption use

@@ -594,3 +594,143 @@ def test_lumberjack_malformed_frame_drops_connection_unacked(tmp_path):
         assert c.recv(1024) == b""  # closed without ack → client retransmits
         c.close()
         assert srv.writer.rows_written + srv.writer.rows_buffered == 0
+
+
+# ----------------------------------------------------------- AMQP 0-9-1
+
+
+class _AmqpClient:
+    """Minimal AMQP 0-9-1 publisher for loopback tests (frames per the
+    public spec §2.3; no client libs in this sandbox)."""
+
+    def __init__(self, port):
+        import struct
+
+        self.struct = struct
+        self.s = socket.create_connection(("127.0.0.1", port), timeout=10)
+        self.f = self.s.makefile("rwb")
+
+    def frame(self, ftype, channel, payload):
+        st = self.struct
+        self.f.write(st.pack(">BHI", ftype, channel, len(payload)) + payload + b"\xce")
+        self.f.flush()
+
+    def method(self, channel, cls, meth, args=b""):
+        self.frame(1, channel, self.struct.pack(">HH", cls, meth) + args)
+
+    def read_frame(self):
+        st = self.struct
+        h = self.f.read(7)
+        ftype, channel, size = st.unpack(">BHI", h)
+        payload = self.f.read(size)
+        assert self.f.read(1) == b"\xce"
+        return ftype, channel, payload
+
+    def expect_method(self, cls, meth):
+        ftype, _ch, payload = self.read_frame()
+        assert ftype == 1
+        got = self.struct.unpack(">HH", payload[:4])
+        assert got == (cls, meth), f"expected {(cls, meth)}, got {got}"
+        return payload[4:]
+
+    def handshake(self):
+        st = self.struct
+        self.s.sendall(b"AMQP\x00\x00\x09\x01")
+        self.expect_method(10, 10)  # Connection.Start
+        # StartOk: client-props(table) mechanism(shortstr) response(longstr) locale(shortstr)
+        args = st.pack(">I", 0) + b"\x05PLAIN" + st.pack(">I", 0) + b"\x05en_US"
+        self.method(0, 10, 11, args)
+        self.expect_method(10, 30)  # Tune
+        self.method(0, 10, 31, st.pack(">HIH", 0, 131072, 0))  # TuneOk
+        self.method(0, 10, 40, b"\x01/\x00\x00")  # Open vhost "/"
+        self.expect_method(10, 41)
+        self.method(1, 20, 10, b"\x00")  # Channel.Open
+        self.expect_method(20, 11)
+
+    def publish(self, routing_key: bytes, body: bytes, split=False):
+        st = self.struct
+        args = st.pack(">H", 0) + b"\x00" + bytes([len(routing_key)]) + routing_key + b"\x00"
+        self.method(1, 60, 40, args)
+        hdr = st.pack(">HHQH", 60, 0, len(body), 0)  # no properties
+        self.frame(2, 1, hdr)
+        if split and len(body) > 1:
+            mid = len(body) // 2
+            self.frame(3, 1, body[:mid])
+            self.frame(3, 1, body[mid:])
+        else:
+            self.frame(3, 1, body)
+
+    def close(self):
+        self.method(0, 10, 50, self.struct.pack(">H", 200) + b"\x00" + b"\x00\x00\x00\x00")
+        self.expect_method(10, 51)
+        self.s.close()
+
+
+def test_amqp_publish_with_confirms(tmp_path, ray_session):
+    from nifi_ray.sources.listen import ListenAMQP
+
+    spool = str(tmp_path / "amqp")
+    with ListenAMQP(spool_dir=spool) as srv:
+        c = _AmqpClient(srv.port)
+        c.handshake()
+        c.method(1, 85, 10, b"\x00")  # Confirm.Select
+        c.expect_method(85, 11)
+        c.publish(b"orders", b"hello amqp")
+        args = c.expect_method(60, 80)  # Basic.Ack
+        (tag1,) = c.struct.unpack(">Q", args[:8])
+        c.publish(b"orders", b"split body message", split=True)
+        args = c.expect_method(60, 80)
+        (tag2,) = c.struct.unpack(">Q", args[:8])
+        assert (tag1, tag2) == (1, 2)
+        # ack arrived AFTER the durable accept: both rows already spooled
+        assert srv.writer.rows_written + srv.writer.rows_buffered == 2
+        c.close()
+    rows = sorted(spool_dataset(spool).take_all(), key=lambda r: r["offset"])
+    assert [r["payload"] for r in rows] == ["hello amqp", "split body message"]
+    assert {r["routing_key"] for r in rows} == {"orders"}
+    assert all(r["confirmed"] and r["proto"] == "amqp" for r in rows)
+
+
+def test_amqp_unconfirmed_publish_and_heartbeat(tmp_path, ray_session):
+    from nifi_ray.sources.listen import ListenAMQP
+
+    spool = str(tmp_path / "amqp2")
+    with ListenAMQP(spool_dir=spool) as srv:
+        c = _AmqpClient(srv.port)
+        c.handshake()
+        c.frame(8, 0, b"")  # heartbeat → echoed
+        ftype, _, _ = c.read_frame()
+        assert ftype == 8
+        c.publish(b"logs", b"fire and forget")  # no confirm.select → no ack
+        c.close()  # CloseOk only arrives after the publish is processed
+        assert srv.writer.rows_written + srv.writer.rows_buffered == 1
+    rows = spool_dataset(spool).take_all()
+    assert rows[0]["payload"] == "fire and forget"
+    assert rows[0]["confirmed"] is False
+
+
+def test_amqp_unsupported_method_closes_loudly(tmp_path):
+    from nifi_ray.sources.listen import ListenAMQP
+
+    spool = str(tmp_path / "amqp3")
+    with ListenAMQP(spool_dir=spool) as srv:
+        c = _AmqpClient(srv.port)
+        c.handshake()
+        c.method(1, 60, 20, b"\x00\x00")  # Basic.Consume: unsupported
+        args = c.expect_method(10, 50)  # Connection.Close 540
+        (code,) = c.struct.unpack(">H", args[:2])
+        assert code == 540
+        c.s.close()
+
+
+def test_amqp_bad_protocol_header_rejected(tmp_path):
+    from nifi_ray.sources.listen import ListenAMQP
+
+    spool = str(tmp_path / "amqp4")
+    with ListenAMQP(spool_dir=spool) as srv:
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=5)
+        s.sendall(b"HTTP/1.1 GET /")
+        got = s.recv(16)
+        assert got == b"AMQP\x00\x00\x09\x01"  # supported header, then close
+        assert s.recv(16) == b""
+        s.close()
