@@ -23,7 +23,7 @@ import pyarrow.parquet as pq
 
 # Bump when any expected-value implementation (or the engine semantics
 # it mirrors) changes — keys the /tmp cache.
-_REV = 5  # r4: simhash/fp_min emitted as hex strings (driver uint64 fix)
+_REV = 6  # r4: + jpeg dequant zigzag-permutation fix (decoder & dual)
 
 _M64 = (1 << 64) - 1
 
@@ -255,7 +255,10 @@ def _expected_jpeg_pixels(rgb, quality: int, subsample: str):
         for bi in range(len(zzs)):
             by, bx = divmod(bi, n_bx)
             coef = np.zeros(64)
-            coef[ZIGZAG] = zzs[bi].astype(float) * qt
+            # qt natural order, zzs zigzag order: permute the table to
+            # zigzag positions before the elementwise dequant (mirrors
+            # the r4 decoder fix — both duals changed together)
+            coef[ZIGZAG] = zzs[bi].astype(float) * qt[ZIGZAG]
             plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
                 _T.T @ coef.reshape(8, 8) @ _T + 128.0
             )
@@ -296,21 +299,27 @@ def _expected_jpeg_pixels(rgb, quality: int, subsample: str):
 def expected_image_decode(_sf: str, n: int = 96, seed: int = 7) -> pa.Table:
     """Per-image exact channel sums (queries.q_image_decode over
     synth_bmp_table(96, seed=7, with_jpeg=True)): lossless rows scalar
-    from the pattern spec; every 4th row is jpeg — reconstructed via
-    the coefficient path (_expected_jpeg_pixels)."""
+    from the pattern spec; jpeg rows (baseline AND progressive) are
+    reconstructed via the coefficient path (_expected_jpeg_pixels)."""
     import numpy as np
 
-    from .stages.multimodal import JPEG_FIXTURE_KW, _synth_rgb
+    from .stages.multimodal import (
+        JPEG_FIXTURE_KW,
+        PROG_JPEG_FIXTURE_KW,
+        _synth_rgb,
+    )
 
     ids, pws, phs, sums = [], [], [], []
     for i in range(n):
         w, h = _BMP_DIMS[i % len(_BMP_DIMS)]
         key = seed * 1_000_003 + i
-        if i % 4 == 3:  # jpeg row (encoders rotate bmp,png,ppm,jpeg)
+        # encoders rotate bmp,png,ppm,jpeg-baseline,jpeg-progressive;
+        # both jpeg layouts carry IDENTICAL quantized coefficients, so
+        # one coefficient-path inverse pins both entropy decoders
+        if i % 5 in (3, 4):
+            kw = JPEG_FIXTURE_KW if i % 5 == 3 else PROG_JPEG_FIXTURE_KW
             rgb = _synth_rgb(w, h, key)
-            px = _expected_jpeg_pixels(
-                rgb, JPEG_FIXTURE_KW["quality"], JPEG_FIXTURE_KW["subsample"]
-            )
+            px = _expected_jpeg_pixels(rgb, kw["quality"], kw["subsample"])
             s = [int(px[:, :, c].sum()) for c in range(3)]
         else:
             s = [0, 0, 0]

@@ -1503,8 +1503,10 @@ def q_multimodal_decode(sf_dir: str):
 
 def q_image_decode(sf_dir: str):
     """Real image decode: synthetic payloads rotating BMP / PNG / PPM /
-    baseline-JPEG (pure-Python T.81 codec, 4:2:0 + restart markers) →
-    actor-pool DecodeImage → exact per-image integer pixel stats.
+    baseline-JPEG (4:2:0 + restart markers) / progressive-JPEG (SOF2,
+    spectral selection + successive approximation) through the
+    pure-Python T.81 codec → actor-pool DecodeImage → exact per-image
+    integer pixel stats.
     Oracle = sequential scalar mirror (oracle_expected
     .expected_image_decode): lossless rows from the pattern spec, jpeg
     rows reconstructed through the coefficient path — the huffman/

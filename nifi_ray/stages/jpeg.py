@@ -446,18 +446,281 @@ def encode_jpeg_baseline(
     return bytes(out)
 
 
+# ------------------------------------------------ progressive encoder
+
+# Default successive-approximation scan script (the classic 10-scan
+# shape of jpeg_simple_progression for 3 components): spectral
+# selection + two successive-approximation levels for luma AC, one DC
+# refinement pass. Each entry: (component indices, Ss, Se, Ah, Al).
+PROGRESSIVE_SCANS = [
+    ([0, 1, 2], 0, 0, 0, 1),   # DC first, point transform 1
+    ([0], 1, 5, 0, 2),         # luma AC 1-5 at Al=2
+    ([2], 1, 63, 0, 1),
+    ([1], 1, 63, 0, 1),
+    ([0], 6, 63, 0, 2),        # luma AC tail at Al=2
+    ([0], 1, 63, 2, 1),        # luma AC refine 2->1
+    ([0, 1, 2], 0, 0, 1, 0),   # DC refine
+    ([2], 1, 63, 1, 0),
+    ([1], 1, 63, 1, 0),
+    ([0], 1, 63, 1, 0),        # luma AC refine 1->0
+]
+
+
+def encode_jpeg_progressive(
+    rgb: np.ndarray,
+    quality: int = 75,
+    subsample: str = "4:2:0",
+    scans: list | None = None,
+) -> bytes:
+    """RGB uint8 (H, W, 3) -> progressive JFIF bytes (SOF2, T.81
+    Annex G). Quantized coefficients are IDENTICAL to the baseline
+    encoder's (same forward path), only the entropy layout differs —
+    so decode(progressive) must equal decode(baseline) bit-exactly,
+    which is the codec's dual-verification for the progressive paths.
+
+    EOB runs are capped at 1 (EOB0 emitted immediately): longer runs
+    need EOBn symbols absent from the Annex K example Huffman tables,
+    and building a two-pass optimal coder buys nothing for fixtures.
+    The DECODER implements full EOB-run semantics regardless."""
+    if subsample not in ("4:2:0", "4:4:4"):
+        raise NotImplementedError(subsample)
+    h, w = rgb.shape[:2]
+    qt_l, qt_c = scaled_qtables(quality)
+    scans = PROGRESSIVE_SCANS if scans is None else scans
+    hs, vs = (2, 2) if subsample == "4:2:0" else (1, 1)
+
+    # raster-order zigzag coefficients per component (NOT MCU order:
+    # non-interleaved AC scans walk the component's own block raster)
+    ycc = rgb_to_ycbcr(rgb)
+    y = _pad_edge(ycc[..., 0], 8 * vs, 8 * hs)
+    cb = _pad_edge(ycc[..., 1], 8 * vs, 8 * hs)
+    cr = _pad_edge(ycc[..., 2], 8 * vs, 8 * hs)
+    if subsample == "4:2:0":
+        cb, cr = _downsample2(cb), _downsample2(cr)
+    planes = [(y, qt_l), (cb, qt_c), (cr, qt_c)]
+    comps_zz = [_quantize_plane(p, qt) for p, qt in planes]
+    blocks_w = [p.shape[1] // 8 for p, _ in planes]
+    blocks_h = [p.shape[0] // 8 for p, _ in planes]
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    for tid, qt in ((0, qt_l), (1, qt_c)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+        out += bytes(int(qt[ZIGZAG[i]]) for i in range(64))
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)  # SOF2
+    out += bytes([1, (hs << 4) | vs, 0])
+    out += bytes([2, 0x11, 1])
+    out += bytes([3, 0x11, 1])
+    for cls, tid, (bits, vals) in (
+        (0, 0, HT_DC_LUMA), (1, 0, HT_AC_LUMA),
+        (0, 1, HT_DC_CHROMA), (1, 1, HT_AC_CHROMA),
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+
+    dc_tabs = [_canonical_codes(*HT_DC_LUMA), _canonical_codes(*HT_DC_CHROMA)]
+    ac_tabs = [_canonical_codes(*HT_AC_LUMA), _canonical_codes(*HT_AC_CHROMA)]
+
+    for comp_ids, ss, se, ah, al in scans:
+        ns = len(comp_ids)
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+        for ci in comp_ids:
+            tid = 0 if ci == 0 else 1
+            if ss == 0:
+                out += bytes([ci + 1, tid << 4])
+            else:
+                out += bytes([ci + 1, tid])
+        out += bytes([ss, se, (ah << 4) | al])
+        # non-interleaved scans cover only the component's own
+        # ceil-block grid (T.81 A.2.2) — NOT the padded MCU grid the
+        # plane (and the interleaved DC scan) uses; walk coded dims
+        # with the padded row stride
+        coded = []
+        for ci in range(3):
+            ch_f = hs if ci == 0 else 1
+            cv_f = vs if ci == 0 else 1
+            cw = -(-w * ch_f // hs)
+            ch_px = -(-h * cv_f // vs)
+            coded.append((-(-ch_px // 8), -(-cw // 8)))
+        bw_ = _BitWriter()
+        if ss == 0:
+            _encode_dc_scan(
+                bw_, comps_zz, comp_ids, blocks_w, blocks_h,
+                hs, vs, ah, al, dc_tabs, coded,
+            )
+        else:
+            ci = comp_ids[0]
+            act = ac_tabs[0 if ci == 0 else 1]
+            nby, nbx = coded[ci]
+            if ah == 0:
+                _encode_ac_first(
+                    bw_, comps_zz[ci], nby, nbx, blocks_w[ci],
+                    ss, se, al, act,
+                )
+            else:
+                _encode_ac_refine(
+                    bw_, comps_zz[ci], nby, nbx, blocks_w[ci],
+                    ss, se, al, act,
+                )
+        bw_.flush()
+        out += bytes(bw_.buf)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_dc_scan(
+    bw_, comps_zz, comp_ids, blocks_w, blocks_h, hs, vs, ah, al, dc_tabs, coded
+):
+    """DC scan: interleaved MCU walk when ns>1 (raster -> MCU block
+    order computed per component), else the component's block raster.
+    First scan (Ah=0) DPCM-codes coef[0] >> Al (arithmetic shift);
+    refinement emits bit Al of each DC value."""
+    if len(comp_ids) > 1:
+        mcus_y = blocks_h[0] // vs
+        mcus_x = blocks_w[0] // hs
+        pred = [0] * 3
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in comp_ids:
+                    ch = hs if ci == 0 else 1
+                    cv = vs if ci == 0 else 1
+                    for bv in range(cv):
+                        for bh in range(ch):
+                            bi = (my * cv + bv) * blocks_w[ci] + (mx * ch + bh)
+                            v = int(comps_zz[ci][bi][0]) >> al
+                            if ah == 0:
+                                diff = v - pred[ci]
+                                pred[ci] = v
+                                s = _category(diff)
+                                code, ln = dc_tabs[0 if ci == 0 else 1][s]
+                                bw_.write(code, ln)
+                                if s:
+                                    bw_.write(
+                                        diff if diff >= 0 else diff + (1 << s) - 1, s
+                                    )
+                            else:
+                                bw_.write(v & 1, 1)
+    else:
+        ci = comp_ids[0]
+        pred0 = 0
+        nby, nbx = coded[ci]
+        for by in range(nby):
+          for bx in range(nbx):
+            bi = by * blocks_w[ci] + bx
+            v = int(comps_zz[ci][bi][0]) >> al
+            if ah == 0:
+                diff = v - pred0
+                pred0 = v
+                s = _category(diff)
+                code, ln = dc_tabs[0 if ci == 0 else 1][s]
+                bw_.write(code, ln)
+                if s:
+                    bw_.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            else:
+                bw_.write(v & 1, 1)
+
+
+def _iter_coded(nby, nbx, stride):
+    for by in range(nby):
+        for bx in range(nbx):
+            yield by * stride + bx
+
+
+def _encode_ac_first(bw_, zzs, nby, nbx, stride, ss, se, al, act):
+    """AC first scan (T.81 G.1.2.2): zero-run/magnitude coding of the
+    point-transformed band; blocks ending early emit EOB0 immediately
+    (run cap 1 — see encode_jpeg_progressive)."""
+    for bi in _iter_coded(nby, nbx, stride):
+        zz = zzs[bi]
+        r = 0
+        for k in range(ss, se + 1):
+            t = int(zz[k])
+            if t < 0:
+                mag = (-t) >> al
+                bitsv = ~mag  # one's complement carries the sign
+            else:
+                mag = t >> al
+                bitsv = mag
+            if mag == 0:
+                r += 1
+                continue
+            while r > 15:
+                code, ln = act[0xF0]
+                bw_.write(code, ln)
+                r -= 16
+            s = _category(mag)
+            code, ln = act[(r << 4) | s]
+            bw_.write(code, ln)
+            bw_.write(bitsv & ((1 << s) - 1), s)
+            r = 0
+        if r:
+            code, ln = act[0x00]  # EOB0
+            bw_.write(code, ln)
+
+
+def _encode_ac_refine(bw_, zzs, nby, nbx, stride, ss, se, al, act):
+    """AC refinement scan (T.81 G.1.2.3): newly-significant coefs emit
+    a (run, 1) symbol + sign bit; already-nonzero coefs contribute
+    buffered correction bits appended after the next emitted symbol.
+    EOB0 flushes at each early block end (run cap 1) together with its
+    pending correction bits."""
+    for bi in _iter_coded(nby, nbx, stride):
+        zz = zzs[bi]
+        absv = {}
+        eob = ss - 1  # last newly-significant index (none -> before band)
+        for k in range(ss, se + 1):
+            t = int(zz[k])
+            m = (-t if t < 0 else t) >> al
+            absv[k] = m
+            if m == 1:
+                eob = k
+        r = 0
+        corr: list[int] = []
+        for k in range(ss, se + 1):
+            m = absv[k]
+            if m == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                code, ln = act[0xF0]
+                bw_.write(code, ln)
+                r -= 16
+                for b in corr:
+                    bw_.write(b, 1)
+                corr = []
+            if m > 1:
+                corr.append(m & 1)
+                continue
+            code, ln = act[(r << 4) | 1]
+            bw_.write(code, ln)
+            bw_.write(0 if int(zz[k]) < 0 else 1, 1)
+            for b in corr:
+                bw_.write(b, 1)
+            corr = []
+            r = 0
+        if r > 0 or corr:
+            code, ln = act[0x00]  # EOB0 + pending correction bits
+            bw_.write(code, ln)
+            for b in corr:
+                bw_.write(b, 1)
+
+
 # ---------------------------------------------------------- decoder
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> RGB uint8 (H, W, 3) (grayscale SOF is
-    replicated to 3 channels)."""
+    """JFIF bytes -> RGB uint8 (H, W, 3): baseline sequential (SOF0)
+    and progressive DCT (SOF2, T.81 Annex G — spectral selection and
+    successive approximation, DC and AC first + refinement scans).
+    Grayscale SOF is replicated to 3 channels."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _HuffDecoder] = {}
     frame = None
+    coefs: list[np.ndarray] | None = None
     restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -490,7 +753,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(seg[off + 17:off + 17 + n])
                 huff[(cls, tid)] = _HuffDecoder(bits, vals)
                 off += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -498,10 +761,25 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+            if frame["progressive"]:
+                # zigzag-order coefficient store per component, full
+                # padded MCU grid (non-interleaved scans cover only the
+                # component's own ceil-block grid; padding stays zero)
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                coefs = [
+                    np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), np.int64)
+                    for c in comps
+                ]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(f"SOF{marker - 0xC0}: not baseline sequential")
+            raise NotImplementedError(
+                f"SOF{marker - 0xC0}: not baseline or progressive DCT"
+            )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
@@ -510,12 +788,248 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append({"cs": cs, "dc": tt >> 4, "ac": tt & 0xF})
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
             pos = pos + seglen
-            return _decode_scan(
-                data, pos, frame, scan, qtables, huff, restart_interval
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            if not frame["progressive"]:
+                return _decode_scan(
+                    data, pos, frame, scan, qtables, huff, restart_interval
+                )
+            pos = _decode_progressive_scan(
+                data, pos, frame, scan, ss, se, ahal >> 4, ahal & 0xF,
+                huff, coefs, restart_interval,
             )
+            continue
         pos += seglen
+    if frame is not None and frame.get("progressive"):
+        return _reconstruct_progressive(frame, coefs, qtables)
     raise ValueError("no SOS marker")
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Position of the next true marker (skips stuffed FF00 and fill
+    FFs followed by RSTn are NOT skipped — callers handle restarts)."""
+    n = len(data)
+    while pos < n - 1:
+        if data[pos] == 0xFF and data[pos + 1] != 0x00:
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_progressive_scan(
+    data, pos, frame, scan, ss, se, ah, al, huff, coefs, restart_interval
+):
+    """One progressive scan (T.81 G.2): decode into the zigzag-order
+    coefficient store and return the position of the next marker.
+
+    Scan kinds: DC first (Ss=0, Ah=0 — MCU-interleaved when ns>1), DC
+    refinement (Ss=0, Ah>0 — one bit per block), AC first (Ss>0, Ah=0
+    — single component, EOB-run coded), AC refinement (Ss>0, Ah>0 —
+    correction bits for already-nonzero coefficients plus newly
+    significant ±2^Al insertions). The successive-approximation
+    arithmetic mirrors the spec's flow charts (G.1.2.1-3, G.2.2)."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
+    br = _BitReader(data, pos)
+    state = {"eobrun": 0, "pred": [0] * len(comps), "rst": 0, "units": 0}
+
+    def check_restart():
+        if restart_interval and state["units"] and (
+            state["units"] % restart_interval == 0
+        ):
+            br.align_to_marker()
+            m = data[br.pos + 1]
+            if not (0xD0 <= m <= 0xD7) or (m - 0xD0) != state["rst"]:
+                raise ValueError("restart marker sequence error")
+            br.pos += 2
+            state["rst"] = (state["rst"] + 1) % 8
+            state["pred"] = [0] * len(comps)
+            state["eobrun"] = 0
+
+    def dc_first(ci, blk):
+        dct = huff[(0, scan_dc[ci])]
+        s = dct.decode(br)
+        diff = _extend(br.bits(s), s) if s else 0
+        state["pred"][ci] += diff
+        blk[0] = state["pred"][ci] << al
+
+    def dc_refine(blk):
+        if br.bit():
+            blk[0] |= 1 << al
+
+    def ac_first(ci, blk):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        act = huff[(1, scan_ac[ci])]
+        k = ss
+        while k <= se:
+            rs = act.decode(br)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += br.bits(r)
+                    break
+                k += 16
+            else:
+                k += r
+                if k > se:
+                    raise ValueError("AC index overflow in progressive scan")
+                blk[k] = _extend(br.bits(s), s) << al
+                k += 1
+
+    def ac_refine(ci, blk):
+        act = huff[(1, scan_ac[ci])]
+        p1, m1 = 1 << al, -1 << al
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = act.decode(br)
+                r, s = rs >> 4, rs & 0xF
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        # EOB run: 1 << r (+ extension); NOT decremented
+                        # here — the remaining-positions pass below
+                        # consumes this block's share and decrements
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += br.bits(r)
+                        break
+                    # ZRL: skip 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError("AC refinement magnitude must be 1")
+                    val = p1 if br.bit() else m1
+                while k <= se:
+                    if blk[k] != 0:
+                        # correction bit for an already-nonzero coef
+                        if br.bit() and not (int(blk[k]) & p1):
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    if br.bit() and not (int(blk[k]) & p1):
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                k += 1
+            state["eobrun"] -= 1
+
+    scan_dc = {}
+    scan_ac = {}
+    for sc in scan:
+        ci = by_id[sc["cs"]]
+        scan_dc[ci] = sc["dc"]
+        scan_ac[ci] = sc["ac"]
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC scan must have Se == 0")
+        if len(scan) > 1:
+            # interleaved DC scan: MCU walk, all components
+            for _my in range(mcus_y):
+                for _mx in range(mcus_x):
+                    check_restart()
+                    for sc in scan:
+                        ci = by_id[sc["cs"]]
+                        c = comps[ci]
+                        for bv in range(c["v"]):
+                            for bh in range(c["h"]):
+                                by = _my * c["v"] + bv
+                                bx = _mx * c["h"] + bh
+                                blk = coefs[ci][by, bx]
+                                if ah == 0:
+                                    dc_first(ci, blk)
+                                else:
+                                    dc_refine(blk)
+                    state["units"] += 1
+        else:
+            ci = by_id[scan[0]["cs"]]
+            nby, nbx = _coded_blocks(frame, ci)
+            for by in range(nby):
+                for bx in range(nbx):
+                    check_restart()
+                    blk = coefs[ci][by, bx]
+                    if ah == 0:
+                        dc_first(ci, blk)
+                    else:
+                        dc_refine(blk)
+                    state["units"] += 1
+    else:
+        if len(scan) != 1:
+            raise ValueError("AC scans must be non-interleaved (T.81 G.2)")
+        ci = by_id[scan[0]["cs"]]
+        nby, nbx = _coded_blocks(frame, ci)
+        for by in range(nby):
+            for bx in range(nbx):
+                check_restart()
+                blk = coefs[ci][by, bx]
+                if ah == 0:
+                    ac_first(ci, blk)
+                else:
+                    ac_refine(ci, blk)
+                state["units"] += 1
+    return _next_marker(data, br.pos)
+
+
+def _coded_blocks(frame, ci) -> tuple[int, int]:
+    """Non-interleaved scan geometry (T.81 A.2.2): ceil block dims of
+    the component's OWN sample grid — no MCU padding."""
+    c = frame["comps"][ci]
+    hmax = max(x["h"] for x in frame["comps"])
+    vmax = max(x["v"] for x in frame["comps"])
+    cw = -(-frame["w"] * c["h"] // hmax)
+    ch = -(-frame["h"] * c["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _reconstruct_progressive(frame, coefs, qtables) -> np.ndarray:
+    """Accumulated zigzag coefficients -> pixels: the same dequantize +
+    IDCT + round/clip/upsample tail as the baseline path, vectorized
+    over all blocks per component."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    out_planes = []
+    for c, zz in zip(comps, coefs):
+        qt = qtables[c["tq"]]
+        nby, nbx, _ = zz.shape
+        deq = zz.astype(np.float64) * qt[ZIGZAG][None, None, :]
+        nat = np.zeros_like(deq)
+        nat[..., ZIGZAG] = deq
+        blocks = nat.reshape(nby, nbx, 8, 8)
+        # same operator chain as the baseline per-block IDCT so both
+        # paths round identically (matmul broadcasts over blocks)
+        spatial = _T.T @ blocks @ _T + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        plane = np.clip(_round_half_up(plane), 0, 255)
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out_planes.append(plane[:h, :w])
+    if len(out_planes) == 1:
+        g = out_planes[0].astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    ycc = np.stack(out_planes, axis=-1)
+    return ycbcr_to_rgb(ycc)
 
 
 def _decode_scan(data, pos, frame, scan, qtables, huff, restart_interval):
@@ -573,9 +1087,13 @@ def _decode_scan(data, pos, frame, scan, qtables, huff, restart_interval):
                                 raise ValueError("AC index overflow")
                             zz[k] = _extend(br.bits(s), s)
                             k += 1
-                        # dequantize + dezigzag + IDCT
+                        # dequantize + dezigzag + IDCT. qt is stored in
+                        # natural order, zz in zigzag order: the table
+                        # entry for zigzag position k is qt[ZIGZAG[k]]
+                        # (a bare zz*qt mis-permutes the AC quantizers —
+                        # caught by the convention-A regression test)
                         coef = np.zeros(64, np.float64)
-                        coef[ZIGZAG] = (zz * qt).astype(np.float64)
+                        coef[ZIGZAG] = (zz * qt[ZIGZAG]).astype(np.float64)
                         F = coef.reshape(8, 8)
                         spatial = _T.T @ F @ _T + 128.0
                         y0 = (my * c["v"] + blk_v) * 8

@@ -503,12 +503,17 @@ def _synth_rgb(w: int, h: int, key: int) -> np.ndarray:
 
 # graded jpeg fixture parameters (shared with the oracle dual)
 JPEG_FIXTURE_KW = {"quality": 85, "subsample": "4:2:0", "restart_interval": 2}
+# progressive rows: same quality/subsample so the coefficient-path
+# oracle (_expected_jpeg_pixels) covers both entropy layouts with one
+# inverse — progressive reorders the bitstream, not the coefficients
+PROG_JPEG_FIXTURE_KW = {"quality": 85, "subsample": "4:2:0"}
 
 
 def synth_bmp_table(n: int, seed: int = 0, with_jpeg: bool = False) -> pa.Table:
     """n real image payloads with varied small dims — format rotates
-    BMP / PNG / PPM (+ baseline JPEG when ``with_jpeg``) per row so
-    every codec path is graded. For the lossless formats the
+    BMP / PNG / PPM (+ baseline and progressive JPEG when
+    ``with_jpeg``) per row so every codec path is graded. For the
+    lossless formats the
     expected-table oracle recomputes pixel sums from the pattern SPEC;
     jpeg rows are lossy, so the oracle reconstructs their pixels through
     the COEFFICIENT path (forward transform shared, scalar inverse
@@ -521,10 +526,16 @@ def synth_bmp_table(n: int, seed: int = 0, with_jpeg: bool = False) -> pa.Table:
         (encode_ppm, "image/x-portable-pixmap"),
     ]
     if with_jpeg:
-        from .jpeg import encode_jpeg_baseline
+        from .jpeg import encode_jpeg_baseline, encode_jpeg_progressive
 
         encoders.append(
             (lambda img: encode_jpeg_baseline(img, **JPEG_FIXTURE_KW), "image/jpeg")
+        )
+        encoders.append(
+            (
+                lambda img: encode_jpeg_progressive(img, **PROG_JPEG_FIXTURE_KW),
+                "image/jpeg",
+            )
         )
     ids, types, payloads, ws, hs = [], [], [], [], []
     for i in range(n):
