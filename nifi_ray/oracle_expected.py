@@ -903,7 +903,49 @@ def expected_ann_search(
     return t.sort_by([("query_doc", "ascending"), ("rank", "ascending")])
 
 
+def expected_mp4_metadata(_sf: str, n: int = 60) -> pa.Table:
+    """Spec-derived metadata for synth_mp4_table(60, seed=11): every
+    value computed from the fixture parameters WITHOUT parsing any
+    bytes — the query must recover them through encode → BMFF parse."""
+    from .stages.multimodal import (
+        MP4_FIXTURE_DIMS,
+        MP4_FIXTURE_FPS,
+        mp4_fixture_frames,
+    )
+
+    rows = {k: [] for k in (
+        "media_id", "brand", "duration_ms", "n_tracks", "handler",
+        "codec", "width", "height", "n_samples",
+    )}
+    for i in range(n):
+        w, h = MP4_FIXTURE_DIMS[i % len(MP4_FIXTURE_DIMS)]
+        f = mp4_fixture_frames(i)
+        rows["media_id"].append(f"mp4{i:06d}")
+        rows["brand"].append("isom")
+        rows["duration_ms"].append((f * 1000) // MP4_FIXTURE_FPS)
+        rows["n_tracks"].append(1)
+        rows["handler"].append("vide")
+        rows["codec"].append("raw ")
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["n_samples"].append(f)
+    return pa.table(
+        {
+            "media_id": pa.array(rows["media_id"], pa.string()),
+            "brand": pa.array(rows["brand"], pa.string()),
+            "duration_ms": pa.array(rows["duration_ms"], pa.int64()),
+            "n_tracks": pa.array(rows["n_tracks"], pa.int64()),
+            "handler": pa.array(rows["handler"], pa.string()),
+            "codec": pa.array(rows["codec"], pa.string()),
+            "width": pa.array(rows["width"], pa.int64()),
+            "height": pa.array(rows["height"], pa.int64()),
+            "n_samples": pa.array(rows["n_samples"], pa.int64()),
+        }
+    )
+
+
 EXPECTED_BUILDERS = {
+    "mp4_metadata": expected_mp4_metadata,
     "streaming_neardup": expected_streaming_neardup,
     "doc_history": expected_doc_history,
     "ann_maintained": expected_ann_search,

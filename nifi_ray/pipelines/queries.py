@@ -1603,6 +1603,59 @@ def q_video_frames(sf_dir: str):
     return frames.map_batches(frame_sum, batch_format="pyarrow")
 
 
+def q_mp4_metadata(sf_dir: str):
+    """ExtractMediaMetadata analog over ISO BMFF containers: synthetic
+    mp4 payloads (QuickTime ``raw `` RGB24 tracks, varied dims / frame
+    counts / chunked sample tables) → actor-pool ExtractMediaMetadata →
+    brand/duration/track/codec/dims/sample-count columns. The oracle is
+    spec-derived (oracle_expected.expected_mp4_metadata computes the
+    SAME numbers from the fixture parameters without parsing), so this
+    pins the encoder AND the moov/trak/stbl parser against each other."""
+    import ray.data as rd
+
+    from ..stages.multimodal import ExtractMediaMetadata, synth_mp4_table
+
+    ds = rd.from_arrow(synth_mp4_table(60, seed=11))
+    return ds.map_batches(
+        ExtractMediaMetadata, batch_format="pyarrow", batch_size=16, concurrency=2
+    )
+
+
+def q_execute_sql(sf_dir: str):
+    """ExecuteSQL + GenerateTableFetch end-to-end (reference
+    ExecuteSQL.java:240, GenerateTableFetch.java:258): page the events
+    table into ranged SELECTs (tiny driver-side statement list), fan
+    the pages out over a PageFetch actor pool — one DuckDB connection
+    per actor, page rows only ever exist inside the fetching task —
+    then a two-level pre-aggregate. Columns are pruned in the page SQL
+    itself (prune-at-the-read)."""
+    import ray.data as rd
+
+    from ..sources.sql import PageFetch, generate_table_fetch
+
+    stmts = generate_table_fetch(
+        f"read_parquet('{sf_dir}/events.parquet')",
+        "event_id",
+        page_size=500,
+        where="value >= 50.0",
+        columns=["event_id", "event_type", "value"],
+    )
+    ds = rd.from_items([{"sql": s} for s in stmts]).map_batches(
+        PageFetch, batch_format="pyarrow", batch_size=4, concurrency=2
+    )
+    agg = pre_aggregate(
+        ds,
+        "event_type",
+        {
+            "n": ("event_id", "count"),
+            "sum_val": ("value", "sum"),
+            "min_eid": ("event_id", "min"),
+            "max_eid": ("event_id", "max"),
+        },
+    )
+    return _round(agg, {"sum_val": 2})
+
+
 # Bump when replay/apply/summarize semantics change: the lake workdir is
 # keyed by this + the GenConfig fingerprint, so a stale-but-valid lake
 # built by older code is never silently reused (ADVICE r1).
@@ -2384,6 +2437,8 @@ QUERIES = {
     "range_enrich": q_range_enrich,
     "decontaminate_bloom": q_decontaminate_bloom,
     "decontaminate_tokens": q_decontaminate_tokens,
+    "mp4_metadata": q_mp4_metadata,
+    "execute_sql": q_execute_sql,
 }
 
 
@@ -2526,6 +2581,14 @@ ORACLE_SQL = {
                CAST(epoch_us(min(ts)) AS BIGINT) AS min_ts_us,
                round(sum(value), 2) AS sum_value
         FROM events GROUP BY event_type
+    """,
+    "execute_sql": """
+        SELECT event_type,
+               count(event_id) AS n,
+               round(sum(value), 2) AS sum_val,
+               min(event_id) AS min_eid,
+               max(event_id) AS max_eid
+        FROM events WHERE value >= 50.0 GROUP BY event_type
     """,
     "jolt_transform": """
         SELECT event_type,

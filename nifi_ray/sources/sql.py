@@ -73,24 +73,54 @@ def generate_table_fetch(
     page_size: int,
     database: str | None = None,
     where: str | None = None,
+    columns: list[str] | None = None,
 ) -> list[str]:
     """GenerateTableFetch: emit ranged SELECT statements covering the
     table in ``page_size`` chunks — the shard list a caller fans out as
     parallel read_sql tasks (GenerateTableFetch.java:258 emits paged
-    statements for downstream parallel fetch the same way)."""
+    statements for downstream parallel fetch the same way). Pass
+    ``columns`` so only needed columns leave the database (the
+    prune-at-the-read rule)."""
     con = _connect(database)
     try:
         pred = f" WHERE {where}" if where else ""
         n = con.execute(f"SELECT count(*) FROM {table}{pred}").fetchone()[0]
     finally:
         con.close()
+    cols = ", ".join(columns) if columns else "*"
     stmts = []
     for off in range(0, int(n), page_size):
         stmts.append(
-            f"SELECT * FROM {table}{pred} ORDER BY {order_col} "
+            f"SELECT {cols} FROM {table}{pred} ORDER BY {order_col} "
             f"LIMIT {page_size} OFFSET {off}"
         )
     return stmts
+
+
+class PageFetch:
+    """Actor-pool stage executing fanned-out GenerateTableFetch pages:
+    one DuckDB connection per actor (opened once in ``__init__`` — the
+    load-once-per-worker rule), each input row is one page statement,
+    output is that page's rows. This is the distributed half of the
+    ExecuteSQL / GenerateTableFetch pair: the statement list is tiny
+    driver-side metadata; the row payloads only ever exist inside the
+    fetching task."""
+
+    def __init__(self, database: str | None = None):
+        import duckdb
+
+        self.con = duckdb.connect(
+            database or ":memory:", read_only=bool(database)
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tabs = []
+        for stmt in batch["sql"].to_pylist():
+            t = self.con.execute(stmt).arrow()
+            if isinstance(t, pa.RecordBatchReader):
+                t = t.read_all()
+            tabs.append(t)
+        return pa.concat_tables(tabs)
 
 
 def list_tables(database: str | None = None) -> pa.Table:

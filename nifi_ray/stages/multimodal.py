@@ -16,10 +16,16 @@ external libraries:
 - ``audio/wav``   — 16-bit PCM mono, stdlib ``wave``
 - ``video/x-ppm-stream`` — concatenated P6 frames (the shape ffmpeg's
   image2pipe emits), frame-sampled without decoding skipped frames
+- ``image/jpeg``  — baseline + progressive, pure-Python T.81 subset
+  (``stages/jpeg.py``)
+- ``video/mp4``   — full ISO BMFF container parsing (``stages/bmff.py``:
+  metadata, sample tables, span-based frame sampling) and pixel decode
+  for QuickTime ``raw `` RGB24 tracks
 
-Transform-coded formats (jpeg/mp3/mp4) still raise
+Transform-coded SAMPLES inside mp4 (avc1/hev1) and mp3 still raise
 ``NotImplementedError`` — their codecs are not in this container; the
-dispatch seam (`_decode_rgb`) is where PIL/ffmpeg would plug in. The
+dispatch seam (`_decode_rgb` / mp4 sample decode) is where ffmpeg would
+plug in. The
 legacy ``fake=True`` mode (CRC-seeded pseudo-features) is kept for
 plumbing tests that need payloads of arbitrary type.
 
@@ -443,10 +449,15 @@ class DecodeAudio:
 
 
 class SampleFrames:
-    """Actor-pool stage: video (concatenated-P6 stream) → one row per
-    sampled frame (every k-th, starting at 0). Skipped frames are never
-    decoded — the stream is walked by header spans and sampled frames
-    are zero-copy slices re-emitted as standalone PPM payloads."""
+    """Actor-pool stage: video (concatenated-P6 stream OR ISO BMFF mp4
+    with a QuickTime ``raw `` RGB track) → one row per sampled frame
+    (every k-th, starting at 0). Skipped frames are never decoded —
+    both containers are walked by spans (PPM header walk / mp4 sample
+    tables) and sampled frames are slices of the original buffer,
+    re-emitted as standalone PPM payloads (raw RGB24 samples ARE the P6
+    pixel layout, so the mp4 path just prefixes a header — no pixel
+    pass). Transform-coded mp4 tracks (avc1/…) raise loudly at the
+    sample-decode seam."""
 
     def __init__(self, every: int = 1):
         if every < 1:
@@ -454,18 +465,80 @@ class SampleFrames:
         self.every = every
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .bmff import is_bmff, iter_mp4_video_frames
+
         ids, fidx, frames = [], [], []
         for mid, p in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
-            for idx, start, end in iter_ppm_frames(p):
-                if idx % self.every == 0:
+            if is_bmff(p):
+                codec, w, h, spans = iter_mp4_video_frames(p)
+                if codec != "raw ":
+                    raise NotImplementedError(
+                        f"mp4 sample decode for codec {codec!r} "
+                        "(container parsed; pixel decode needs ffmpeg)"
+                    )
+                hdr = b"P6\n%d %d\n255\n" % (w, h)
+                for idx in range(0, len(spans), self.every):
+                    off, size = int(spans[idx, 0]), int(spans[idx, 1])
                     ids.append(mid)
                     fidx.append(idx)
-                    frames.append(p[start:end])
+                    frames.append(hdr + p[off:off + size])
+            else:
+                for idx, start, end in iter_ppm_frames(p):
+                    if idx % self.every == 0:
+                        ids.append(mid)
+                        fidx.append(idx)
+                        frames.append(p[start:end])
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.string()),
                 "frame_idx": pa.array(fidx, pa.int64()),
                 "payload": pa.array(frames, pa.binary()),
+            }
+        )
+
+
+class ExtractMediaMetadata:
+    """Actor-pool stage: ISO BMFF payload → container metadata columns
+    (the ExtractMediaMetadata analog, reference nifi-media-bundle/...
+    /ExtractMediaMetadata.java — emitted as typed columns instead of
+    FlowFile attributes). Only the moov tree is walked; mdat bytes are
+    never touched, so this costs KBs per payload at any media size."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .bmff import is_bmff, parse_mp4
+
+        cols: dict[str, list] = {
+            "media_id": [], "brand": [], "duration_ms": [], "n_tracks": [],
+            "handler": [], "codec": [], "width": [], "height": [],
+            "n_samples": [],
+        }
+        for mid, p in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
+            if not is_bmff(p):
+                raise ValueError(f"{mid}: not an ISO BMFF payload")
+            m = parse_mp4(p)
+            vid = next(
+                (t for t in m["tracks"] if t.get("handler") == "vide"), {}
+            )
+            cols["media_id"].append(mid)
+            cols["brand"].append(m.get("brand", ""))
+            cols["duration_ms"].append(int(m.get("duration_ms", 0)))
+            cols["n_tracks"].append(len(m["tracks"]))
+            cols["handler"].append(vid.get("handler", ""))
+            cols["codec"].append(vid.get("codec", ""))
+            cols["width"].append(int(vid.get("width", 0)))
+            cols["height"].append(int(vid.get("height", 0)))
+            cols["n_samples"].append(int(vid.get("n_samples", 0)))
+        return pa.table(
+            {
+                "media_id": pa.array(cols["media_id"], pa.string()),
+                "brand": pa.array(cols["brand"], pa.string()),
+                "duration_ms": pa.array(cols["duration_ms"], pa.int64()),
+                "n_tracks": pa.array(cols["n_tracks"], pa.int64()),
+                "handler": pa.array(cols["handler"], pa.string()),
+                "codec": pa.array(cols["codec"], pa.string()),
+                "width": pa.array(cols["width"], pa.int64()),
+                "height": pa.array(cols["height"], pa.int64()),
+                "n_samples": pa.array(cols["n_samples"], pa.int64()),
             }
         )
 
@@ -559,6 +632,45 @@ def synth_bmp_table(n: int, seed: int = 0, with_jpeg: bool = False) -> pa.Table:
     )
 
 
+# mp4 metadata fixture spec — shared with oracle_expected, which
+# derives the EXPECTED metadata from these numbers alone (the query
+# side must recover them by parsing the container it encoded)
+MP4_FIXTURE_DIMS = [(16, 12), (24, 16), (32, 24)]
+MP4_FIXTURE_FPS = 25
+
+
+def mp4_fixture_frames(i: int) -> int:
+    return 5 + (i % 7)
+
+
+def synth_mp4_table(n: int, seed: int = 0) -> pa.Table:
+    """n ISO BMFF mp4 payloads (QuickTime ``raw `` RGB24 track) with
+    varied dims and frame counts — the metadata-extraction fixture."""
+    from .bmff import encode_mp4_raw_video
+
+    ids, payloads, ws, hs = [], [], [], []
+    for i in range(n):
+        w, h = MP4_FIXTURE_DIMS[i % len(MP4_FIXTURE_DIMS)]
+        imgs = [
+            _synth_rgb(w, h, seed * 5_000_011 + i * 907 + f)
+            for f in range(mp4_fixture_frames(i))
+        ]
+        ids.append(f"mp4{i:06d}")
+        payloads.append(encode_mp4_raw_video(imgs, fps=MP4_FIXTURE_FPS))
+        ws.append(w)
+        hs.append(h)
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "media_type": pa.array(["video/mp4"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
 def synth_wav_table(n: int, seed: int = 0, rate: int = 8000) -> pa.Table:
     """n real 16-bit PCM mono WAV payloads (integer triangle-ish wave
     from splitmix64 — no float synthesis, exact everywhere)."""
@@ -584,19 +696,30 @@ def synth_wav_table(n: int, seed: int = 0, rate: int = 8000) -> pa.Table:
 
 
 def synth_video_table(n: int, frames: int = 9, seed: int = 0, w: int = 16, h: int = 12) -> pa.Table:
-    """n concatenated-PPM 'videos' of ``frames`` frames each."""
-    ids, payloads = [], []
+    """n 'videos' of ``frames`` frames each — container alternates per
+    row between a concatenated-PPM stream and an ISO BMFF mp4 with a
+    QuickTime ``raw `` RGB24 track (same pixel pattern either way, so
+    frame-level oracles are container-agnostic while both sampling
+    paths get graded)."""
+    from .bmff import encode_mp4_raw_video
+
+    ids, types, payloads = [], [], []
     for i in range(n):
-        parts = [
-            encode_ppm(_synth_rgb(w, h, seed * 3_000_017 + i * 1009 + f))
+        imgs = [
+            _synth_rgb(w, h, seed * 3_000_017 + i * 1009 + f)
             for f in range(frames)
         ]
         ids.append(f"vid{i:06d}")
-        payloads.append(b"".join(parts))
+        if i % 2 == 0:
+            types.append("video/x-ppm-stream")
+            payloads.append(b"".join(encode_ppm(img) for img in imgs))
+        else:
+            types.append("video/mp4")
+            payloads.append(encode_mp4_raw_video(imgs))
     return pa.table(
         {
             "media_id": pa.array(ids),
-            "media_type": pa.array(["video/x-ppm-stream"] * n),
+            "media_type": pa.array(types),
             "payload": pa.array(payloads, pa.binary()),
             "width": pa.array([w] * n, pa.int32()),
             "height": pa.array([h] * n, pa.int32()),

@@ -301,3 +301,33 @@ def test_pack_content_inverse_of_unpack():
         assert back["entry_name"].to_pylist() == members["entry_name"].to_pylist()
         assert back["payload"].to_pylist() == members["payload"].to_pylist()
         assert back["fragment_index"].to_pylist() == [0, 1, 2]
+
+
+def test_page_fetch_stage_and_column_pruning():
+    """GenerateTableFetch with column pruning + the PageFetch actor
+    stage (plain-callable form): pages must cover the filtered table
+    exactly once and carry only the requested columns."""
+    import duckdb
+    import os
+    import tempfile
+
+    import pyarrow as pa
+
+    from nifi_ray.sources.sql import PageFetch, generate_table_fetch
+
+    db = os.path.join(tempfile.mkdtemp(), "p.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE ev (id BIGINT, v DOUBLE, junk VARCHAR)")
+    con.execute(
+        "INSERT INTO ev SELECT range, range * 1.5, 'x' FROM range(20)"
+    )
+    con.close()
+
+    stmts = generate_table_fetch(
+        "ev", "id", page_size=6, database=db,
+        where="id >= 2", columns=["id", "v"],
+    )
+    assert len(stmts) == 3  # 18 filtered rows / 6
+    out = PageFetch(database=db)(pa.table({"sql": pa.array(stmts)}))
+    assert out.schema.names == ["id", "v"]  # junk pruned in the SQL
+    assert sorted(out["id"].to_pylist()) == list(range(2, 20))
