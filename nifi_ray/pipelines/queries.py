@@ -752,6 +752,58 @@ def q_decontaminate_bloom(sf_dir: str):
     )
 
 
+def q_decontaminate_u64(sf_dir: str):
+    """The EXACT middle path between the broadcast string set and the
+    Bloom filter (stages/bloom.U64Set): benchmark grams as a sorted
+    8-bytes/gram u64 array, probed with one vectorized binary search.
+    Same benchmark split and predicate as ``decontaminate`` /
+    ``decontaminate_bloom``; graded against the SAME exact-set SQL
+    oracle. Unlike Bloom there is no configured fp_rate — the only
+    error term is a 64-bit hash collision — so equality with the exact
+    oracle is the contract, not a probabilistic bound. Prefer this at
+    benchmark scales where 8 B/gram fits worker heaps (10^8 grams =
+    800 MB); switch to Bloom beyond."""
+    import ray
+
+    from ..stages.bloom import BloomDecontaminator, U64Set, gram_hashes
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "is_bench",
+            pc.equal(pc.utf8_slice_codeunits(
+                pa.array([hashlib.md5(str(v).encode()).hexdigest()
+                          for v in t["doc_id"].to_pylist()]), 0, 1), "0"),
+        ),
+        batch_format="pyarrow",
+    )
+    import numpy as np
+
+    parts = [
+        gram_hashes(b["text"], 5)[0]
+        for b in ds.filter(expr="is_bench")
+        .select_columns(["text"])
+        .iter_batches(batch_format="pyarrow")
+    ]
+    uset = U64Set(
+        np.concatenate(parts) if parts else np.empty(0, np.uint64)
+    )
+    uset_ref = ray.put(uset)
+    corpus = ds.filter(expr="is_bench == False").map_batches(
+        BloomDecontaminator,
+        fn_constructor_args=(uset_ref, "text", 5),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    flagged = corpus.map_batches(
+        lambda t: t.append_column("c", pc.cast(t["contaminated"], pa.int64())),
+        batch_format="pyarrow",
+    )
+    return pre_aggregate(
+        flagged, "lang", {"n_docs": ("doc_id", "count"), "n_contaminated": ("c", "sum")}
+    )
+
+
 def q_decontaminate_tokens(sf_dir: str):
     """Token-axis decontamination end-to-end: tokenize BOTH sides with
     the lake's word-hash Tokenizer (tokens list<int32> — the
@@ -2439,6 +2491,7 @@ QUERIES = {
     "decontaminate_tokens": q_decontaminate_tokens,
     "mp4_metadata": q_mp4_metadata,
     "execute_sql": q_execute_sql,
+    "decontaminate_u64": q_decontaminate_u64,
 }
 
 
@@ -2806,6 +2859,9 @@ ORACLE_SQL = {
 # construction; no false positive fires at fp=1e-9 on this corpus), so
 # it is graded against the identical oracle.
 ORACLE_SQL["decontaminate_bloom"] = ORACLE_SQL["decontaminate"]
+# The u64-set path is exact by construction — same oracle, and unlike
+# bloom the equality holds at ANY corpus size, not via an fp bound.
+ORACLE_SQL["decontaminate_u64"] = ORACLE_SQL["decontaminate"]
 
 # Token-axis variant: the oracle re-derives the Tokenizer's ids
 # (md5-hash % vocab — pinned by the tokenize oracle) and the 5-TOKEN-gram

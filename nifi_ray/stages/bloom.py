@@ -183,13 +183,62 @@ class BloomFilter:
         return bf
 
 
+class U64Set:
+    """Sorted-unique u64 gram-hash set — the EXACT middle path between
+    the broadcast string set (~60+ bytes/gram, Python dict probe) and
+    the Bloom filter (~10 bits/gram, fp-rate-bounded drops):
+
+    - 8 bytes/gram flat numpy array (7.5× smaller than strings; the
+      shape that still broadcasts at 10^8 grams = 800 MB);
+    - probe = one vectorized binary search (``searchsorted`` + a single
+      verification gather), no per-gram Python;
+    - zero false negatives (same shared ``gram_hashes`` pipeline as the
+      Bloom path) and zero structural false positives — the only error
+      term is a 64-bit hash collision (expected collisions ≈
+      n_corpus_grams × n_bench_grams / 2^64, i.e. ~5e-4 even at 10^8
+      grams a side), so unlike Bloom no clean doc is dropped at any
+      configured rate.
+
+    Duck-types ``contains_hashes``/``nbytes`` so it drops straight into
+    ``BloomDecontaminator``. Prefer this when the benchmark suite fits
+    8 bytes/gram in worker heaps; fall back to Bloom beyond that."""
+
+    def __init__(self, hashes: np.ndarray):
+        self.sorted = np.unique(np.asarray(hashes, np.uint64))
+
+    def contains_hashes(self, h: np.ndarray) -> np.ndarray:
+        h = np.asarray(h, np.uint64)
+        if h.size == 0 or self.sorted.size == 0:
+            return np.zeros(h.size, bool)
+        idx = np.searchsorted(self.sorted, h)
+        idx[idx == self.sorted.size] = self.sorted.size - 1
+        return self.sorted[idx] == h
+
+    @property
+    def nbytes(self) -> int:
+        return self.sorted.nbytes
+
+    @classmethod
+    def build_from_texts(
+        cls, texts: pa.Array | list[str], n: int = 5
+    ) -> "U64Set":
+        arr = pa.array(texts, pa.string()) if not isinstance(
+            texts, (pa.Array, pa.ChunkedArray)
+        ) else texts
+        h, _ = gram_hashes(arr, n)
+        return cls(h)
+
+
 class BloomDecontaminator:
     """Actor-pool stage: flag docs sharing ANY word n-gram with the
-    benchmark Bloom filter. The filter arrives as a ray.put ObjectRef,
-    deref'd once per actor. Same output contract as
-    ``NgramDecontaminator`` (bool ``contaminated`` column), superset
-    semantics: every truly contaminated doc is flagged; a false
-    positive drops a clean doc at the configured ``fp_rate``."""
+    benchmark filter. The filter arrives as a ray.put ObjectRef,
+    deref'd once per actor, and may be a ``BloomFilter`` OR any object
+    duck-typing ``contains_hashes`` (``U64Set`` for the exact 8-B/gram
+    path). Same output contract as ``NgramDecontaminator`` (bool
+    ``contaminated`` column), superset semantics: every truly
+    contaminated doc is flagged; a false positive drops a clean doc at
+    the configured ``fp_rate`` (Bloom) or only on a 64-bit hash
+    collision (U64Set)."""
 
     def __init__(
         self,

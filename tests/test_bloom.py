@@ -194,3 +194,55 @@ def test_case_fold_parity_exact_vs_bloom_nonascii():
     bloom_flags = BloomDecontaminator(bloom, n=n)(t)["contaminated"].to_pylist()
 
     assert exact_flags == bloom_flags == [True, True, False]
+
+
+def test_u64set_exact_membership():
+    from nifi_ray.stages.bloom import U64Set
+
+    bench = [" ".join(f"s{i}w{j}" for j in range(10)) for i in range(100)]
+    uset = U64Set.build_from_texts(bench, n=5)
+    present, _ = gram_hashes(pa.array(bench), n=5)
+    assert uset.contains_hashes(present).all()
+    # disjoint vocabulary: EXACT means zero positives, not fp-bounded
+    absent, _ = gram_hashes(
+        pa.array([" ".join(f"q{i}x{j}" for j in range(5)) for i in range(20000)]),
+        n=5,
+    )
+    assert not uset.contains_hashes(absent).any()
+    # probes past the end of the sorted array (max-valued hashes) are safe
+    assert not uset.contains_hashes(np.array([np.iinfo(np.uint64).max], np.uint64)).any()
+    empty = U64Set(np.empty(0, np.uint64))
+    assert not empty.contains_hashes(present).any()
+    assert uset.contains_hashes(np.empty(0, np.uint64)).size == 0
+
+
+def test_u64set_decontaminator_equals_exact_plain_callable():
+    # BloomDecontaminator duck-types the filter: U64Set drops in, and as
+    # a plain pa.Table callable (no Ray session needed)
+    from nifi_ray.stages.bloom import U64Set
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(200)]
+    bench = [" ".join(rng.choice(vocab, size=12)) for _ in range(50)]
+    corpus = []
+    for i in range(100):
+        filler = " ".join(rng.choice(vocab, size=20))
+        if i % 2 == 0:
+            snip = " ".join(_scalar_words(bench[i % 50])[:5])
+            corpus.append(f"{filler} {snip} {filler}")
+        else:
+            corpus.append(" ".join(f"clean{i}x{j}" for j in range(20)))
+    uset = U64Set.build_from_texts(bench, n=5)
+    dec = BloomDecontaminator(uset)
+    out = dec(pa.table({"text": pa.array(corpus, pa.string())}))
+    assert out["contaminated"].to_pylist() == [i % 2 == 0 for i in range(100)]
+
+
+def test_u64set_memory_8_bytes_per_gram():
+    from nifi_ray.stages.bloom import U64Set
+
+    bench = [" ".join(f"t{i}g{j}" for j in range(30)) for i in range(1000)]
+    uset = U64Set.build_from_texts(bench, n=5)
+    n_grams = 1000 * 26
+    assert uset.nbytes <= n_grams * 8
+    assert uset.nbytes >= uset.sorted.size * 8
