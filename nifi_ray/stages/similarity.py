@@ -19,6 +19,8 @@ import pyarrow as pa
 
 import ray
 
+from ..util.scale import actor_pool_size
+
 
 def _as_matrix(col) -> np.ndarray:
     return np.vstack(col.to_numpy(zero_copy_only=False)).astype(np.float64)
@@ -83,7 +85,7 @@ def knn_brute_force(ds, queries: dict, k: int = 5, id_col: str = "vec_id", col: 
         fn_constructor_args=(ref,),
         fn_constructor_kwargs={"id_col": id_col, "col": col, "k": k},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=actor_pool_size(),
     )
     return global_topk(cands, k, id_col)
 
@@ -206,13 +208,13 @@ def knn_ivf(
         fn_constructor_args=(c_ref,),
         fn_constructor_kwargs={"col": col},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=actor_pool_size(),
     )
     cands = assigned.map_batches(
         LocalTopKProbed,
         fn_constructor_args=(q_ref, c_ref),
         fn_constructor_kwargs={"nprobe": nprobe, "id_col": id_col, "col": col, "k": k},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=actor_pool_size(),
     )
     return global_topk(cands, k, id_col)

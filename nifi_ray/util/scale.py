@@ -35,6 +35,21 @@ def join_partitions(min_parts: int = 2, per_cpu: float = 0.5) -> int:
     return max(min_parts, int(cluster_cpus() * per_cpu))
 
 
+def actor_pool_size(
+    min_actors: int = 2, per_cpu: float = 0.25, cap: int = 64
+) -> tuple[int, int]:
+    """Autoscaling ``(min, max)`` bounds for a ``map_batches`` actor
+    pool. A hardcoded ``concurrency=2`` is a fixture-scale constant: it
+    pins a stateful stage to two actors on a 256-node cluster. The
+    floor of ``min_actors`` keeps low-CPU test runs on the proven
+    two-actor shape (and below the executor-deadlock regime the
+    materialize() guards were added for); the max scales ~1 actor per
+    4 CPUs, capped. Tuple form = Ray autoscaling pool, so small inputs
+    never pay the startup of actors they would not feed."""
+    hi = max(min_actors, min(cap, int(cluster_cpus() * per_cpu)))
+    return (min_actors, hi)
+
+
 def object_store_bytes(default: int = 2 << 30) -> int:
     try:
         import ray

@@ -169,6 +169,17 @@ def test_scale_knobs_derive_from_cluster(monkeypatch):
     assert scale.broadcast_budget_bytes() == 12345
 
 
+def test_actor_pool_size_scales_with_cluster(monkeypatch):
+    from nifi_ray.util import scale
+
+    monkeypatch.setattr(scale, "cluster_cpus", lambda default=4: 4)
+    assert scale.actor_pool_size() == (2, 2)  # fixture shape preserved
+    monkeypatch.setattr(scale, "cluster_cpus", lambda default=4: 32)
+    assert scale.actor_pool_size() == (2, 8)
+    monkeypatch.setattr(scale, "cluster_cpus", lambda default=4: 4096)
+    assert scale.actor_pool_size() == (2, 64)  # capped
+
+
 def test_parquet_avg_row_bytes(tmp_path):
     from nifi_ray.util.scale import parquet_avg_row_bytes
 
