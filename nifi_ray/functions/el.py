@@ -273,10 +273,21 @@ def uuid(n: int):  # uuid — deterministic ids come from (partition, offset)
 
 
 def json_path_el(col, key: str):  # jsonPath (top-level key)
-    from ..stages.text import json_path as _jp
+    # EL is string-typed: non-string JSON scalars render as their JSON
+    # text (87 → "87", true → "true"), strings unquoted — the same
+    # contract as DuckDB's json_extract_string, so EL pipelines can be
+    # oracle-checked 1:1. (stages.text.json_path keeps typed output for
+    # schema-ed pipelines; this is the EL-surface variant.)
+    import json as _json
 
-    tbl = pa.table({"c": col})
-    return _jp("c", key, "o")(tbl)["o"]
+    out = []
+    for v in _aslist(col):
+        if v is None:
+            out.append(None)
+            continue
+        x = _json.loads(v).get(key)
+        out.append(x if x is None or isinstance(x, str) else _json.dumps(x))
+    return pa.array(out, pa.string())
 
 
 def last_index_of(col, s: str):  # lastIndexOf

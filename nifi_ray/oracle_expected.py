@@ -944,7 +944,109 @@ def expected_mp4_metadata(_sf: str, n: int = 60) -> pa.Table:
     )
 
 
+def expected_evtx_parse(_sf: str, n: int = 50, seed: int = 3) -> pa.Table:
+    """Spec-derived rows for synth_evtx_table(50, seed=3): every value
+    computed from evtx_fixture_records' parameters without parsing."""
+    from .stages.evtx import evtx_fixture_records
+
+    fids, rids, tss, texts = [], [], [], []
+    for i in range(n):
+        for rid, ts_us, xml in evtx_fixture_records(i, seed):
+            fids.append(f"evtx{i:06d}")
+            rids.append(rid)
+            tss.append(ts_us)
+            texts.append(xml)
+    t = pa.table(
+        {
+            "file_id": pa.array(fids, pa.string()),
+            "record_id": pa.array(rids, pa.int64()),
+            "ts_us": pa.array(tss, pa.int64()),
+            "payload_text": pa.array(texts, pa.string()),
+        }
+    )
+    return t.sort_by("record_id")
+
+
+def expected_ftp_roundtrip(_sf: str, n: int = 24) -> pa.Table:
+    """Recomputes the graded ftp_roundtrip output from the shared
+    fixture generator — no FTP, no server."""
+    import hashlib
+
+    from .sources.ftp import ftp_fixture_content
+
+    paths, sizes, digs = [], [], []
+    for i in range(n):
+        c = ftp_fixture_content(i)
+        paths.append(f"/f{i:03d}.bin")
+        sizes.append(len(c))
+        digs.append(hashlib.sha256(c).hexdigest())
+    return pa.table(
+        {
+            "path": pa.array(paths, pa.string()),
+            "n_bytes": pa.array(sizes, pa.int64()),
+            "sha256": pa.array(digs, pa.string()),
+        }
+    ).sort_by("path")
+
+
+def expected_email_parse(_sf: str, n: int = 40) -> pa.Table:
+    """Recomputes the graded email_parse output from the fixture field
+    functions — the email parser never runs here."""
+    import hashlib
+
+    from .stages.parsers import email_fixture_attachment, email_fixture_fields
+
+    cols = {k: [] for k in (
+        "msg_id", "email_from", "email_to", "email_subject", "email_date",
+        "email_body", "attachment_name", "attachment_sha256",
+    )}
+    for i in range(n):
+        f = email_fixture_fields(i)
+        cols["msg_id"].append(f"m{i:05d}")
+        cols["email_from"].append(f["from"])
+        cols["email_to"].append(f["to"])
+        cols["email_subject"].append(f["subject"])
+        cols["email_date"].append(f["date"])
+        cols["email_body"].append(f["body"])
+        cols["attachment_name"].append(f["attachment_name"])
+        cols["attachment_sha256"].append(
+            hashlib.sha256(email_fixture_attachment(i)).hexdigest()
+        )
+    return pa.table({k: pa.array(v, pa.string()) for k, v in cols.items()}).sort_by(
+        "msg_id"
+    )
+
+
+def expected_hl7_parse(_sf: str, n: int = 48) -> pa.Table:
+    """Recomputes the graded hl7_parse output from the fixture
+    parameters — no segment splitting."""
+    cols = {k: [] for k in (
+        "msg_id", "hl7_sending_app", "hl7_sending_facility",
+        "hl7_message_type", "hl7_control_id", "hl7_version", "hl7_valid",
+        "patient_id", "patient_name",
+    )}
+    for i in range(n):
+        cols["msg_id"].append(f"h{i:05d}")
+        cols["hl7_sending_app"].append(f"APP{i % 7}")
+        cols["hl7_sending_facility"].append(f"FAC{i % 3}")
+        cols["hl7_message_type"].append(f"ADT^A0{i % 4 + 1}")
+        cols["hl7_control_id"].append(f"CID{i:05d}")
+        cols["hl7_version"].append("2.5.1")
+        cols["hl7_valid"].append(True)
+        cols["patient_id"].append(f"PAT{i:06d}")
+        cols["patient_name"].append(f"Name{i}^First{i}")
+    arrays = {
+        k: pa.array(v, pa.bool_() if k == "hl7_valid" else pa.string())
+        for k, v in cols.items()
+    }
+    return pa.table(arrays).sort_by("msg_id")
+
+
 EXPECTED_BUILDERS = {
+    "evtx_parse": expected_evtx_parse,
+    "ftp_roundtrip": expected_ftp_roundtrip,
+    "email_parse": expected_email_parse,
+    "hl7_parse": expected_hl7_parse,
     "mp4_metadata": expected_mp4_metadata,
     "streaming_neardup": expected_streaming_neardup,
     "doc_history": expected_doc_history,

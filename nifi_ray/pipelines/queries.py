@@ -41,6 +41,17 @@ from ..stages.similarity import knn_brute_force
 from ..stages.split_merge import merge_ordered, split_text
 
 
+def _pool() -> tuple[int, int]:
+    """Autoscaling actor-pool bounds for every class-based map_batches
+    stage in this module (util.scale.actor_pool_size): (2, ~cpus/4).
+    Evaluated at query call time so the same pipeline scales its
+    stateful stages with whatever cluster it lands on — a hardcoded
+    ``concurrency=2`` pins a stage to two actors on a 256-node box."""
+    from ..util.scale import actor_pool_size
+
+    return actor_pool_size()
+
+
 def _t(sf_dir: str, name: str, columns=None, filter=None):
     # metadata-stripped read: driver-written testdata carries a pandas
     # schema blob that makes schemas unhashable (see util/io.py)
@@ -408,11 +419,11 @@ def q_jolt_transform(sf_dir: str):
     ds = ds.map_batches(
         JoltTransform, fn_constructor_args=(fwd,),
         fn_constructor_kwargs={"col": "props"},
-        batch_format="pyarrow", concurrency=2,
+        batch_format="pyarrow", concurrency=_pool(),
     ).map_batches(
         JoltTransform, fn_constructor_args=(back,),
         fn_constructor_kwargs={"col": "props"},
-        batch_format="pyarrow", concurrency=2,
+        batch_format="pyarrow", concurrency=_pool(),
     )
     ds = ds.map_batches(tx.json_path("props", "k", "k_val", pa.int64()), batch_format="pyarrow")
     return pre_aggregate(
@@ -490,7 +501,7 @@ def q_broadcast_enrich(sf_dir: str):
         BroadcastEnrich,
         fn_constructor_args=(ref, "c_nationkey", "n_nationkey"),
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=_pool(),
     )
     out = pre_aggregate(
         enriched,
@@ -574,7 +585,7 @@ def q_tokenize(sf_dir: str):
     oracle recomputes md5-hash ids in SQL)."""
     ds = _t(sf_dir, "documents", columns=["lang", "text"])
     ds = ds.map_batches(Tokenizer, fn_constructor_args=("text",),
-                        batch_format="pyarrow", concurrency=2)
+                        batch_format="pyarrow", concurrency=_pool())
 
     def tok_sum(t: pa.Table) -> pa.Table:
         flat = pc.list_flatten(t["tokens"])
@@ -608,7 +619,7 @@ def q_pack_sequences(sf_dir: str):
 
     ds = _t(sf_dir, "documents", columns=["doc_id", "lang", "text"])
     ds = ds.map_batches(Tokenizer, fn_constructor_args=("text",),
-                        batch_format="pyarrow", concurrency=2)
+                        batch_format="pyarrow", concurrency=_pool())
     ds = ds.select_columns(["doc_id", "lang", "tokens"])
     packed = ds.groupby("lang").map_groups(
         pack_group(256, order_key="doc_id"), batch_format="pyarrow"
@@ -681,7 +692,7 @@ def q_decontaminate(sf_dir: str):
         NgramDecontaminator,
         fn_constructor_args=(grams_ref, "text", 5),
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=_pool(),
     )
     flagged = corpus.map_batches(
         lambda t: t.append_column("c", pc.cast(t["contaminated"], pa.int64())),
@@ -741,7 +752,7 @@ def q_decontaminate_bloom(sf_dir: str):
         BloomDecontaminator,
         fn_constructor_args=(bloom_ref, "text", 5),
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=_pool(),
     )
     flagged = corpus.map_batches(
         lambda t: t.append_column("c", pc.cast(t["contaminated"], pa.int64())),
@@ -793,7 +804,7 @@ def q_decontaminate_u64(sf_dir: str):
         BloomDecontaminator,
         fn_constructor_args=(uset_ref, "text", 5),
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=_pool(),
     )
     flagged = corpus.map_batches(
         lambda t: t.append_column("c", pc.cast(t["contaminated"], pa.int64())),
@@ -802,6 +813,199 @@ def q_decontaminate_u64(sf_dir: str):
     return pre_aggregate(
         flagged, "lang", {"n_docs": ("doc_id", "count"), "n_contaminated": ("c", "sum")}
     )
+
+
+def q_evtx_parse(sf_dir: str):
+    """ParseEvtx graded end-to-end (reference nifi-evtx-bundle
+    ParseEvtx.java, Record granularity): deterministic structurally-
+    valid EVTX files (real magics/CRCs/FILETIMEs) → record framing →
+    one row per record. The oracle (oracle_expected.expected_evtx_parse)
+    recomputes every row from the fixture PARAMETERS without parsing a
+    byte, pinning writer and parser against each other."""
+    import ray.data as rd
+
+    from ..stages.evtx import parse_evtx, synth_evtx_table
+
+    ds = rd.from_arrow(synth_evtx_table(50, seed=3))
+    parsed = ds.map_batches(
+        parse_evtx("content", keep_cols=["file_id"]),
+        batch_format="pyarrow",
+    )
+    return parsed.map_batches(
+        lambda t: t.select(["file_id", "record_id", "ts_us", "payload_text"]),
+        batch_format="pyarrow",
+    ).sort("record_id")
+
+
+def q_ftp_roundtrip(sf_dir: str):
+    """ListFTP + FetchFTP graded end-to-end through the in-repo
+    loopback FTP server (reference GetFTP/ListFTP/FetchFTP; RFC 959
+    subset): deterministic fixture files → MDTM-watermark listing →
+    FtpFetch actor pool (one control connection per actor) → per-file
+    size + sha256. The oracle (oracle_expected.expected_ftp_roundtrip)
+    recomputes both from the shared content generator without touching
+    FTP, so listing, RETR framing and payload integrity are all pinned."""
+    import tempfile
+
+    import ray.data as rd
+
+    from ..sources.ftp import (
+        FtpFetch,
+        MiniFtpServer,
+        list_ftp,
+        write_ftp_fixture,
+    )
+
+    root = tempfile.mkdtemp(prefix="nifi_ray_ftpq_")
+    write_ftp_fixture(root, 24)
+    state = os.path.join(root, "_listing_state.json")
+    with MiniFtpServer(root) as srv:
+        paths = list_ftp("127.0.0.1", srv.port, "/", state)
+        ds = rd.from_items([{"path": p} for p in sorted(paths)])
+        fetched = ds.map_batches(
+            FtpFetch,
+            fn_constructor_args=("127.0.0.1", srv.port),
+            batch_size=8,
+            batch_format="pyarrow",
+            concurrency=_pool(),
+        )
+
+        def digest(t: pa.Table) -> pa.Table:
+            conts = t["content"].to_pylist()  # None (failed fetch) raises below — loud
+            return pa.table(
+                {
+                    "path": t["path"],
+                    "n_bytes": pa.array([len(c) for c in conts], pa.int64()),
+                    "sha256": pa.array(
+                        [hashlib.sha256(c).hexdigest() for c in conts], pa.string()
+                    ),
+                }
+            )
+
+        # materialize INSIDE the server context: the pipeline is lazy
+        # and the actors' RETRs must run while the loopback is alive
+        out = fetched.map_batches(digest, batch_format="pyarrow").materialize()
+    return out.sort("path")
+
+
+def q_email_parse(sf_dir: str):
+    """ExtractEmailHeaders + ExtractEmailAttachments graded end-to-end
+    (reference nifi-email-bundle): deterministic RFC-822 messages (one
+    text body + one attachment each) → ParseEmail actor pool with
+    explode_attachments → header/body columns + one row per attachment
+    with its sha256. The oracle recomputes every column from the
+    fixture field functions without running the email parser."""
+    import ray.data as rd
+
+    from ..stages.parsers import ParseEmail, synth_email_table
+
+    ds = rd.from_arrow(synth_email_table(40))
+    parsed = ds.map_batches(
+        ParseEmail,
+        fn_constructor_args=("raw",),
+        fn_constructor_kwargs={"explode_attachments": True},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=_pool(),
+    )
+
+    def digest(t: pa.Table) -> pa.Table:
+        sha = [
+            hashlib.sha256(b).hexdigest() for b in t["attachment"].to_pylist()
+        ]
+        return t.select(
+            [
+                "msg_id", "email_from", "email_to", "email_subject",
+                "email_date", "email_body", "attachment_name",
+            ]
+        ).append_column("attachment_sha256", pa.array(sha, pa.string()))
+
+    return parsed.map_batches(digest, batch_format="pyarrow").sort("msg_id")
+
+
+def q_hl7_parse(sf_dir: str):
+    """ExtractHL7Attributes graded end-to-end (reference
+    nifi-hl7-bundle): deterministic HL7 v2 ADT messages → ParseHL7 →
+    MSH columns + PID fields pulled from the exploded field map. The
+    oracle recomputes every column from the fixture parameters without
+    splitting a segment."""
+    import ray.data as rd
+
+    from ..stages.parsers import ParseHL7, synth_hl7_table
+
+    ds = rd.from_arrow(synth_hl7_table(48))
+    parsed = ds.map_batches(
+        ParseHL7,
+        fn_constructor_args=("message",),
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=_pool(),
+    )
+
+    def flatten(t: pa.Table) -> pa.Table:
+        pid3, pid5 = [], []
+        for m in t["hl7_fields"].to_pylist():
+            d = dict(m) if m is not None else {}
+            pid3.append(d.get("PID.3"))
+            pid5.append(d.get("PID.5"))
+        return t.select(
+            [
+                "msg_id", "hl7_sending_app", "hl7_sending_facility",
+                "hl7_message_type", "hl7_control_id", "hl7_version",
+                "hl7_valid",
+            ]
+        ).append_column("patient_id", pa.array(pid3, pa.string())).append_column(
+            "patient_name", pa.array(pid5, pa.string())
+        )
+
+    return parsed.map_batches(flatten, batch_format="pyarrow").sort("msg_id")
+
+
+def q_el_pipeline(sf_dir: str):
+    """Expression Language parity graded end-to-end (SURVEY §2.9;
+    reference nifi-expression-language evaluation/functions/*): one
+    vectorized map_batches applies 17 EL evaluators — toUpper,
+    substring, append/prepend, getDelimitedField, indexOf, replaceAll,
+    contains, length, plus, mod, toRadix, format(date), jsonPath,
+    base64Encode, substringBefore, substringAfterLast, math:floor —
+    over the events table; the DuckDB oracle recomputes every derived
+    column in SQL. Until now the EL map was pytest-only; this pins the
+    Arrow-kernel semantics (including the absent-separator and
+    absent-substring edge cases) against an independent engine."""
+    from ..functions import el
+
+    ds = _t(
+        sf_dir, "events",
+        columns=["event_id", "ts", "event_type", "value", "props"],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(el.mod(t["event_id"], 97), 0))
+        et, eid = t["event_type"], t["event_id"]
+        tagged = el.prepend(el.append(et, "_end"), "ev_")
+        return pa.table({
+            "event_id": eid,
+            "et_upper": el.to_upper(et),
+            "et_first3": el.substring(et, 0, 3),
+            "tagged": tagged,
+            "mid": el.get_delimited_field(tagged, 1, "_"),
+            "pos_u": pc.cast(el.index_of(et, "u"), pa.int64()),
+            "masked": el.replace_all(et, "[aeiou]", "*"),
+            "has_rr": pc.cast(el.contains(et, "rr"), pa.int64()),
+            "et_len": pc.cast(el.length(et), pa.int64()),
+            "id_mod": el.mod(el.plus(eid, 7), 10),
+            "id_hex": el.to_radix(eid, 16),
+            "day": el.format_date(t["ts"], "%Y-%m-%d"),
+            "k_val": el.json_path_el(t["props"], "k"),
+            "b64": el.base64_encode(et),
+            "before_n": el.substring_before(et, "n"),
+            "after_last_e": el.substring_after_last(et, "e"),
+            "val_bucket": pc.cast(
+                el.math_fn(pc.divide(t["value"], 10.0), "floor"), pa.int64()
+            ),
+        })
+
+    return ds.map_batches(derive, batch_format="pyarrow").sort("event_id")
 
 
 def q_decontaminate_tokens(sf_dir: str):
@@ -822,7 +1026,7 @@ def q_decontaminate_tokens(sf_dir: str):
 
     ds = _t(sf_dir, "documents", columns=["doc_id", "lang", "text"])
     ds = ds.map_batches(
-        Tokenizer, batch_format="pyarrow", concurrency=2
+        Tokenizer, batch_format="pyarrow", concurrency=_pool()
     ).map_batches(
         lambda t: t.append_column(
             "is_bench",
@@ -850,7 +1054,7 @@ def q_decontaminate_tokens(sf_dir: str):
             "mode": "tokens",
         },
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=_pool(),
     )
     flagged = corpus.map_batches(
         lambda t: t.append_column("c", pc.cast(t["contaminated"], pa.int64())),
@@ -1035,7 +1239,7 @@ def q_syslog_roundtrip(sf_dir: str):
         return pa.table({"line": pa.array(lines, pa.string())})
 
     parsed = ds.map_batches(mk_lines, batch_format="pyarrow").map_batches(
-        ParseSyslog, batch_format="pyarrow", concurrency=2
+        ParseSyslog, batch_format="pyarrow", concurrency=_pool()
     )
     return pre_aggregate(parsed, "syslog_severity", {"n": ("syslog_severity", "count")})
 
@@ -1181,7 +1385,7 @@ def q_asof_enrich(sf_dir: str):
         AsofLookup,
         fn_constructor_args=(_ray.put(rates), "region", "ts"),
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=_pool(),
     )
 
     def weight(t: pa.Table) -> pa.Table:
@@ -1230,7 +1434,7 @@ def q_range_enrich(sf_dir: str):
         RangeLookup,
         fn_constructor_args=(_ray.put(ranges), "ip"),
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=_pool(),
     )
 
     def fill(t: pa.Table) -> pa.Table:
@@ -1320,7 +1524,7 @@ def q_systematic_sample(sf_dir: str):
 def q_lang_id(sf_dir: str):
     """Heuristic language ID (actor pool; rows-only check)."""
     ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
-    pred = ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+    pred = ds.map_batches(LangId, batch_format="pyarrow", concurrency=_pool())
     return pre_aggregate(pred, "lang_pred", {"n": ("lang_pred", "count")})
 
 
@@ -1343,7 +1547,7 @@ def q_minhash_pairs(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    bands = docs.map_batches(MinHasherCompat, batch_format="pyarrow", concurrency=2)
+    bands = docs.map_batches(MinHasherCompat, batch_format="pyarrow", concurrency=_pool())
     # materialize the candidate pairs (tiny by design — LSH-reduced) so
     # the join does not share one streaming execution with the actor
     # pool: at low CPU counts that co-residency deadlocks the executor
@@ -1391,7 +1595,7 @@ def q_minhash_pairs(sf_dir: str):
             dd.PairVerifier,
             fn_constructor_kwargs={"texts_ref": ref, "threshold": 0.5},
             batch_format="pyarrow",
-            concurrency=2,
+            concurrency=_pool(),
         )
         return verified.map_batches(
             lambda t: t.select(["a", "b"]), batch_format="pyarrow"
@@ -1463,7 +1667,7 @@ def q_simhash(sf_dir: str):
     """SimHash signatures as fixed-width hex strings (rows-only:
     deterministic; hex avoids full-range-uint64 coercion in graders)."""
     ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
-    out = ds.map_batches(dd.SimHasher, batch_format="pyarrow", concurrency=2)
+    out = ds.map_batches(dd.SimHasher, batch_format="pyarrow", concurrency=_pool())
     return out.map_batches(
         lambda t: _hex64_col(t.select(["doc_id", "simhash"]), "simhash"),
         batch_format="pyarrow",
@@ -1473,7 +1677,7 @@ def q_simhash(sf_dir: str):
 def q_winnow_fingerprints(sf_dir: str):
     """Winnowing rolling-hash fingerprints, fp_min as hex (rows-only)."""
     ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
-    out = ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=2)
+    out = ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=_pool())
     return out.map_batches(
         lambda t: _hex64_col(t.select(["doc_id", "fp_min"]), "fp_min"),
         batch_format="pyarrow",
@@ -1494,7 +1698,7 @@ def q_embedding_neardup(sf_dir: str):
         EmbeddingLSH,
         fn_constructor_kwargs={"planes": 4},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=_pool(),
     )
 
     def pairs(group: pa.Table, max_bucket: int = 1024) -> pa.Table:
@@ -1538,7 +1742,7 @@ def q_multimodal_decode(sf_dir: str):
         fn_constructor_kwargs={"fake": True},
         batch_format="pyarrow",
         batch_size=32,
-        concurrency=2,
+        concurrency=_pool(),
     )
 
     def stats(t: pa.Table) -> pa.Table:
@@ -1569,7 +1773,7 @@ def q_image_decode(sf_dir: str):
 
     ds = rd.from_arrow(synth_bmp_table(96, seed=7, with_jpeg=True))
     decoded = ds.map_batches(
-        DecodeImage, batch_format="pyarrow", batch_size=16, concurrency=2
+        DecodeImage, batch_format="pyarrow", batch_size=16, concurrency=_pool()
     )
     return decoded.map_batches(
         lambda t: t.select(["media_id", "px_w", "px_h", "sum_r", "sum_g", "sum_b"]),
@@ -1592,10 +1796,10 @@ def q_image_resize(sf_dir: str):
         fn_constructor_kwargs={"width": 16, "height": 16},
         batch_format="pyarrow",
         batch_size=16,
-        concurrency=2,
+        concurrency=_pool(),
     )
     decoded = resized.map_batches(
-        DecodeImage, batch_format="pyarrow", batch_size=16, concurrency=2
+        DecodeImage, batch_format="pyarrow", batch_size=16, concurrency=_pool()
     )
     return decoded.map_batches(
         lambda t: t.select(["media_id", "sum_r", "sum_g", "sum_b"]),
@@ -1613,7 +1817,7 @@ def q_audio_decode(sf_dir: str):
 
     ds = rd.from_arrow(synth_wav_table(100, seed=3))
     decoded = ds.map_batches(
-        DecodeAudio, batch_format="pyarrow", batch_size=32, concurrency=2
+        DecodeAudio, batch_format="pyarrow", batch_size=32, concurrency=_pool()
     )
     return decoded.map_batches(
         lambda t: t.select(
@@ -1637,7 +1841,7 @@ def q_video_frames(sf_dir: str):
         fn_constructor_kwargs={"every": 3},
         batch_format="pyarrow",
         batch_size=8,
-        concurrency=2,
+        concurrency=_pool(),
     )
 
     def frame_sum(t: pa.Table) -> pa.Table:
@@ -1669,7 +1873,7 @@ def q_mp4_metadata(sf_dir: str):
 
     ds = rd.from_arrow(synth_mp4_table(60, seed=11))
     return ds.map_batches(
-        ExtractMediaMetadata, batch_format="pyarrow", batch_size=16, concurrency=2
+        ExtractMediaMetadata, batch_format="pyarrow", batch_size=16, concurrency=_pool()
     )
 
 
@@ -1693,7 +1897,7 @@ def q_execute_sql(sf_dir: str):
         columns=["event_id", "event_type", "value"],
     )
     ds = rd.from_items([{"sql": s} for s in stmts]).map_batches(
-        PageFetch, batch_format="pyarrow", batch_size=4, concurrency=2
+        PageFetch, batch_format="pyarrow", batch_size=4, concurrency=_pool()
     )
     agg = pre_aggregate(
         ds,
@@ -2492,6 +2696,11 @@ QUERIES = {
     "mp4_metadata": q_mp4_metadata,
     "execute_sql": q_execute_sql,
     "decontaminate_u64": q_decontaminate_u64,
+    "el_pipeline": q_el_pipeline,
+    "evtx_parse": q_evtx_parse,
+    "ftp_roundtrip": q_ftp_roundtrip,
+    "email_parse": q_email_parse,
+    "hl7_parse": q_hl7_parse,
 }
 
 
@@ -2862,6 +3071,29 @@ ORACLE_SQL["decontaminate_bloom"] = ORACLE_SQL["decontaminate"]
 # The u64-set path is exact by construction — same oracle, and unlike
 # bloom the equality holds at ANY corpus size, not via an fp bound.
 ORACLE_SQL["decontaminate_u64"] = ORACLE_SQL["decontaminate"]
+
+ORACLE_SQL["el_pipeline"] = """
+    SELECT event_id,
+           upper(event_type) AS et_upper,
+           substr(event_type, 1, 3) AS et_first3,
+           'ev_' || event_type || '_end' AS tagged,
+           split_part('ev_' || event_type || '_end', '_', 2) AS mid,
+           CAST(strpos(event_type, 'u') - 1 AS BIGINT) AS pos_u,
+           regexp_replace(event_type, '[aeiou]', '*', 'g') AS masked,
+           CAST(contains(event_type, 'rr') AS BIGINT) AS has_rr,
+           CAST(length(event_type) AS BIGINT) AS et_len,
+           (event_id + 7) % 10 AS id_mod,
+           upper(format('{:x}', event_id)) AS id_hex,
+           strftime(ts, '%Y-%m-%d') AS day,
+           json_extract_string(props, '$.k') AS k_val,
+           base64(encode(event_type)) AS b64,
+           split_part(event_type, 'n', 1) AS before_n,
+           CASE WHEN contains(event_type, 'e')
+                THEN regexp_extract(event_type, '[^e]*$')
+                ELSE event_type END AS after_last_e,
+           CAST(floor(value / 10) AS BIGINT) AS val_bucket
+    FROM events WHERE event_id % 97 = 0 ORDER BY event_id
+"""
 
 # Token-axis variant: the oracle re-derives the Tokenizer's ids
 # (md5-hash % vocab — pinned by the tokenize oracle) and the 5-TOKEN-gram

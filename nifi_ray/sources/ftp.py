@@ -376,3 +376,31 @@ class MiniFtpServer:
 
     def __exit__(self, *exc):
         self.close()
+
+
+# ---- graded fixture corpus ------------------------------------------
+
+
+def ftp_fixture_content(i: int) -> bytes:
+    """Deterministic payload for fixture file ``i`` — a pure function
+    shared by the graded ftp_roundtrip query (which writes it into the
+    loopback server root) and its expected-oracle builder (which never
+    touches FTP), so listing + RETR + digest are pinned end-to-end."""
+    import numpy as np
+
+    n = 100 + i * 7
+    return ((np.arange(n, dtype=np.int64) * (i + 1) + i) % 256).astype(
+        "uint8"
+    ).tobytes()
+
+
+def write_ftp_fixture(root_dir: str, n_files: int = 24) -> list[str]:
+    """Materialize the fixture corpus under ``root_dir``; returns the
+    server-absolute paths in name order."""
+    paths = []
+    for i in range(n_files):
+        name = f"f{i:03d}.bin"
+        with open(os.path.join(root_dir, name), "wb") as f:
+            f.write(ftp_fixture_content(i))
+        paths.append(f"/{name}")
+    return paths

@@ -179,3 +179,42 @@ def parse_evtx(col: str = "content", keep_cols: list[str] | None = None):
 
 def filetime_to_iso(ts_us: int) -> str:
     return datetime.fromtimestamp(ts_us / 1e6, timezone.utc).isoformat()
+
+
+# ---- graded fixture corpus ------------------------------------------
+# Parameters are module constants so the expected-oracle builder can
+# recompute every parsed row from them WITHOUT parsing any bytes — the
+# same dual-pinning contract as multimodal.synth_mp4_table.
+
+EVTX_FIXTURE_BASE_US = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z
+
+
+def evtx_fixture_records(i: int, seed: int = 0) -> list[tuple[int, int, str]]:
+    """Spec-derived records for fixture file ``i``: 3 + (i % 5) records
+    with arithmetic ids/timestamps and a tiny XML payload."""
+    n = 3 + (i % 5)
+    return [
+        (
+            i * 1000 + seed + j,
+            EVTX_FIXTURE_BASE_US + (i * 97 + j * 13) * 1_000_000,
+            f"<Event><EventID>{i * 1000 + seed + j}</EventID>"
+            f"<Task>{j}</Task></Event>",
+        )
+        for j in range(n)
+    ]
+
+
+def synth_evtx_table(n_files: int, seed: int = 0) -> pa.Table:
+    """Deterministic EVTX corpus: structurally-valid files (real magics,
+    CRCs, FILETIMEs) whose record set is a pure function of (i, seed)."""
+    return pa.table(
+        {
+            "file_id": pa.array(
+                [f"evtx{i:06d}" for i in range(n_files)], pa.string()
+            ),
+            "content": pa.array(
+                [write_evtx(evtx_fixture_records(i, seed)) for i in range(n_files)],
+                pa.binary(),
+            ),
+        }
+    )

@@ -280,3 +280,85 @@ class ParseHL7:
             .append_column("hl7_fields", pa.array(fields, pa.map_(pa.string(), pa.string())))
             .append_column("hl7_valid", pa.array(valid, pa.bool_()))
         )
+
+
+# ---- graded email fixture corpus -------------------------------------
+# Pure functions of the row index, shared by the graded email_parse
+# query (which renders them to RFC-822 bytes) and its expected-oracle
+# builder (which recomputes every parsed column without the email
+# parser) — the same dual-pinning contract as synth_mp4_table /
+# synth_evtx_table.
+
+EMAIL_FIXTURE_DATE = "Tue, 14 Nov 2023 22:13:20 +0000"
+
+
+def email_fixture_fields(i: int) -> dict:
+    return {
+        "from": f"sender{i}@example.test",
+        "to": f"rcpt{i}@example.test",
+        "subject": f"msg {i:04d}",
+        "date": EMAIL_FIXTURE_DATE,
+        # stdlib set_content() appends the trailing newline on render,
+        # so the spec-side body carries it too
+        "body": f"body {i} " + "x" * (i % 7) + "\n",
+        "attachment_name": f"a{i:03d}.bin",
+    }
+
+
+def email_fixture_attachment(i: int) -> bytes:
+    return bytes((j * (i + 3) + i) % 256 for j in range(32 + i % 5))
+
+
+def synth_email_table(n: int) -> pa.Table:
+    from email.message import EmailMessage
+
+    ids, raws = [], []
+    for i in range(n):
+        f = email_fixture_fields(i)
+        m = EmailMessage()
+        m["From"] = f["from"]
+        m["To"] = f["to"]
+        m["Subject"] = f["subject"]
+        m["Date"] = f["date"]
+        m.set_content(f["body"][:-1])
+        m.add_attachment(
+            email_fixture_attachment(i),
+            maintype="application",
+            subtype="octet-stream",
+            filename=f["attachment_name"],
+        )
+        ids.append(f"m{i:05d}")
+        raws.append(bytes(m))
+    return pa.table(
+        {
+            "msg_id": pa.array(ids, pa.string()),
+            "raw": pa.array(raws, pa.binary()),
+        }
+    )
+
+
+# ---- graded HL7 fixture corpus ----------------------------------------
+
+
+def hl7_fixture_message(i: int) -> str:
+    """Deterministic HL7 v2 ADT message for fixture row ``i`` — every
+    field a pure function of ``i`` so the graded hl7_parse oracle can
+    recompute the parsed columns without splitting a segment."""
+    return (
+        f"MSH|^~\\&|APP{i % 7}|FAC{i % 3}|RCVAPP|RCVFAC|20231114221320||"
+        f"ADT^A0{i % 4 + 1}|CID{i:05d}|P|2.5.1\r"
+        f"PID|1||PAT{i:06d}||Name{i}^First{i}||19{70 + i % 30}0101|"
+        f"{'MF'[i % 2]}\r"
+        f"OBX|1|NM|HR||{60 + i % 40}|bpm\r"
+    )
+
+
+def synth_hl7_table(n: int) -> pa.Table:
+    return pa.table(
+        {
+            "msg_id": pa.array([f"h{i:05d}" for i in range(n)], pa.string()),
+            "message": pa.array(
+                [hl7_fixture_message(i) for i in range(n)], pa.string()
+            ),
+        }
+    )

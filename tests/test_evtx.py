@@ -57,3 +57,20 @@ def test_map_batches_stage_explodes():
     assert out["path"].to_pylist() == ["a.evtx"] * 3 + ["b.evtx"] * 2
     assert out["record_id"].to_pylist() == [1, 2, 3, 100, 101]
     assert all(e is None for e in out["chunk_errors"].to_pylist())
+
+
+def test_graded_fixture_roundtrips_to_spec():
+    # the dual-pinning contract behind the graded evtx_parse query:
+    # parse(write(params)) == params, recomputed without parsing
+    from nifi_ray.stages.evtx import (
+        evtx_fixture_records,
+        parse_evtx_bytes,
+        synth_evtx_table,
+    )
+
+    t = synth_evtx_table(8, seed=3)
+    for i in range(8):
+        recs, errs = parse_evtx_bytes(t["content"][i].as_py())
+        assert errs == []
+        spec = evtx_fixture_records(i, seed=3)
+        assert [(r["record_id"], r["ts_us"], r["payload_text"]) for r in recs] == spec

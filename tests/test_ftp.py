@@ -138,3 +138,13 @@ def test_put_error_routes(tmp_path):
         errs = out["error"].to_pylist()
         assert errs[0] is not None and errs[1] is None
         assert (root / "ok.bin").read_bytes() == b"b"
+
+
+def test_graded_fixture_content_deterministic(tmp_path):
+    from nifi_ray.sources.ftp import ftp_fixture_content, write_ftp_fixture
+
+    assert ftp_fixture_content(0) == ftp_fixture_content(0)
+    assert len(ftp_fixture_content(5)) == 135
+    paths = write_ftp_fixture(str(tmp_path), 4)
+    assert paths == ["/f000.bin", "/f001.bin", "/f002.bin", "/f003.bin"]
+    assert (tmp_path / "f002.bin").read_bytes() == ftp_fixture_content(2)
