@@ -961,6 +961,120 @@ def q_hl7_parse(sf_dir: str):
     return parsed.map_batches(flatten, batch_format="pyarrow").sort("msg_id")
 
 
+def q_codec_roundtrip(sf_dir: str):
+    """Compress/Decompress (gzip + snappy), ConvertCharacterSet and
+    EncryptContent graded against a REAL SQL oracle (reference
+    STD/CompressContent.java, ConvertCharacterSet.java:182,
+    EncryptContent.java): props runs gzip → AES-256-GCM encrypt →
+    decrypt → gunzip; event_type runs snappy → utf-16 → utf-8 →
+    unsnappy. Both md5s of the roundtripped bytes must equal DuckDB's
+    md5 of the ORIGINAL columns — any byte lost or added anywhere in
+    either codec chain fails the hash."""
+    key = bytes(range(32))
+
+    def fn(t: pa.Table) -> pa.Table:
+        # steps are constructed per task: encrypt_content's closure
+        # holds a native AESGCM handle that cannot cross the object
+        # store, so only (col names, key bytes) ship with the fn
+        from ..stages.codec import compress, convert_charset, encrypt_content
+
+        steps = [
+            compress("props", "gzip", out="pz"),
+            encrypt_content("pz", key, out="pe", mode="encrypt"),
+            encrypt_content("pe", key, out="pd", mode="decrypt"),
+            compress("pd", "gzip", out="props_rt", mode="decompress"),
+            compress("event_type", "snappy", out="es"),
+            compress("es", "snappy", out="es_rt", mode="decompress"),
+            convert_charset("es_rt", "utf-8", "utf-16", out="eu"),
+            convert_charset("eu", "utf-16", "utf-8", out="et_rt"),
+        ]
+        eid = t["event_id"]
+        t = t.filter(
+            pc.equal(pc.subtract(eid, pc.multiply(pc.divide(eid, 37), 37)), 0)
+        )
+        for s in steps:
+            t = s(t)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "props_md5": pa.array(
+                    [hashlib.md5(b).hexdigest() for b in t["props_rt"].to_pylist()],
+                    pa.string(),
+                ),
+                "et_md5": pa.array(
+                    [hashlib.md5(b).hexdigest() for b in t["et_rt"].to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    ds = _t(sf_dir, "events", columns=["event_id", "event_type", "props"])
+    return ds.map_batches(fn, batch_format="pyarrow").sort("event_id")
+
+
+def q_csv_ingest(sf_dir: str):
+    """CSV record ingestion graded against the parquet ground truth
+    (reference kite ConvertCSVToAvro / record readers): every batch is
+    rendered to CSV text (quoting exercised — props holds commas inside
+    JSON) and parsed back with an explicit schema; the row-level output
+    must match DuckDB reading the ORIGINAL parquet. Timestamps pin the
+    text contract via strftime micros on both sides."""
+    from pyarrow import csv as pcsv
+
+    col_types = {
+        "event_id": pa.int64(), "ts": pa.string(), "user_id": pa.int64(),
+        "event_type": pa.string(), "value": pa.float64(), "props": pa.string(),
+    }
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        import io
+
+        eid = t["event_id"]
+        t = t.filter(
+            pc.equal(pc.subtract(eid, pc.multiply(pc.divide(eid, 53), 53)), 0)
+        )
+        i = t.schema.get_field_index("ts")
+        # Arrow's %S renders the full 6-digit fraction for us
+        # timestamps — identical text to DuckDB's '%H:%M:%S.%f'
+        t = t.set_column(i, "ts", pc.strftime(t["ts"], "%Y-%m-%d %H:%M:%S"))
+        buf = io.BytesIO()
+        pcsv.write_csv(t, buf)
+        return pcsv.read_csv(
+            io.BytesIO(buf.getvalue()),
+            convert_options=pcsv.ConvertOptions(column_types=col_types),
+        ).select(list(col_types))
+
+    ds = _t(sf_dir, "events")
+    return ds.map_batches(roundtrip, batch_format="pyarrow").sort("event_id")
+
+
+def q_orc_ingest(sf_dir: str):
+    """ORC write → distributed ORC read → aggregate, graded against
+    DuckDB over the original parquet (reference hive-bundle
+    ConvertAvroToORC): one ORC file per block (tmp+atomic-rename), read
+    back column-pruned via read_binary_files + pyarrow.orc, then the
+    two-level pre-aggregate. Aggregation-invariant to block layout, so
+    the oracle pins codec fidelity, not partitioning."""
+    import tempfile
+
+    from ..sources.formats import read_orc, write_orc
+
+    ds = _t(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    out_dir = tempfile.mkdtemp(prefix="nifi_ray_orcq_")
+    write_orc(ds, out_dir)
+    back = read_orc(out_dir, columns=["event_id", "event_type", "value"])
+    agg = pre_aggregate(
+        back,
+        "event_type",
+        {
+            "n": ("event_id", "count"),
+            "sum_val": ("value", "sum"),
+            "max_eid": ("event_id", "max"),
+        },
+    )
+    return _round(agg, {"sum_val": 2})
+
+
 def q_el_pipeline(sf_dir: str):
     """Expression Language parity graded end-to-end (SURVEY §2.9;
     reference nifi-expression-language evaluation/functions/*): one
@@ -2701,6 +2815,9 @@ QUERIES = {
     "ftp_roundtrip": q_ftp_roundtrip,
     "email_parse": q_email_parse,
     "hl7_parse": q_hl7_parse,
+    "codec_roundtrip": q_codec_roundtrip,
+    "csv_ingest": q_csv_ingest,
+    "orc_ingest": q_orc_ingest,
 }
 
 
@@ -3071,6 +3188,28 @@ ORACLE_SQL["decontaminate_bloom"] = ORACLE_SQL["decontaminate"]
 # The u64-set path is exact by construction — same oracle, and unlike
 # bloom the equality holds at ANY corpus size, not via an fp bound.
 ORACLE_SQL["decontaminate_u64"] = ORACLE_SQL["decontaminate"]
+
+ORACLE_SQL["codec_roundtrip"] = """
+    SELECT event_id,
+           md5(props) AS props_md5,
+           md5(event_type) AS et_md5
+    FROM events WHERE event_id % 37 = 0 ORDER BY event_id
+"""
+
+ORACLE_SQL["csv_ingest"] = """
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           user_id, event_type, value, props
+    FROM events WHERE event_id % 53 = 0 ORDER BY event_id
+"""
+
+ORACLE_SQL["orc_ingest"] = """
+    SELECT event_type,
+           count(event_id) AS n,
+           round(sum(value), 2) AS sum_val,
+           max(event_id) AS max_eid
+    FROM events GROUP BY event_type
+"""
 
 ORACLE_SQL["el_pipeline"] = """
     SELECT event_id,

@@ -36,16 +36,28 @@ def join_partitions(min_parts: int = 2, per_cpu: float = 0.5) -> int:
 
 
 def actor_pool_size(
-    min_actors: int = 2, per_cpu: float = 0.25, cap: int = 64
+    min_actors: int = 2, per_cpu: float = 1 / 16, cap: int = 64
 ) -> tuple[int, int]:
     """Autoscaling ``(min, max)`` bounds for a ``map_batches`` actor
     pool. A hardcoded ``concurrency=2`` is a fixture-scale constant: it
     pins a stateful stage to two actors on a 256-node cluster. The
     floor of ``min_actors`` keeps low-CPU test runs on the proven
     two-actor shape (and below the executor-deadlock regime the
-    materialize() guards were added for); the max scales ~1 actor per
-    4 CPUs, capped. Tuple form = Ray autoscaling pool, so small inputs
-    never pay the startup of actors they would not feed."""
+    materialize() guards were added for). Tuple form = Ray autoscaling
+    pool, so small inputs never pay actors they would not feed.
+
+    The max curve (~1 actor per 16 CPUs) is MEASURED, not guessed: an
+    A/B at 32 CPUs / sf0.1 in matched host windows (BASELINE.md,
+    round 4) showed cpus/4 pools consistently SLOWER on one-shot query
+    latency (minhash_pairs 4.59→6.50 s, knn_cosine 1.49→2.19 s) —
+    pools are torn down per execution, so growth pays cold actor
+    starts that exceed the stage's work at benchmark scale. cpus/16
+    keeps a 32-CPU node at the measured optimum (2) while a 256-CPU
+    cluster still scales to 16 actors. Long-running production stages
+    that amortize startup can raise ``NIFI_RAY_ACTOR_POOL_MAX``."""
+    env = os.environ.get("NIFI_RAY_ACTOR_POOL_MAX")
+    if env:
+        return (min_actors, max(min_actors, int(env)))
     hi = max(min_actors, min(cap, int(cluster_cpus() * per_cpu)))
     return (min_actors, hi)
 

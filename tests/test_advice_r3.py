@@ -174,10 +174,15 @@ def test_actor_pool_size_scales_with_cluster(monkeypatch):
 
     monkeypatch.setattr(scale, "cluster_cpus", lambda default=4: 4)
     assert scale.actor_pool_size() == (2, 2)  # fixture shape preserved
+    # measured optimum at single-node 32 CPUs is 2 (BASELINE r4 A/B)
     monkeypatch.setattr(scale, "cluster_cpus", lambda default=4: 32)
-    assert scale.actor_pool_size() == (2, 8)
+    assert scale.actor_pool_size() == (2, 2)
+    monkeypatch.setattr(scale, "cluster_cpus", lambda default=4: 256)
+    assert scale.actor_pool_size() == (2, 16)
     monkeypatch.setattr(scale, "cluster_cpus", lambda default=4: 4096)
     assert scale.actor_pool_size() == (2, 64)  # capped
+    monkeypatch.setenv("NIFI_RAY_ACTOR_POOL_MAX", "5")
+    assert scale.actor_pool_size() == (2, 5)
 
 
 def test_parquet_avg_row_bytes(tmp_path):
