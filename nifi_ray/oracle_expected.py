@@ -1042,11 +1042,35 @@ def expected_hl7_parse(_sf: str, n: int = 48) -> pa.Table:
     return pa.table(arrays).sort_by("msg_id")
 
 
+def expected_http_fetch(_sf: str, n: int = 32) -> pa.Table:
+    """Recomputes the graded http_fetch output from the shared content
+    generator — no server, no request."""
+    import hashlib
+
+    from .stages.http import http_fixture_content
+
+    paths, sizes, digs = [], [], []
+    for i in range(n):
+        c = http_fixture_content(i)
+        paths.append(f"/p{i:03d}")
+        sizes.append(len(c))
+        digs.append(hashlib.sha256(c).hexdigest())
+    return pa.table(
+        {
+            "path": pa.array(paths, pa.string()),
+            "status_code": pa.array([200] * n, pa.int64()),
+            "n_bytes": pa.array(sizes, pa.int64()),
+            "sha256": pa.array(digs, pa.string()),
+        }
+    ).sort_by("path")
+
+
 EXPECTED_BUILDERS = {
     "evtx_parse": expected_evtx_parse,
     "ftp_roundtrip": expected_ftp_roundtrip,
     "email_parse": expected_email_parse,
     "hl7_parse": expected_hl7_parse,
+    "http_fetch": expected_http_fetch,
     "mp4_metadata": expected_mp4_metadata,
     "streaming_neardup": expected_streaming_neardup,
     "doc_history": expected_doc_history,

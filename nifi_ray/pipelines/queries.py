@@ -1075,6 +1075,113 @@ def q_orc_ingest(sf_dir: str):
     return _round(agg, {"sum_val": 2})
 
 
+def q_pack_unpack(sf_dir: str):
+    """MergeContent's tar/zip merge formats + UnpackContent graded
+    against a REAL SQL oracle (reference STD/MergeContent.java:159-165,
+    UnpackContent.java:538): each batch's rows pack into ONE tar (props
+    payloads) and ONE zip (event_type payloads), both archives unpack
+    back to one row per member, and the md5 of every recovered payload
+    must equal DuckDB's md5 of the original column — entry naming,
+    archive framing and member ordering all pinned."""
+    from ..stages.codec import pack_content, unpack_content
+
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "props_md5": pa.array([], pa.string()),
+            "et_md5": pa.array([], pa.string()),
+        }
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        eid = t["event_id"]
+        t = t.filter(
+            pc.equal(pc.subtract(eid, pc.multiply(pc.divide(eid, 41), 41)), 0)
+        )
+        if t.num_rows == 0:
+            return empty
+        names = pa.array(
+            [f"e{v}" for v in t["event_id"].to_pylist()], pa.string()
+        )
+        tar_blob = pack_content(fmt="tar")(
+            pa.table({"entry_name": names,
+                      "payload": pc.cast(t["props"], pa.binary())})
+        )
+        zip_blob = pack_content(fmt="zip")(
+            pa.table({"entry_name": names,
+                      "payload": pc.cast(t["event_type"], pa.binary())})
+        )
+        t_rows = unpack_content("archive", "tar")(tar_blob)
+        z_rows = unpack_content("archive", "zip")(zip_blob)
+
+        def md5s(rows):
+            return {
+                n: hashlib.md5(p).hexdigest()
+                for n, p in zip(
+                    rows["entry_name"].to_pylist(), rows["payload"].to_pylist()
+                )
+            }
+
+        tm, zm = md5s(t_rows), md5s(z_rows)
+        eids = [int(n[1:]) for n in t_rows["entry_name"].to_pylist()]
+        return pa.table(
+            {
+                "event_id": pa.array(eids, pa.int64()),
+                "props_md5": pa.array([tm[f"e{v}"] for v in eids], pa.string()),
+                "et_md5": pa.array([zm[f"e{v}"] for v in eids], pa.string()),
+            }
+        )
+
+    ds = _t(sf_dir, "events", columns=["event_id", "event_type", "props"])
+    return ds.map_batches(fn, batch_format="pyarrow").sort("event_id")
+
+
+def q_http_fetch(sf_dir: str):
+    """GetHTTP/InvokeHTTP graded end-to-end through the in-repo
+    loopback HTTP server (reference STD/GetHTTP.java, InvokeHTTP.java):
+    deterministic fixture URLs → HttpFetch actor pool (one opener per
+    actor) → per-URL status + size + sha256, matched against an oracle
+    that recomputes everything from the shared content generator
+    without making a request."""
+    import ray.data as rd
+
+    from ..stages.http import FixtureHttpServer, HttpFetch
+
+    with FixtureHttpServer() as srv:
+        ds = rd.from_items(
+            [
+                {"path": f"/p{i:03d}",
+                 "url": f"http://127.0.0.1:{srv.port}/p{i:03d}"}
+                for i in range(32)
+            ]
+        )
+        fetched = ds.map_batches(
+            HttpFetch,
+            fn_constructor_kwargs={"url_col": "url"},
+            batch_format="pyarrow",
+            batch_size=8,
+            concurrency=_pool(),
+        )
+
+        def digest(t: pa.Table) -> pa.Table:
+            bodies = t["response_body"].to_pylist()  # None (failed) raises — loud
+            return pa.table(
+                {
+                    "path": t["path"],
+                    "status_code": pc.cast(t["status_code"], pa.int64()),
+                    "n_bytes": pa.array([len(b) for b in bodies], pa.int64()),
+                    "sha256": pa.array(
+                        [hashlib.sha256(b).hexdigest() for b in bodies],
+                        pa.string(),
+                    ),
+                }
+            )
+
+        # materialize INSIDE the server context (lazy pipeline)
+        out = fetched.map_batches(digest, batch_format="pyarrow").materialize()
+    return out.sort("path")
+
+
 def q_el_pipeline(sf_dir: str):
     """Expression Language parity graded end-to-end (SURVEY §2.9;
     reference nifi-expression-language evaluation/functions/*): one
@@ -2818,6 +2925,8 @@ QUERIES = {
     "codec_roundtrip": q_codec_roundtrip,
     "csv_ingest": q_csv_ingest,
     "orc_ingest": q_orc_ingest,
+    "pack_unpack": q_pack_unpack,
+    "http_fetch": q_http_fetch,
 }
 
 
@@ -3194,6 +3303,13 @@ ORACLE_SQL["codec_roundtrip"] = """
            md5(props) AS props_md5,
            md5(event_type) AS et_md5
     FROM events WHERE event_id % 37 = 0 ORDER BY event_id
+"""
+
+ORACLE_SQL["pack_unpack"] = """
+    SELECT event_id,
+           md5(props) AS props_md5,
+           md5(event_type) AS et_md5
+    FROM events WHERE event_id % 41 = 0 ORDER BY event_id
 """
 
 ORACLE_SQL["csv_ingest"] = """

@@ -298,3 +298,63 @@ class BulkRecordPut:
             .append_column("error", pa.array(errs, pa.string()))
             .append_column("requests", pa.array(reqs, pa.int32()))
         )
+
+
+# ---- graded fixture corpus ------------------------------------------
+
+
+def http_fixture_content(i: int) -> bytes:
+    """Deterministic payload for fixture path ``/p{i:03d}`` — a pure
+    function shared by the graded http_fetch query (served by
+    FixtureHttpServer) and its expected-oracle builder (which never
+    makes a request)."""
+    n = 64 + (i * 13) % 100
+    return bytes((j * (i + 7) + 3 * i) % 256 for j in range(n))
+
+
+class FixtureHttpServer:
+    """Loopback HTTP server for the graded http_fetch query: serves
+    ``/pNNN`` from ``http_fixture_content``, 404 elsewhere."""
+
+    def __init__(self):
+        import http.server
+        import re
+        import threading
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                m = re.fullmatch(r"/p(\d{3})", self.path)
+                if not m:
+                    self.send_error(404)
+                    return
+                body = http_fixture_content(int(m.group(1)))
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):  # noqa: D102 — quiet fixture
+                pass
+
+        class Srv(http.server.ThreadingHTTPServer):
+            daemon_threads = True
+
+        self._srv = Srv(("127.0.0.1", 0), H)
+        self._thread = threading.Thread(
+            target=self._srv.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    @property
+    def port(self) -> int:
+        return self._srv.server_address[1]
+
+    def close(self):
+        self._srv.shutdown()
+        self._srv.server_close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
