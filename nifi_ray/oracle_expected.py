@@ -1065,7 +1065,21 @@ def expected_http_fetch(_sf: str, n: int = 32) -> pa.Table:
     ).sort_by("path")
 
 
+def expected_mime_identify(_sf: str, n: int = 64) -> pa.Table:
+    from .stages.parsers import mime_fixture_payload
+
+    return pa.table(
+        {
+            "media_id": pa.array([f"b{i:05d}" for i in range(n)], pa.string()),
+            "mime_type": pa.array(
+                [mime_fixture_payload(i)[1] for i in range(n)], pa.string()
+            ),
+        }
+    ).sort_by("media_id")
+
+
 EXPECTED_BUILDERS = {
+    "mime_identify": expected_mime_identify,
     "evtx_parse": expected_evtx_parse,
     "ftp_roundtrip": expected_ftp_roundtrip,
     "email_parse": expected_email_parse,

@@ -1182,6 +1182,23 @@ def q_http_fetch(sf_dir: str):
     return out.sort("path")
 
 
+def q_mime_identify(sf_dir: str):
+    """IdentifyMimeType graded (reference STD/IdentifyMimeType.java:168
+    — Tika there, magic-byte table + xml/json/utf-8 heuristics here):
+    a mixed corpus of real containers (gzip, zip) and magic-prefix /
+    text payloads → mime.type column, matched against the fixture's
+    own kind table."""
+    import ray.data as rd
+
+    from ..stages.parsers import identify_mime, synth_mime_table
+
+    ds = rd.from_arrow(synth_mime_table(64))
+    out = ds.map_batches(identify_mime("content"), batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: t.select(["media_id", "mime_type"]), batch_format="pyarrow"
+    ).sort("media_id")
+
+
 def q_el_pipeline(sf_dir: str):
     """Expression Language parity graded end-to-end (SURVEY §2.9;
     reference nifi-expression-language evaluation/functions/*): one
@@ -2927,6 +2944,7 @@ QUERIES = {
     "orc_ingest": q_orc_ingest,
     "pack_unpack": q_pack_unpack,
     "http_fetch": q_http_fetch,
+    "mime_identify": q_mime_identify,
 }
 
 

@@ -362,3 +362,51 @@ def synth_hl7_table(n: int) -> pa.Table:
             ),
         }
     )
+
+
+# ---- graded MIME fixture corpus ---------------------------------------
+
+
+def mime_fixture_payload(i: int) -> tuple[bytes, str]:
+    """(payload, expected mime) for fixture row ``i`` — real container
+    bytes where the format is cheap to render (gzip, zip), magic-prefix
+    payloads elsewhere; the text kinds exercise the sniffer's xml/json/
+    utf-8 fallbacks."""
+    k = i % 8
+    if k == 0:
+        return b"\x89PNG\r\n\x1a\n" + bytes([i % 256]) * 16, "image/png"
+    if k == 1:
+        import gzip
+
+        c = gzip.compress(f"doc {i}".encode(), mtime=0)
+        return c, "application/gzip"
+    if k == 2:
+        import io
+        import zipfile
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            info = zipfile.ZipInfo("a.txt", date_time=(1980, 1, 1, 0, 0, 0))
+            z.writestr(info, f"x{i}")
+        return buf.getvalue(), "application/zip"
+    if k == 3:
+        return f"<?xml version='1.0'?><r id='{i}'/>".encode(), "application/xml"
+    if k == 4:
+        return ('{"k": %d}' % i).encode(), "application/json"
+    if k == 5:
+        return f"plain text {i}".encode(), "text/plain"
+    if k == 6:
+        return b"\xfe\xff\xfa" + bytes((j * 7 + i) % 256 for j in range(16)), \
+            "application/octet-stream"
+    return b"%PDF-1.4\n" + f"{i}".encode(), "application/pdf"
+
+
+def synth_mime_table(n: int) -> pa.Table:
+    return pa.table(
+        {
+            "media_id": pa.array([f"b{i:05d}" for i in range(n)], pa.string()),
+            "content": pa.array(
+                [mime_fixture_payload(i)[0] for i in range(n)], pa.binary()
+            ),
+        }
+    )
