@@ -1078,8 +1078,32 @@ def expected_mime_identify(_sf: str, n: int = 64) -> pa.Table:
     ).sort_by("media_id")
 
 
+def expected_listing_watermark(_sf: str) -> pa.Table:
+    import hashlib
+
+    from .sources.listing import listing_fixture_content
+
+    rows = []
+    for i in range(10):
+        rows.append((1, f"f{i:03d}.bin", i))
+    rows.append((2, "f010.bin", 10))
+    rows.append((2, "f011.bin", 11))
+    return pa.table(
+        {
+            "pass_no": pa.array([r[0] for r in rows], pa.int64()),
+            "name": pa.array([r[1] for r in rows], pa.string()),
+            "sha256": pa.array(
+                [hashlib.sha256(listing_fixture_content(r[2])).hexdigest()
+                 for r in rows],
+                pa.string(),
+            ),
+        }
+    ).sort_by([("pass_no", "ascending"), ("name", "ascending")])
+
+
 EXPECTED_BUILDERS = {
     "mime_identify": expected_mime_identify,
+    "listing_watermark": expected_listing_watermark,
     "evtx_parse": expected_evtx_parse,
     "ftp_roundtrip": expected_ftp_roundtrip,
     "email_parse": expected_email_parse,

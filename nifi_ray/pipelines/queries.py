@@ -1199,6 +1199,51 @@ def q_mime_identify(sf_dir: str):
     ).sort("media_id")
 
 
+def q_listing_watermark(sf_dir: str):
+    """ListFile/FetchFile graded end-to-end (reference
+    AbstractListProcessor.java:148-316 — listing watermark + same-mtime
+    tie-breaker set): pass 1 lists ten files (pinned mtimes, five
+    shared timestamps), pass 2 adds one file AT the watermark (must be
+    emitted — not in the remembered id set) and one past it, pass 3
+    adds nothing (must list empty). Each pass's new files are fetched
+    DISTRIBUTED via read_binary_files and digested; the oracle
+    recomputes (pass, name, sha256) from the fixture generator."""
+    import tempfile
+
+    import ray.data as rd
+
+    from ..sources.listing import list_new_files, listing_fixture_write
+
+    root = tempfile.mkdtemp(prefix="nifi_ray_listq_")
+    state = os.path.join(root, "_state.json")
+    parts = []
+    for pass_no, new_ids in ((1, range(10)), (2, (10, 11)), (3, ())):
+        listing_fixture_write(root, new_ids)
+        paths = list_new_files(root, state, suffix=".bin")
+        if pass_no == 3:
+            assert paths == [], f"pass 3 must list nothing, got {paths}"
+            continue
+        fetched = rd.read_binary_files(paths, include_paths=True)
+
+        def digest(t: pa.Table, _p=pass_no) -> pa.Table:
+            names = [os.path.basename(p) for p in t["path"].to_pylist()]
+            return pa.table(
+                {
+                    "pass_no": pa.array([_p] * t.num_rows, pa.int64()),
+                    "name": pa.array(names, pa.string()),
+                    "sha256": pa.array(
+                        [hashlib.sha256(b).hexdigest()
+                         for b in t["bytes"].to_pylist()],
+                        pa.string(),
+                    ),
+                }
+            )
+
+        parts.append(fetched.map_batches(digest, batch_format="pyarrow"))
+    ds = parts[0].union(*parts[1:])
+    return ds.sort(["pass_no", "name"])
+
+
 def q_el_pipeline(sf_dir: str):
     """Expression Language parity graded end-to-end (SURVEY §2.9;
     reference nifi-expression-language evaluation/functions/*): one
@@ -2945,6 +2990,7 @@ QUERIES = {
     "pack_unpack": q_pack_unpack,
     "http_fetch": q_http_fetch,
     "mime_identify": q_mime_identify,
+    "listing_watermark": q_listing_watermark,
 }
 
 

@@ -85,3 +85,27 @@ def list_new_files(
         ids_at_max = [f for f, m in entries if m == max_ts]
         ListingState(max_ts, ids_at_max).save(state_path)
     return new
+
+
+# ---- graded fixture corpus ------------------------------------------
+
+LISTING_FIXTURE_BASE = 1_700_000_000  # pinned mtimes — watermark math is exact
+
+
+def listing_fixture_content(i: int) -> bytes:
+    """Deterministic payload for fixture file ``i`` — shared by the
+    graded listing_watermark query and its expected-oracle builder."""
+    return bytes((j * (2 * i + 5) + i) % 256 for j in range(40 + 3 * i))
+
+
+def listing_fixture_write(dir_path: str, ids) -> None:
+    """Write fixture files with PINNED mtimes: files 0..9 pair up on
+    five timestamps (exercising the same-mtime tie-breaker set), file
+    10 lands AT the pass-1 watermark (must still be emitted — it is
+    not in the remembered id set), file 11 lands past it."""
+    for i in ids:
+        p = os.path.join(dir_path, f"f{i:03d}.bin")
+        with open(p, "wb") as f:
+            f.write(listing_fixture_content(i))
+        ts = LISTING_FIXTURE_BASE + (i // 2 if i < 10 else (4 if i == 10 else 5))
+        os.utime(p, (ts, ts))

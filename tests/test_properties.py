@@ -282,3 +282,36 @@ def test_parquet_part_bytes_deterministic(tmp_path_factory, rows):
     pqq.write_table(t, str(d / "a.parquet"), compression="zstd")
     pqq.write_table(t, str(d / "b.parquet"), compression="zstd")
     assert (d / "a.parquet").read_bytes() == (d / "b.parquet").read_bytes()
+
+
+@given(
+    bench=st.lists(st.text(st.characters(min_codepoint=32, max_codepoint=122),
+                           min_size=0, max_size=60), min_size=0, max_size=20),
+    corpus=st.lists(st.text(st.characters(min_codepoint=32, max_codepoint=122),
+                            min_size=0, max_size=60), min_size=0, max_size=20),
+    n=st.integers(1, 4),
+)
+@settings(max_examples=60, deadline=None)
+def test_u64set_equals_exact_gram_overlap(bench, corpus, n):
+    # U64Set membership over gram hashes must equal exact word-n-gram
+    # set overlap for ANY text (the graded decontaminate_u64 contract),
+    # modulo 64-bit collisions which hypothesis will never hit
+    import re
+
+    from nifi_ray.stages.bloom import U64Set, gram_hashes
+
+    def grams(text):
+        ws = re.findall(r"[a-z0-9]+", text.lower())
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    bench_grams = set().union(*(grams(t) for t in bench)) if bench else set()
+    uset = U64Set.build_from_texts(bench, n=n)
+    h, glens = gram_hashes(pa.array(corpus, pa.string()), n)
+    hits = uset.contains_hashes(h)
+    # fold per-doc: any gram hit == any exact overlap
+    starts = np.concatenate(([0], np.cumsum(glens)[:-1]))
+    got = []
+    for d, (s, ln) in enumerate(zip(starts, glens)):
+        got.append(bool(hits[s : s + ln].any()) if ln else False)
+    exp = [bool(grams(t) & bench_grams) for t in corpus]
+    assert got == exp
