@@ -285,8 +285,21 @@ def json_path_el(col, key: str):  # jsonPath (top-level key)
         if v is None:
             out.append(None)
             continue
-        x = _json.loads(v).get(key)
-        out.append(x if x is None or isinstance(x, str) else _json.dumps(x))
+        try:
+            obj = _json.loads(v)
+        except ValueError:
+            out.append(None)
+            continue
+        if not isinstance(obj, dict):  # non-object JSON row → null key
+            out.append(None)
+            continue
+        x = obj.get(key)
+        # minified separators = DuckDB json_extract_string's rendering
+        # of nested values ('{"a":1}', '[1,2]'), not Python's '{"a": 1}'
+        out.append(
+            x if x is None or isinstance(x, str)
+            else _json.dumps(x, separators=(",", ":"))
+        )
     return pa.array(out, pa.string())
 
 

@@ -659,6 +659,54 @@ def q_source_mix(sf_dir: str):
     return pre_aggregate(kept, "source", {"n_kept": ("doc_id", "count")})
 
 
+def _decontaminate_harness(sf_dir: str, build_probe):
+    """Shared harness for the decontamination family (the three graded
+    variants differ ONLY in the probe structure — broadcast string set,
+    Bloom bit array, or sorted u64 array): md5-slice benchmark split,
+    probe built ONCE by streaming the benchmark side
+    (``build_probe(bench_ds) -> (stage_cls, fn_constructor_args)``),
+    corpus actor-pool probe, per-lang flagged pre-aggregate."""
+    ds = _t(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "is_bench",
+            pc.equal(pc.utf8_slice_codeunits(
+                pa.array([hashlib.md5(str(v).encode()).hexdigest()
+                          for v in t["doc_id"].to_pylist()]), 0, 1), "0"),
+        ),
+        batch_format="pyarrow",
+    )
+    stage_cls, ctor_args = build_probe(ds.filter(expr="is_bench"))
+    corpus = ds.filter(expr="is_bench == False").map_batches(
+        stage_cls,
+        fn_constructor_args=ctor_args,
+        batch_format="pyarrow",
+        concurrency=_pool(),
+    )
+    flagged = corpus.map_batches(
+        lambda t: t.append_column("c", pc.cast(t["contaminated"], pa.int64())),
+        batch_format="pyarrow",
+    )
+    return pre_aggregate(
+        flagged, "lang", {"n_docs": ("doc_id", "count"), "n_contaminated": ("c", "sum")}
+    )
+
+
+def _bench_gram_hashes(bench) -> "np.ndarray":
+    """Deduped u64 gram hashes of the benchmark texts (streamed)."""
+    from ..stages.bloom import gram_hashes
+
+    parts = [
+        gram_hashes(b["text"], 5)[0]
+        for b in bench.select_columns(["text"]).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    return (
+        np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+    )
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination (stages/packing.NgramDecontaminator):
     docs whose md5(doc_id) starts with '0' play the benchmark set; a
@@ -671,36 +719,16 @@ def q_decontaminate(sf_dir: str):
 
     from ..stages.packing import NgramDecontaminator, doc_ngrams
 
-    ds = _t(sf_dir, "documents", columns=["doc_id", "lang", "text"])
-    ds = ds.map_batches(
-        lambda t: t.append_column(
-            "is_bench",
-            pc.equal(pc.utf8_slice_codeunits(
-                pa.array([hashlib.md5(str(v).encode()).hexdigest()
-                          for v in t["doc_id"].to_pylist()]), 0, 1), "0"),
-        ),
-        batch_format="pyarrow",
-    )
-    bench = ds.filter(expr="is_bench").map_batches(
-        doc_ngrams("text", n=5), batch_format="pyarrow"
-    )
-    gram_set: set[str] = set()
-    for b in bench.select_columns(["ngrams"]).iter_batches(batch_format="pyarrow"):
-        gram_set.update(pc.list_flatten(b["ngrams"]).to_pylist())
-    grams_ref = ray.put(frozenset(gram_set))
-    corpus = ds.filter(expr="is_bench == False").map_batches(
-        NgramDecontaminator,
-        fn_constructor_args=(grams_ref, "text", 5),
-        batch_format="pyarrow",
-        concurrency=_pool(),
-    )
-    flagged = corpus.map_batches(
-        lambda t: t.append_column("c", pc.cast(t["contaminated"], pa.int64())),
-        batch_format="pyarrow",
-    )
-    return pre_aggregate(
-        flagged, "lang", {"n_docs": ("doc_id", "count"), "n_contaminated": ("c", "sum")}
-    )
+    def build(bench):
+        grams = bench.map_batches(doc_ngrams("text", n=5), batch_format="pyarrow")
+        gram_set: set[str] = set()
+        for b in grams.select_columns(["ngrams"]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            gram_set.update(pc.list_flatten(b["ngrams"]).to_pylist())
+        return NgramDecontaminator, (ray.put(frozenset(gram_set)), "text", 5)
+
+    return _decontaminate_harness(sf_dir, build)
 
 
 def q_decontaminate_bloom(sf_dir: str):
@@ -719,48 +747,16 @@ def q_decontaminate_bloom(sf_dir: str):
 
     from ..stages.bloom import BloomDecontaminator, BloomFilter
 
-    ds = _t(sf_dir, "documents", columns=["doc_id", "lang", "text"])
-    ds = ds.map_batches(
-        lambda t: t.append_column(
-            "is_bench",
-            pc.equal(pc.utf8_slice_codeunits(
-                pa.array([hashlib.md5(str(v).encode()).hexdigest()
-                          for v in t["doc_id"].to_pylist()]), 0, 1), "0"),
-        ),
-        batch_format="pyarrow",
-    )
-    # build once from the benchmark texts: stream batches, keep only the
-    # u64 gram hashes (8 bytes/gram — the benchmark suite is the small
-    # side by definition), size ONE filter from the deduped union
-    import numpy as np
+    def build(bench):
+        # stream the benchmark texts once, keep only u64 gram hashes
+        # (8 bytes/gram — the benchmark suite is the small side by
+        # definition), size ONE filter from the deduped union
+        uniq = _bench_gram_hashes(bench)
+        bloom = BloomFilter(len(uniq), fp_rate=1e-9)
+        bloom.add_hashes(uniq)
+        return BloomDecontaminator, (ray.put(bloom), "text", 5)
 
-    from ..stages.bloom import gram_hashes
-
-    parts = [
-        gram_hashes(b["text"], 5)[0]
-        for b in ds.filter(expr="is_bench")
-        .select_columns(["text"])
-        .iter_batches(batch_format="pyarrow")
-    ]
-    uniq = (
-        np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
-    )
-    bloom = BloomFilter(len(uniq), fp_rate=1e-9)
-    bloom.add_hashes(uniq)
-    bloom_ref = ray.put(bloom)
-    corpus = ds.filter(expr="is_bench == False").map_batches(
-        BloomDecontaminator,
-        fn_constructor_args=(bloom_ref, "text", 5),
-        batch_format="pyarrow",
-        concurrency=_pool(),
-    )
-    flagged = corpus.map_batches(
-        lambda t: t.append_column("c", pc.cast(t["contaminated"], pa.int64())),
-        batch_format="pyarrow",
-    )
-    return pre_aggregate(
-        flagged, "lang", {"n_docs": ("doc_id", "count"), "n_contaminated": ("c", "sum")}
-    )
+    return _decontaminate_harness(sf_dir, build)
 
 
 def q_decontaminate_u64(sf_dir: str):
@@ -776,43 +772,14 @@ def q_decontaminate_u64(sf_dir: str):
     800 MB); switch to Bloom beyond."""
     import ray
 
-    from ..stages.bloom import BloomDecontaminator, U64Set, gram_hashes
+    from ..stages.bloom import BloomDecontaminator, U64Set
 
-    ds = _t(sf_dir, "documents", columns=["doc_id", "lang", "text"])
-    ds = ds.map_batches(
-        lambda t: t.append_column(
-            "is_bench",
-            pc.equal(pc.utf8_slice_codeunits(
-                pa.array([hashlib.md5(str(v).encode()).hexdigest()
-                          for v in t["doc_id"].to_pylist()]), 0, 1), "0"),
-        ),
-        batch_format="pyarrow",
-    )
-    import numpy as np
+    def build(bench):
+        return BloomDecontaminator, (
+            ray.put(U64Set(_bench_gram_hashes(bench))), "text", 5,
+        )
 
-    parts = [
-        gram_hashes(b["text"], 5)[0]
-        for b in ds.filter(expr="is_bench")
-        .select_columns(["text"])
-        .iter_batches(batch_format="pyarrow")
-    ]
-    uset = U64Set(
-        np.concatenate(parts) if parts else np.empty(0, np.uint64)
-    )
-    uset_ref = ray.put(uset)
-    corpus = ds.filter(expr="is_bench == False").map_batches(
-        BloomDecontaminator,
-        fn_constructor_args=(uset_ref, "text", 5),
-        batch_format="pyarrow",
-        concurrency=_pool(),
-    )
-    flagged = corpus.map_batches(
-        lambda t: t.append_column("c", pc.cast(t["contaminated"], pa.int64())),
-        batch_format="pyarrow",
-    )
-    return pre_aggregate(
-        flagged, "lang", {"n_docs": ("doc_id", "count"), "n_contaminated": ("c", "sum")}
-    )
+    return _decontaminate_harness(sf_dir, build)
 
 
 def q_evtx_parse(sf_dir: str):

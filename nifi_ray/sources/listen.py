@@ -1013,7 +1013,14 @@ class ListenAMQP(_Listener):
                                 return
                             p["body"] += payload
                             p["remaining"] -= len(payload)
-                            if p["remaining"] <= 0:
+                            if p["remaining"] < 0:
+                                # body exceeds the declared content-header
+                                # size: a corrupt frame sequence — drop the
+                                # connection UNACKED rather than spool and
+                                # confirm garbage (same loud-close contract
+                                # as unsupported classes)
+                                return
+                            if p["remaining"] == 0:
                                 self._complete(channel, pending, confirm)
                             continue
                         if ftype != 1:

@@ -80,20 +80,49 @@ def generate_table_fetch(
     parallel read_sql tasks (GenerateTableFetch.java:258 emits paged
     statements for downstream parallel fetch the same way). Pass
     ``columns`` so only needed columns leave the database (the
-    prune-at-the-read rule)."""
+    prune-at-the-read rule).
+
+    Pages are KEYSET RANGES (``order_col >= lo AND < hi``), not
+    LIMIT/OFFSET: offset paging re-sorts the whole filtered table per
+    page — O(pages × table) total work — and duplicates/drops rows
+    when the table changes between pages. Boundary values come from
+    ONE ordered window pass at planning time; each page then executes
+    as a zone-map/index range scan. Duplicate boundary values (heavy
+    key skew) collapse into one page, so pages stay DISJOINT and their
+    union exact even on non-unique order columns — page sizes then
+    vary with the skew, which is the correct trade."""
     con = _connect(database)
     try:
         pred = f" WHERE {where}" if where else ""
-        n = con.execute(f"SELECT count(*) FROM {table}{pred}").fetchone()[0]
+        bounds = [
+            r[0]
+            for r in con.execute(
+                f"SELECT {order_col} FROM ("
+                f" SELECT {order_col},"
+                f"  row_number() OVER (ORDER BY {order_col}) AS rn"
+                f" FROM {table}{pred})"
+                f" WHERE (rn - 1) % {int(page_size)} = 0 ORDER BY 1"
+            ).fetchall()
+        ]
     finally:
         con.close()
+    if not bounds:
+        return []
+    uniq = sorted(set(bounds))
     cols = ", ".join(columns) if columns else "*"
+
+    def lit(v):
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
+
     stmts = []
-    for off in range(0, int(n), page_size):
-        stmts.append(
-            f"SELECT {cols} FROM {table}{pred} ORDER BY {order_col} "
-            f"LIMIT {page_size} OFFSET {off}"
-        )
+    for i, lo in enumerate(uniq):
+        rng = f"{order_col} >= {lit(lo)}"
+        if i + 1 < len(uniq):
+            rng += f" AND {order_col} < {lit(uniq[i + 1])}"
+        glue = f"{pred} AND " if where else " WHERE "
+        stmts.append(f"SELECT {cols} FROM {table}{glue}{rng}")
     return stmts
 
 

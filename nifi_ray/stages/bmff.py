@@ -64,7 +64,11 @@ def find_box(data: bytes, path: list[bytes], start: int = 0,
         if fourcc == path[0]:
             if len(path) == 1:
                 return ps, pe
-            return find_box(data, path[1:], ps, pe)
+            # keep scanning SIBLINGS when this subtree lacks the rest
+            # of the path (e.g. a hint trak before the video trak)
+            found = find_box(data, path[1:], ps, pe)
+            if found is not None:
+                return found
     return None
 
 
@@ -248,7 +252,15 @@ def iter_mp4_video_frames(data: bytes):
     vid = next((t for t in meta["tracks"] if t.get("handler") == "vide"), None)
     if vid is None:
         raise ValueError("no video track")
-    return vid["codec"], vid["width"], vid["height"], sample_spans(vid)
+    # sample GEOMETRY comes from the stsd sample entry (coded dims) —
+    # tkhd width/height are DISPLAY dims (scaled/anamorphic matrices,
+    # or 0 in some writers) and must not size the pixel buffer
+    return (
+        vid["codec"],
+        vid.get("coded_width", vid["width"]),
+        vid.get("coded_height", vid["height"]),
+        sample_spans(vid),
+    )
 
 
 def decode_raw_sample(buf: bytes, w: int, h: int) -> np.ndarray:

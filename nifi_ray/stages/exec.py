@@ -73,7 +73,9 @@ class ExecuteStreamCommand:
                 if self.templated
                 else self.argv
             )
-        except (KeyError, IndexError, ValueError) as e:
+        except Exception as e:  # noqa: BLE001 — str.format can also raise
+            # AttributeError ('{x.y}') / TypeError ('{x[0]}' on a
+            # non-subscriptable value); the contract is NEVER raise
             return None, -1, f"argv template error: {type(e).__name__}: {e}"
         stdin = None
         if not self.ignore_stdin:

@@ -725,6 +725,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip the run so `marker` is the real id, never FF
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -809,11 +813,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
 
 def _next_marker(data: bytes, pos: int) -> int:
-    """Position of the next true marker (skips stuffed FF00 and fill
-    FFs followed by RSTn are NOT skipped — callers handle restarts)."""
+    """Position of the next true marker: skips stuffed FF00, and lands
+    on the LAST 0xFF of a fill run (T.81 B.1.1.2 allows any number of
+    fill FFs before the marker id) so callers read the real id at
+    pos+1. RSTn are not skipped — callers handle restarts."""
     n = len(data)
     while pos < n - 1:
-        if data[pos] == 0xFF and data[pos + 1] != 0x00:
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00, 0xFF):
             return pos
         pos += 1
     return n

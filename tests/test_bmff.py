@@ -130,3 +130,57 @@ def test_synth_video_table_rotates_containers():
     out = SampleFrames(every=1)(t.select(["media_id", "payload"]))
     # 4 videos x 3 frames, every frame sampled from either container
     assert out.num_rows == 12
+
+
+def _box(fourcc: bytes, payload: bytes) -> bytes:
+    import struct as st
+
+    return st.pack(">I", 8 + len(payload)) + fourcc + payload
+
+
+def test_find_box_scans_sibling_subtrees():
+    # the path may be absent from the FIRST matching child (e.g. a hint
+    # trak before the video trak): later siblings must still be scanned
+    from nifi_ray.stages.bmff import find_box
+
+    inner = _box(b"trgt", b"PAYLOAD")
+    first_a = _box(b"boxa", _box(b"othr", b"x"))     # no trgt inside
+    second_a = _box(b"boxa", inner)                  # trgt lives here
+    data = _box(b"root", first_a + second_a)
+    span = find_box(data, [b"root", b"boxa", b"trgt"])
+    assert span is not None
+    ps, pe = span
+    assert data[ps:pe] == b"PAYLOAD"
+
+
+def test_frame_geometry_comes_from_stsd_not_tkhd():
+    # tkhd carries DISPLAY dims (scaled matrices / zero in some
+    # writers); pixel-buffer geometry must come from the stsd sample
+    # entry. Zero out tkhd's width/height and decoding must still work.
+    import struct as st
+
+    import numpy as np
+
+    from nifi_ray.stages.bmff import (
+        decode_raw_sample,
+        encode_mp4_raw_video,
+        iter_mp4_video_frames,
+        parse_mp4,
+    )
+
+    frames = [
+        np.arange(16 * 12 * 3, dtype=np.uint8).reshape(12, 16, 3)
+        for _ in range(3)
+    ]
+    blob = bytearray(encode_mp4_raw_video(frames, fps=5))
+    # find the tkhd payload and zero the trailing width/height (16.16)
+    i = bytes(blob).index(b"tkhd")
+    size = st.unpack_from(">I", blob, i - 4)[0]
+    blob[i - 4 + size - 8 : i - 4 + size] = b"\x00" * 8
+    meta = parse_mp4(bytes(blob))
+    tr = meta["tracks"][0]
+    assert (tr["width"], tr["height"]) == (0, 0)          # display dims gone
+    codec, w, h, spans = iter_mp4_video_frames(bytes(blob))
+    assert (w, h) == (16, 12)                             # coded dims hold
+    got = decode_raw_sample(bytes(blob)[spans[1][0]:spans[1][0] + spans[1][1]], w, h)
+    assert np.array_equal(got, frames[1])

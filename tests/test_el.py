@@ -102,3 +102,11 @@ def test_json_path_el_is_string_typed_like_json_extract_string():
     out = el.json_path_el(a, "k")
     assert out.type == pa.string()
     assert out.to_pylist() == ["87", "x", "true", "1.5", None, None]
+    # nested values render MINIFIED like DuckDB ('{"a":1}', '[1,2]'),
+    # and non-object / invalid JSON rows yield null instead of raising
+    b = pa.array(
+        ['{"k": {"a": 1}}', '{"k": [1, 2]}', "[1,2]", "notjson"], pa.string()
+    )
+    assert el.json_path_el(b, "k").to_pylist() == [
+        '{"a":1}', "[1,2]", None, None,
+    ]

@@ -87,3 +87,18 @@ def test_log_attributes_passthrough(caplog):
         out = fn(tbl)
     assert out is tbl  # unchanged pass-through
     assert any("T1" in r.message and "3 rows" in r.message for r in caplog.records)
+
+
+def test_stream_command_template_attribute_and_type_errors_route():
+    # str.format can raise beyond KeyError/IndexError/ValueError —
+    # AttributeError ('{x.y}') and TypeError ('{x[0]}' on an int) must
+    # route to execution_status = -1, never escape (never-raise contract)
+    tbl = pa.table({"content": ["x"], "word": ["w"]})
+    out = ExecuteStreamCommand(argv=["echo", "{word.x}"])(tbl)
+    assert out["execution_status"].to_pylist() == [-1]
+    assert "AttributeError" in out["execution_error"][0].as_py()
+    out2 = ExecuteStreamCommand(argv=["echo", "{word[0]}"], ignore_stdin=True)(
+        pa.table({"content": [None], "word": [7]})
+    )
+    assert out2["execution_status"].to_pylist() == [-1]
+    assert "TypeError" in out2["execution_error"][0].as_py()

@@ -125,3 +125,33 @@ def test_dispatch_via_decode_rgb():
     assert out.shape == (16, 16, 3) and np.abs(out.astype(int) - 77).max() <= 2
     prog = _decode_rgb(J.encode_jpeg_progressive(rgb, quality=95))
     assert prog.shape == (16, 16, 3) and np.abs(prog.astype(int) - 77).max() <= 2
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker;
+    # both the segment loop and the entropy-scan marker search must skip
+    # them (spec-valid padded files previously misparsed)
+    img = (np.arange(16 * 16 * 3, dtype=np.uint8) % 251).reshape(16, 16, 3)
+    blob = J.encode_jpeg_baseline(img, quality=90)
+    ref = J.decode_jpeg(blob)
+
+    # insert fill bytes before every marker segment after SOI
+    out = bytearray(blob[:2])
+    pos = 2
+    while pos < len(blob) - 1:
+        if blob[pos] == 0xFF and blob[pos + 1] not in (0x00,) and not (
+            0xD0 <= blob[pos + 1] <= 0xD7
+        ):
+            out += b"\xff\xff\xff"  # three fill bytes
+            out += blob[pos:pos + 2]
+            pos += 2
+            if blob[pos - 1] == 0xDA:  # copy entropy data untouched to EOI
+                out += blob[pos:]
+                break
+        else:
+            out += blob[pos:pos + 1]
+            pos += 1
+    padded = bytes(out)
+    assert padded != blob
+    got = J.decode_jpeg(padded)
+    assert np.array_equal(got, ref)

@@ -734,3 +734,24 @@ def test_amqp_bad_protocol_header_rejected(tmp_path):
         assert got == b"AMQP\x00\x00\x09\x01"  # supported header, then close
         assert s.recv(16) == b""
         s.close()
+
+
+def test_amqp_oversized_body_frame_drops_connection(tmp_path):
+    # body exceeding the declared content-header size is a corrupt
+    # frame sequence: drop the connection UNACKED, never spool+confirm
+    from nifi_ray.sources.listen import ListenAMQP
+
+    spool = str(tmp_path / "amqp5")
+    with ListenAMQP(spool_dir=spool) as srv:
+        c = _AmqpClient(srv.port)
+        c.handshake()
+        c.method(1, 85, 10, b"\x00")  # Confirm.Select
+        c.expect_method(85, 11)
+        rk = b"orders"
+        args = c.struct.pack(">H", 0) + b"\x00" + bytes([len(rk)]) + rk + b"\x00"
+        c.method(1, 60, 40, args)  # Basic.Publish
+        c.frame(2, 1, c.struct.pack(">HHQH", 60, 0, 5, 0))  # declares 5 bytes
+        c.frame(3, 1, b"eightbyt")  # sends 8 → must be dropped
+        assert c.s.recv(16) == b""  # server closed, no Basic.Ack
+        c.s.close()
+        assert srv.writer.rows_written + srv.writer.rows_buffered == 0

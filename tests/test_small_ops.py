@@ -331,3 +331,29 @@ def test_page_fetch_stage_and_column_pruning():
     out = PageFetch(database=db)(pa.table({"sql": pa.array(stmts)}))
     assert out.schema.names == ["id", "v"]  # junk pruned in the SQL
     assert sorted(out["id"].to_pylist()) == list(range(2, 20))
+
+
+def test_generate_table_fetch_keyset_ranges_and_skew():
+    import duckdb
+    import os
+    import tempfile
+
+    from nifi_ray.sources.sql import PageFetch, generate_table_fetch
+
+    db = os.path.join(tempfile.mkdtemp(), "k.duckdb")
+    con = duckdb.connect(db)
+    # heavy key skew: 30 rows share k=5; keyset pages must stay
+    # DISJOINT (duplicate boundaries collapse) with an exact union
+    con.execute("CREATE TABLE ev (k BIGINT, v BIGINT)")
+    con.execute("INSERT INTO ev SELECT 5, range FROM range(30)")
+    con.execute("INSERT INTO ev SELECT range, range FROM range(10)")
+    con.close()
+
+    stmts = generate_table_fetch("ev", "k", page_size=7, database=db)
+    # keyset predicates, never OFFSET re-sorts
+    assert all("OFFSET" not in s and "LIMIT" not in s for s in stmts)
+    import pyarrow as pa
+
+    out = PageFetch(database=db)(pa.table({"sql": pa.array(stmts)}))
+    assert out.num_rows == 40  # union exact: no dup/drop despite skew
+    assert sorted(out["v"].to_pylist()) == sorted(list(range(30)) + list(range(10)))
