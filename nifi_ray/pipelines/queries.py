@@ -2860,6 +2860,422 @@ def _cdc_summarize(t: pa.Table) -> pa.Table:
 # operators and the media queries come first. Positions 51+ are simpler
 # operators that were all driver-green in round 2 and remain verifiable
 # via tools/check_correctness.py (the judge's driver-style checker).
+def q_egress_roundtrip(sf_dir: str):
+    """PutTCP → ListenTCP loopback circle under ControlRate: render
+    each event as 'event_id|event_type', push every row through a
+    rate-capped actor-pool TcpPut over a REAL loopback socket into
+    ListenTCP's durable spool, read the spool back as a Dataset and
+    aggregate per event_type — oracle is plain SQL over the original
+    events (stages/egress.py, stages/control.py; reference
+    STD/PutTCP.java ChannelSender pool + ControlRate.java token
+    throttle). Grades delimiter framing and the full producer → socket
+    → spool → consumer circle; the per-actor rate cap is generous so
+    the throttle composes without stalling the gate."""
+    import tempfile
+    import time
+
+    from ..sources.listen import ListenTCP, spool_dataset
+    from ..stages.control import RateLimitedStage
+    from ..stages.egress import TcpPut
+
+    ds = _t(sf_dir, "events", columns=["event_id", "event_type"])
+    rendered = ds.map_batches(
+        lambda t: t.append_column(
+            "content",
+            pc.binary_join_element_wise(
+                pc.cast(t["event_id"], pa.string()), t["event_type"], "|"
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    spool = tempfile.mkdtemp(prefix="nifi_ray_egress_")
+    with ListenTCP(spool, segment_rows=65536) as srv:
+        pushed = rendered.map_batches(
+            RateLimitedStage,
+            fn_constructor_args=(
+                TcpPut("127.0.0.1", srv.port, content_col="content"),
+                50_000.0,
+            ),
+            batch_format="pyarrow",
+            concurrency=_pool(),
+        )
+        n_sent = n_rows = 0
+        for b in pushed.select_columns(["sent"]).iter_batches(batch_format="pyarrow"):
+            n_rows += b.num_rows
+            n_sent += pc.sum(pc.cast(b["sent"], pa.int64())).as_py() or 0
+        if n_sent != n_rows:
+            raise RuntimeError(f"egress dropped rows: {n_sent}/{n_rows} sent")
+        deadline = time.time() + 60
+        while srv.writer.rows_written + srv.writer.rows_buffered < n_sent:
+            if time.time() > deadline:
+                raise TimeoutError("listener did not receive all pushed rows")
+            time.sleep(0.05)
+
+    def parse(t: pa.Table) -> pa.Table:
+        sp = pc.split_pattern(t["payload"], "|")
+        return pa.table(
+            {
+                "event_id": pc.cast(pc.list_element(sp, 0), pa.int64()),
+                "event_type": pc.list_element(sp, 1),
+            }
+        )
+
+    parsed = spool_dataset(spool, columns=["payload"]).map_batches(
+        parse, batch_format="pyarrow"
+    )
+    return pre_aggregate(
+        parsed,
+        "event_type",
+        {"n": ("event_type", "count"), "sum_id": ("event_id", "sum")},
+    )
+
+
+def q_syslog_egress(sf_dir: str):
+    """PutSyslog → ListenTCP → ParseSyslog circle with REL_INVALID
+    routing: derive per-event priority/host/body, poison a
+    deterministic slice (event_id % 17 == 0 gets priority -1, which
+    format_syslog marks invalid so SyslogPut must NOT send it), push
+    the valid rest over loopback TCP, parse the spool back and
+    aggregate per (severity, hostname) — the oracle's WHERE clause IS
+    the validity predicate, so a leaked invalid line or a dropped
+    valid one flips the counts (stages/egress.py
+    format_syslog/SyslogPut; reference STD/PutSyslog.java message
+    validation + ListenSyslog.java)."""
+    import tempfile
+    import time
+
+    from ..functions import el
+    from ..sources.listen import ListenTCP, spool_dataset
+    from ..stages.egress import SyslogPut
+    from ..stages.parsers import ParseSyslog
+
+    ds = _t(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+
+    def derive_cols(t: pa.Table) -> pa.Table:
+        eid, uid = t["event_id"], t["user_id"]
+        pri = pc.if_else(
+            pc.equal(el.mod(eid, 17), 0),
+            pa.scalar(-1, pa.int64()),
+            pc.add(32, el.mod(uid, 8)),
+        )
+        host = pc.binary_join_element_wise(
+            "h", pc.cast(el.mod(uid, 7), pa.string()), ""
+        )
+        body = pc.binary_join_element_wise(
+            "app[", pc.cast(eid, pa.string()), "]: type=", t["event_type"], ""
+        )
+        return (
+            t.append_column("pri", pri)
+            .append_column("ts", pa.array(["Oct 11 22:14:15"] * t.num_rows))
+            .append_column("host", host)
+            .append_column("body", body)
+        )
+
+    ds = ds.map_batches(derive_cols, batch_format="pyarrow")
+    spool = tempfile.mkdtemp(prefix="nifi_ray_syslog_")
+    with ListenTCP(spool, segment_rows=65536) as srv:
+        pushed = ds.map_batches(
+            SyslogPut,
+            fn_constructor_args=("127.0.0.1", srv.port),
+            fn_constructor_kwargs={"proto": "tcp", "version": None},
+            batch_format="pyarrow",
+            concurrency=_pool(),
+        )
+        n_sent = n_skipped = 0
+        for b in pushed.select_columns(["sent", "error"]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            n_sent += pc.sum(pc.cast(b["sent"], pa.int64())).as_py() or 0
+            n_skipped += (
+                pc.sum(
+                    pc.cast(
+                        pc.equal(b["error"], "invalid syslog message"), pa.int64()
+                    )
+                ).as_py()
+                or 0
+            )
+        if n_sent + n_skipped != ds.count():
+            raise RuntimeError("a row neither sent nor routed invalid")
+        deadline = time.time() + 60
+        while srv.writer.rows_written + srv.writer.rows_buffered < n_sent:
+            if time.time() > deadline:
+                raise TimeoutError("listener did not receive all valid lines")
+            time.sleep(0.05)
+
+    parsed = spool_dataset(spool, columns=["payload"]).map_batches(
+        ParseSyslog("payload"), batch_format="pyarrow", concurrency=2
+    )
+    return pre_aggregate(
+        parsed,
+        ["syslog_severity", "syslog_hostname"],
+        {"n": ("syslog_severity", "count")},
+    )
+
+
+def q_email_roundtrip(sf_dir: str):
+    """PutEmail → ListenSMTP → ParseEmail circle: one RFC-822 message
+    per sampled event (deterministic event_id % 23 slice keeps the
+    per-message SMTP chatter bounded), sent over a persistent smtplib
+    connection per actor with ack-after-250, received by the in-repo
+    RFC 5321 listener, parsed back by the distributed ParseEmail and
+    aggregated per subject — oracle is plain SQL over the sampled
+    events (stages/egress.py EmailPut; reference nifi-email-bundle
+    PutEmail.java / ListenSMTP.java)."""
+    import tempfile
+    import time
+
+    from ..functions import el
+    from ..sources.listen import ListenSMTP, spool_dataset
+    from ..stages.egress import EmailPut
+    from ..stages.parsers import ParseEmail
+
+    ds = _t(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(el.mod(t["event_id"], 23), 0)),
+        batch_format="pyarrow",
+    )
+
+    def render(t: pa.Table) -> pa.Table:
+        frm = pc.binary_join_element_wise(
+            "u", pc.cast(t["user_id"], pa.string()), "@example.com", ""
+        )
+        body = pc.binary_join_element_wise(
+            "id=", pc.cast(t["event_id"], pa.string()), ""
+        )
+        return (
+            t.append_column("mail_from", frm)
+            .append_column("mail_to", pa.array(["sink@example.com"] * t.num_rows))
+            .append_column("subject", t["event_type"])
+            .append_column("body", body)
+        )
+
+    ds = ds.map_batches(render, batch_format="pyarrow")
+    n_total = ds.count()
+    spool = tempfile.mkdtemp(prefix="nifi_ray_email_")
+    with ListenSMTP(spool) as srv:
+        pushed = ds.map_batches(
+            EmailPut,
+            fn_constructor_args=("127.0.0.1", srv.port),
+            batch_format="pyarrow",
+            concurrency=_pool(),
+        )
+        n_sent = 0
+        for b in pushed.select_columns(["sent"]).iter_batches(batch_format="pyarrow"):
+            n_sent += pc.sum(pc.cast(b["sent"], pa.int64())).as_py() or 0
+        if n_sent != n_total:
+            raise RuntimeError(f"email egress dropped rows: {n_sent}/{n_total}")
+        deadline = time.time() + 60
+        while srv.writer.rows_written + srv.writer.rows_buffered < n_sent:
+            if time.time() > deadline:
+                raise TimeoutError("SMTP listener did not accept all messages")
+            time.sleep(0.05)
+
+    parsed = spool_dataset(spool, columns=["payload"]).map_batches(
+        ParseEmail,
+        fn_constructor_args=("payload",),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["email_body"], r"id=(?P<id>\d+)")
+        return pa.table(
+            {
+                "email_subject": t["email_subject"],
+                "eid": pc.cast(pc.struct_field(m, "id"), pa.int64()),
+            }
+        )
+
+    return pre_aggregate(
+        parsed.map_batches(extract, batch_format="pyarrow"),
+        "email_subject",
+        {"n": ("email_subject", "count"), "sum_id": ("eid", "sum")},
+    )
+
+
+def q_webservice_roundtrip(sf_dir: str):
+    """HandleHttpRequest/Response edge: real HTTP clients (a thread
+    pool playing the external callers) POST one body per sampled event
+    and BLOCK on their response; the engine drains parked exchanges as
+    Arrow rows, computes each response with vectorized kernels, and
+    completes them by context id; every client must get its 200 back.
+    The graded result aggregates the server-side handled exchanges —
+    oracle is plain SQL over the sampled events
+    (sources/webservice.py; reference STD/HandleHttpRequest.java:395,
+    616 / HandleHttpResponse.java:142-146)."""
+    import concurrent.futures as cf
+    import urllib.request
+
+    from ..functions import el
+    from ..sources.webservice import HttpContextServer
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id"]
+    )
+    t = t.filter(pc.equal(el.mod(t["event_id"], 31), 0))
+    eids, uids = t["event_id"].to_pylist(), t["user_id"].to_pylist()
+    n = len(eids)
+
+    handled = []
+    with HttpContextServer(request_expiration_s=120.0, max_pending=4096) as srv:
+        url = f"http://127.0.0.1:{srv.port}/score"
+
+        def call(e, u):
+            req = urllib.request.Request(
+                url, data=f"{e},{u}".encode(), method="POST"
+            )
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                return resp.status, resp.read().decode()
+
+        with cf.ThreadPoolExecutor(max_workers=32) as pool:
+            futs = [pool.submit(call, e, u) for e, u in zip(eids, uids)]
+            served = 0
+            while served < n:
+                tbl = srv.pending(min_rows=1, timeout=30.0)
+                if tbl.num_rows == 0:
+                    raise TimeoutError(f"stalled at {served}/{n} exchanges")
+                sp = pc.split_pattern(pc.cast(tbl["payload"], pa.string()), ",")
+                eid = pc.cast(pc.list_element(sp, 0), pa.int64())
+                uid = pc.cast(pc.list_element(sp, 1), pa.int64())
+                resp_tbl = tbl.append_column(
+                    "status_code", pa.array([200] * tbl.num_rows, pa.int64())
+                ).append_column(
+                    "response_body",
+                    pc.cast(pc.add(pc.multiply(eid, 2), uid), pa.string()),
+                )
+                stats = srv.respond(resp_tbl)
+                if stats["missing"]:
+                    raise RuntimeError(f"{stats['missing']} expired exchanges")
+                served += tbl.num_rows
+                handled.append(pa.table({"event_id": eid, "user_id": uid}))
+            for f in futs:
+                status, _body = f.result(timeout=120)
+                if status != 200:
+                    raise RuntimeError(f"client got {status}")
+
+    import ray.data
+
+    hd = ray.data.from_arrow(pa.concat_tables(handled))
+    bucketed = hd.map_batches(
+        lambda b: b.append_column("bucket", el.mod(b["event_id"], 5)),
+        batch_format="pyarrow",
+    )
+    return pre_aggregate(
+        bucketed, "bucket", {"n": ("bucket", "count"), "sum_uid": ("user_id", "sum")}
+    )
+
+
+def q_amqp_ingest(sf_dir: str):
+    """PublishAMQP → broker-edge circle: publish one AMQP 0-9-1
+    message per sampled event (event_id % 11 slice) through the
+    actor-pool AmqpPut in publisher-confirm mode — each row stamped
+    sent only after ListenAMQP's Basic.Ack, which the listener sends
+    only after its durable spool append — then read the spool back,
+    keep confirmed messages, parse and aggregate per event_type
+    (stages/egress.AmqpPut, sources/listen.ListenAMQP; reference
+    nifi-amqp-bundle PublishAMQP.java / ConsumeAMQP.java)."""
+    import tempfile
+    import time
+
+    from ..functions import el
+    from ..sources.listen import ListenAMQP, spool_dataset
+    from ..stages.egress import AmqpPut
+
+    ds = _t(sf_dir, "events", columns=["event_id", "event_type"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(el.mod(t["event_id"], 11), 0)),
+        batch_format="pyarrow",
+    ).map_batches(
+        lambda t: t.append_column(
+            "content",
+            pc.binary_join_element_wise(
+                pc.cast(t["event_id"], pa.string()), t["event_type"], "|"
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    spool = tempfile.mkdtemp(prefix="nifi_ray_amqp_")
+    with ListenAMQP(spool) as srv:
+        pushed = ds.map_batches(
+            AmqpPut,
+            fn_constructor_args=("127.0.0.1", srv.port),
+            fn_constructor_kwargs={"routing_key": "events"},
+            batch_format="pyarrow",
+            concurrency=_pool(),
+        )
+        n_sent = n_rows = 0
+        for b in pushed.select_columns(["sent"]).iter_batches(batch_format="pyarrow"):
+            n_rows += b.num_rows
+            n_sent += pc.sum(pc.cast(b["sent"], pa.int64())).as_py() or 0
+        if n_sent != n_rows:
+            raise RuntimeError(f"amqp egress dropped rows: {n_sent}/{n_rows}")
+        deadline = time.time() + 60
+        while srv.writer.rows_written + srv.writer.rows_buffered < n_sent:
+            if time.time() > deadline:
+                raise TimeoutError("AMQP listener did not spool all messages")
+            time.sleep(0.05)
+
+    def parse(t: pa.Table) -> pa.Table:
+        sp = pc.split_pattern(t["payload"], "|")
+        return pa.table(
+            {
+                "event_id": pc.cast(pc.list_element(sp, 0), pa.int64()),
+                "event_type": pc.list_element(sp, 1),
+            }
+        )
+
+    msgs = spool_dataset(spool, columns=["payload", "confirmed"]).filter(
+        expr="confirmed"
+    )
+    parsed = msgs.map_batches(parse, batch_format="pyarrow")
+    return pre_aggregate(
+        parsed,
+        "event_type",
+        {"n": ("event_type", "count"), "sum_id": ("event_id", "sum")},
+    )
+
+
+def q_cache_dedup(sf_dir: str):
+    """DetectDuplicate against the DistributedMapCache analog: every
+    event's user_id probes the sharded detached cache actors via the
+    batched atomic put-if-absent (state/cache.py; reference
+    STD/DetectDuplicate.java:106 + DistributedMapCacheServer.java),
+    flagging the cross-pipeline FIRST sighting of each key; aggregate
+    per user_id bucket. The graded facts (distinct count per bucket)
+    are arrival-order-independent, so the pipeline is deterministic
+    even though which row wins the race is not. The result is
+    materialized BEFORE the per-run cache actors are torn down (the
+    cache name is unique per invocation so reruns never see stale
+    state)."""
+    import uuid
+
+    from ..functions import el
+    from ..state.cache import CacheClient, CacheDetectDuplicate
+
+    name = f"nifi_ray_cachededup_{uuid.uuid4().hex[:12]}"
+    ds = _t(sf_dir, "events", columns=["event_id", "user_id"])
+    flagged = ds.map_batches(
+        CacheDetectDuplicate,
+        fn_constructor_args=(name,),
+        fn_constructor_kwargs={"key_col": "user_id", "shards": 2},
+        batch_format="pyarrow",
+        concurrency=_pool(),
+    ).map_batches(
+        lambda t: t.append_column("bucket", el.mod(t["user_id"], 10)).append_column(
+            "f", pc.cast(t["is_first"], pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+    try:
+        return pre_aggregate(
+            flagged,
+            "bucket",
+            {"n_events": ("bucket", "count"), "n_unique": ("f", "sum")},
+        ).materialize()
+    finally:
+        CacheClient(name=name, shards=2).shutdown()
+
+
 QUERIES = {
     # ── lake-state / CDC family (the north rule) — 1..15 ──
     "cdc_replay": q_cdc_replay,
@@ -2958,6 +3374,12 @@ QUERIES = {
     "http_fetch": q_http_fetch,
     "mime_identify": q_mime_identify,
     "listing_watermark": q_listing_watermark,
+    "egress_roundtrip": q_egress_roundtrip,
+    "syslog_egress": q_syslog_egress,
+    "email_roundtrip": q_email_roundtrip,
+    "webservice_roundtrip": q_webservice_roundtrip,
+    "amqp_ingest": q_amqp_ingest,
+    "cache_dedup": q_cache_dedup,
 }
 
 
@@ -3356,6 +3778,45 @@ ORACLE_SQL["orc_ingest"] = """
            round(sum(value), 2) AS sum_val,
            max(event_id) AS max_eid
     FROM events GROUP BY event_type
+"""
+
+ORACLE_SQL["egress_roundtrip"] = """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_id
+    FROM events GROUP BY event_type
+"""
+
+# The WHERE clause IS the PutSyslog validity predicate: the poisoned
+# slice (pri = -1) must never reach the wire.
+ORACLE_SQL["syslog_egress"] = """
+    SELECT CAST(user_id % 8 AS INTEGER) AS syslog_severity,
+           'h' || CAST(user_id % 7 AS VARCHAR) AS syslog_hostname,
+           count(*) AS n
+    FROM events WHERE event_id % 17 <> 0 GROUP BY 1, 2
+"""
+
+ORACLE_SQL["email_roundtrip"] = """
+    SELECT event_type AS email_subject, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_id
+    FROM events WHERE event_id % 23 = 0 GROUP BY 1
+"""
+
+ORACLE_SQL["webservice_roundtrip"] = """
+    SELECT event_id % 5 AS bucket, count(*) AS n,
+           CAST(sum(user_id) AS BIGINT) AS sum_uid
+    FROM events WHERE event_id % 31 = 0 GROUP BY 1
+"""
+
+ORACLE_SQL["amqp_ingest"] = """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_id
+    FROM events WHERE event_id % 11 = 0 GROUP BY event_type
+"""
+
+ORACLE_SQL["cache_dedup"] = """
+    SELECT user_id % 10 AS bucket, count(*) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_unique
+    FROM events GROUP BY 1
 """
 
 ORACLE_SQL["el_pipeline"] = """

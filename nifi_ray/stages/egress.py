@@ -240,6 +240,164 @@ class SyslogPut:
         )
 
 
+class AmqpPut:
+    """PublishAMQP analog (reference nifi-amqp-bundle
+    .../processors/PublishAMQP.java — semantics only; the wire protocol
+    is the public AMQP 0-9-1 spec §2.3): publish each row's
+    ``content_col`` as one message over ONE persistent
+    connection+channel per actor, in publisher-confirm mode — a row is
+    ``sent`` only after the broker's ``Basic.Ack`` for its delivery tag
+    arrives (ack-after-confirm, the same session-commit ordering every
+    sink here shares; the reference relies on the channel's confirm
+    ordering the same way). Reconnect-once; never raise.
+
+    Loopback peer: ``sources/listen.ListenAMQP`` (the in-repo broker
+    edge), closing the producer→broker→spool circle."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        content_col: str = "content",
+        exchange: str = "",
+        routing_key: str = "events",
+        timeout: float = 10.0,
+        frame_max: int = 65536,
+    ):
+        self.host, self.port, self.timeout = host, port, timeout
+        self.content_col = content_col
+        self.exchange, self.routing_key = exchange, routing_key
+        self.frame_max = frame_max
+        self._conn = None  # (socket, rwb file)
+        self._tag = 0  # next expected publisher-confirm delivery tag - 1
+
+    # -- framing ------------------------------------------------------
+    def _frame(self, f, ftype: int, channel: int, payload: bytes):
+        import struct
+
+        f.write(struct.pack(">BHI", ftype, channel, len(payload)) + payload + b"\xce")
+
+    def _method(self, f, channel: int, cls: int, meth: int, args: bytes = b""):
+        import struct
+
+        self._frame(f, 1, channel, struct.pack(">HH", cls, meth) + args)
+
+    def _read_frame(self, f):
+        import struct
+
+        h = f.read(7)
+        if len(h) < 7:
+            raise ConnectionError("short frame header")
+        ftype, channel, size = struct.unpack(">BHI", h)
+        payload = f.read(size)
+        if len(payload) < size or f.read(1) != b"\xce":
+            raise ConnectionError("bad frame")
+        return ftype, channel, payload
+
+    def _expect(self, f, cls: int, meth: int) -> bytes:
+        import struct
+
+        while True:
+            ftype, _ch, payload = self._read_frame(f)
+            if ftype == 8:  # heartbeat — answer and keep waiting
+                self._frame(f, 8, 0, b"")
+                f.flush()
+                continue
+            if ftype != 1:
+                raise ConnectionError(f"unexpected frame type {ftype}")
+            got = struct.unpack(">HH", payload[:4])
+            if got == (10, 50):  # server Connection.Close (e.g. 540)
+                code = struct.unpack(">H", payload[4:6])[0]
+                raise ConnectionError(f"server Connection.Close {code}")
+            if got != (cls, meth):
+                raise ConnectionError(f"expected {(cls, meth)}, got {got}")
+            return payload[4:]
+
+    # -- connection ---------------------------------------------------
+    def _connect(self):
+        import socket
+        import struct
+
+        s = socket.create_connection((self.host, self.port), timeout=self.timeout)
+        f = s.makefile("rwb")
+        f.write(b"AMQP\x00\x00\x09\x01")
+        f.flush()
+        self._expect(f, 10, 10)  # Connection.Start
+        args = struct.pack(">I", 0) + b"\x05PLAIN" + struct.pack(">I", 0) + b"\x05en_US"
+        self._method(f, 0, 10, 11, args)  # StartOk
+        f.flush()
+        self._expect(f, 10, 30)  # Tune
+        self._method(f, 0, 10, 31, struct.pack(">HIH", 0, self.frame_max, 0))  # TuneOk
+        self._method(f, 0, 10, 40, b"\x01/\x00\x00")  # Open vhost "/"
+        f.flush()
+        self._expect(f, 10, 41)  # OpenOk
+        self._method(f, 1, 20, 10, b"\x00")  # Channel.Open
+        f.flush()
+        self._expect(f, 20, 11)  # Channel.OpenOk
+        self._method(f, 1, 85, 10, b"\x00")  # Confirm.Select (nowait=0)
+        f.flush()
+        self._expect(f, 85, 11)  # Confirm.SelectOk
+        self._conn = (s, f)
+        self._tag = 0
+
+    def _close(self):
+        if self._conn is not None:
+            try:
+                self._conn[1].close()
+                self._conn[0].close()
+            except OSError:
+                pass
+            self._conn = None
+
+    def _publish(self, payload: bytes) -> str | None:
+        import struct
+
+        for attempt in (1, 2):
+            try:
+                if self._conn is None:
+                    self._connect()
+                _s, f = self._conn
+                ex, rk = self.exchange.encode(), self.routing_key.encode()
+                args = (
+                    struct.pack(">H", 0)
+                    + bytes([len(ex)]) + ex
+                    + bytes([len(rk)]) + rk
+                    + b"\x00"  # mandatory/immediate bits clear
+                )
+                self._method(f, 1, 60, 40, args)  # Basic.Publish
+                # content header: class 60, weight 0, body size, no props
+                self._frame(f, 2, 1, struct.pack(">HHQH", 60, 0, len(payload), 0))
+                for i in range(0, len(payload), self.frame_max):
+                    self._frame(f, 3, 1, payload[i : i + self.frame_max])
+                f.flush()
+                self._tag += 1
+                ack = self._expect(f, 60, 80)  # Basic.Ack
+                (tag,) = struct.unpack(">Q", ack[:8])
+                if tag != self._tag:
+                    raise ConnectionError(f"confirm tag {tag} != {self._tag}")
+                return None
+            except (OSError, ConnectionError, struct.error) as e:
+                self._close()
+                if attempt == 2:
+                    return f"{type(e).__name__}: {e}"
+        return "unreachable"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sent, errs = [], []
+        for c in batch[self.content_col].to_pylist():
+            if c is None:
+                sent.append(False), errs.append("null content")
+                continue
+            e = self._publish(c.encode() if isinstance(c, str) else bytes(c))
+            sent.append(e is None), errs.append(e)
+        return batch.append_column("sent", pa.array(sent, pa.bool_())).append_column(
+            "error", pa.array(errs, pa.string())
+        )
+
+    def __del__(self):
+        self._close()
+
+
 class EmailPut:
     """PutEmail.java analog: build one RFC-822 message per row
     (from/to/subject + ``body_col``; optional ``attach_col`` bytes

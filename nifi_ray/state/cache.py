@@ -75,6 +75,23 @@ class MapCacheActor:
         self.put(key, value)
         return None
 
+    def put_if_absent_many(self, keys: list, value: Any = True) -> list:
+        """Batched ``get_and_put_if_absent`` (one actor RPC per batch
+        instead of per key — at 10^10 rows per-key round-trips are the
+        bottleneck, not the hash probe). Returns per-key True when this
+        call was the first writer. Atomic per shard: the actor is
+        single-threaded, so two concurrent batches sharing a key see
+        exactly one True between them."""
+        out = []
+        for k in keys:
+            if k in self.data:
+                self._touch(k, inserted=False)
+                out.append(False)
+            else:
+                self.put(k, value)
+                out.append(True)
+        return out
+
     def contains(self, key: str) -> bool:
         return key in self.data
 
@@ -118,6 +135,30 @@ class CacheClient:
     def get_and_put_if_absent(self, key: str, value: Any) -> Any:
         return ray.get(self._shard(key).get_and_put_if_absent.remote(key, value))
 
+    def put_if_absent_many(self, keys: list) -> list:
+        """Batched first-writer probe: ONE RPC per (batch × shard),
+        results reassembled in input order."""
+        import numpy as np
+        import pyarrow as pa
+
+        if not keys:
+            return []
+        h = crc32_of_strings(pa.array(keys, pa.string())).astype(np.int64) % len(
+            self.shards
+        )
+        refs, idxs = [], []
+        for s in range(len(self.shards)):
+            idx = np.nonzero(h == s)[0]
+            if idx.size:
+                refs.append(
+                    self.shards[s].put_if_absent_many.remote([keys[i] for i in idx])
+                )
+                idxs.append(idx)
+        out = np.zeros(len(keys), dtype=bool)
+        for idx, res in zip(idxs, ray.get(refs)):
+            out[idx] = res
+        return out.tolist()
+
     def contains(self, key: str) -> bool:
         return ray.get(self._shard(key).contains.remote(key))
 
@@ -130,3 +171,34 @@ class CacheClient:
     def shutdown(self):
         for a in self.shards:
             ray.kill(a)
+
+
+class CacheDetectDuplicate:
+    """DetectDuplicate against the live distributed cache (reference
+    STD/DetectDuplicate.java:106 — its atomic getAndPutIfAbsent on the
+    DistributedMapCache): actor-pool ``map_batches`` stage appending
+    ``is_first`` (True = this row's key was unseen across the WHOLE
+    pipeline, any actor, any batch). The cache is the cross-pipeline
+    shared state a hash-partitioned groupby can't express — e.g.
+    deduplicating a live stream against everything already ingested.
+    One batched RPC per (batch × shard), never per row."""
+
+    def __init__(
+        self,
+        cache_name: str,
+        key_col: str = "key",
+        shards: int = 2,
+        max_entries: int = 10_000_000,
+    ):
+        self.client = CacheClient(
+            name=cache_name, shards=shards, max_entries=max_entries
+        )
+        self.key_col = key_col
+
+    def __call__(self, batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        keys = pc.cast(batch[self.key_col], pa.string()).to_pylist()
+        first = self.client.put_if_absent_many(keys)
+        return batch.append_column("is_first", pa.array(first, pa.bool_()))

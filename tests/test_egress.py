@@ -211,3 +211,51 @@ def test_email_put_roundtrip_with_attachment(tmp_path, ray_session):
     by_subj = {r["email_subject"]: r for r in parsed}
     assert "hi" in by_subj and "report" in by_subj
     assert by_subj["hi"]["email_body"].strip() == "body one"
+
+
+def test_amqp_put_publish_confirms_and_multiframe(tmp_path, ray_session):
+    # PublishAMQP analog loopback: publisher-confirm mode (sent only
+    # after the broker's Basic.Ack, which ListenAMQP sends only after
+    # the durable spool append), multi-body-frame payloads, null rows
+    # routed without a publish
+    import ray.data
+
+    from nifi_ray.sources.listen import ListenAMQP
+    from nifi_ray.stages.egress import AmqpPut
+
+    spool = str(tmp_path / "amqp_put")
+    big = "B" * 200_000  # > frame_max → split across body frames
+    with ListenAMQP(spool_dir=spool) as srv:
+        ds = ray.data.from_items(
+            [{"content": "m1"}, {"content": None}, {"content": big}, {"content": "m2"}]
+        )
+        out = ds.map_batches(
+            AmqpPut,
+            fn_constructor_args=("127.0.0.1", srv.port),
+            fn_constructor_kwargs={"routing_key": "rk", "exchange": "ex"},
+            batch_format="pyarrow",
+            concurrency=1,
+        ).to_pandas()
+        assert sorted(out["sent"]) == [False, True, True, True]
+        assert out.loc[~out["sent"], "error"].iloc[0] == "null content"
+        _wait_rows(srv.writer, 3)
+    got = spool_dataset(spool).to_pandas()
+    assert sorted(got["payload"].str.slice(0, 2)) == ["BB", "m1", "m2"]
+    assert set(got["routing_key"]) == {"rk"} and set(got["exchange"]) == {"ex"}
+    assert got["confirmed"].all()  # every spooled row was confirm-acked
+    assert got["payload"].str.len().max() == 200_000  # reassembled intact
+
+
+def test_amqp_put_dead_endpoint_routes_failure(ray_session):
+    import socket
+
+    from nifi_ray.stages.egress import AmqpPut
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()  # nothing listening
+    put = AmqpPut("127.0.0.1", port, timeout=0.5)
+    out = put(pa.table({"content": ["x", "y"]}))
+    assert out["sent"].to_pylist() == [False, False]
+    assert all(e for e in out["error"].to_pylist())

@@ -96,3 +96,50 @@ def test_cache_actor(ray_session):
         c.put(f"x{i}", i)
     assert c.size() <= 6  # max_entries per shard enforced
     c.shutdown()
+
+
+def test_cache_put_if_absent_many_batched(ray_session):
+    # batched first-writer probe: one RPC per (batch x shard), results
+    # in input order, consistent with the per-key atomic primitive
+    from nifi_ray.state.cache import CacheClient
+
+    c = CacheClient(name="t_cache_many", shards=3, max_entries=10_000)
+    keys = [f"k{i % 5}" for i in range(12)]  # 5 distinct, repeats in-batch
+    first = c.put_if_absent_many(keys)
+    # exactly the first occurrence of each distinct key wins
+    seen = set()
+    expect = []
+    for k in keys:
+        expect.append(k not in seen)
+        seen.add(k)
+    assert first == expect
+    # a second batch sees everything as duplicate
+    assert c.put_if_absent_many(keys) == [False] * len(keys)
+    # and agrees with the per-key primitive
+    assert c.get_and_put_if_absent("k0", "v") is not None
+    assert c.put_if_absent_many([]) == []
+    c.shutdown()
+
+
+def test_cache_detect_duplicate_stage(ray_session):
+    # DetectDuplicate against the live cache: is_first marks the
+    # cross-batch first sighting of each key exactly once
+    import ray.data
+
+    from nifi_ray.state.cache import CacheClient, CacheDetectDuplicate
+
+    name = "t_cache_dd"
+    ds = ray.data.from_items(
+        [{"k": i % 7, "i": i} for i in range(50)]
+    ).repartition(5)
+    out = ds.map_batches(
+        CacheDetectDuplicate,
+        fn_constructor_args=(name,),
+        fn_constructor_kwargs={"key_col": "k", "shards": 2},
+        batch_format="pyarrow",
+        concurrency=2,
+    ).to_pandas()
+    assert int(out["is_first"].sum()) == 7  # one winner per distinct key
+    # every key's winner set has exactly one row
+    assert (out.groupby("k")["is_first"].sum() == 1).all()
+    CacheClient(name=name, shards=2).shutdown()
