@@ -1101,7 +1101,49 @@ def expected_listing_watermark(_sf: str) -> pa.Table:
     ).sort_by([("pass_no", "ascending"), ("name", "ascending")])
 
 
+def expected_monitor_lag(sf_dir: str) -> pa.Table:
+    """Per-partition max applied LSN + lag for the monitor_lag query:
+    replaying events with ``0 < lsn <= 2/3·head`` into a fresh
+    8-partition lake leaves each TOUCHED partition's manifest max_lsn
+    at the max lsn routed to it (the tick stamps a touched partition
+    with its group max), untouched partitions at the init value 0;
+    per-partition lag = head - max(max_lsn, applied_through) clamped
+    at 0, and applied_through = cutoff ≥ every group max, so lag is
+    uniformly head - cutoff (state/metrics.lag_report's formula).
+    Partitioner dual: scalar zlib.crc32 per doc_id, python-int modulo
+    (vs the engine's vectorized util.hashing.partition_of)."""
+    import glob
+
+    from .pipelines.queries import cdc_fixture
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
+    _cfg, _base, ev_dir, _lake = cdc_fixture(sf_tag)
+    n_parts = 8
+    head = 0
+    rows = []
+    for f in sorted(glob.glob(os.path.join(ev_dir, "*.parquet"))):
+        t = pq.read_table(f, columns=["lsn", "doc_id"])
+        for lsn, did in zip(t["lsn"].to_pylist(), t["doc_id"].to_pylist()):
+            head = max(head, int(lsn))
+            rows.append((int(lsn), str(did)))
+    cutoff = (head * 2) // 3
+    maxes = [0] * n_parts
+    for lsn, did in rows:
+        if 0 < lsn <= cutoff:  # replay applies applied_through < lsn <= hi
+            p = zlib.crc32(did.encode()) % n_parts
+            maxes[p] = max(maxes[p], lsn)
+    lag = max(0, head - cutoff)
+    return pa.table(
+        {
+            "partition": pa.array(range(n_parts), pa.int64()),
+            "max_lsn": pa.array(maxes, pa.int64()),
+            "lag": pa.array([lag] * n_parts, pa.int64()),
+        }
+    )
+
+
 EXPECTED_BUILDERS = {
+    "monitor_lag": expected_monitor_lag,
     "mime_identify": expected_mime_identify,
     "listing_watermark": expected_listing_watermark,
     "evtx_parse": expected_evtx_parse,

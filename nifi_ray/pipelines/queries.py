@@ -3104,6 +3104,7 @@ def q_webservice_roundtrip(sf_dir: str):
     (sources/webservice.py; reference STD/HandleHttpRequest.java:395,
     616 / HandleHttpResponse.java:142-146)."""
     import concurrent.futures as cf
+    import time
     import urllib.request
 
     from ..functions import el
@@ -3127,13 +3128,22 @@ def q_webservice_roundtrip(sf_dir: str):
             with urllib.request.urlopen(req, timeout=120) as resp:
                 return resp.status, resp.read().decode()
 
-        with cf.ThreadPoolExecutor(max_workers=32) as pool:
+        with cf.ThreadPoolExecutor(max_workers=16) as pool:
             futs = [pool.submit(call, e, u) for e, u in zip(eids, uids)]
             served = 0
+            t0 = time.time()
             while served < n:
-                tbl = srv.pending(min_rows=1, timeout=30.0)
+                tbl = srv.pending(min_rows=1, timeout=5.0)
                 if tbl.num_rows == 0:
-                    raise TimeoutError(f"stalled at {served}/{n} exchanges")
+                    # an empty drain is either a failed client (surface
+                    # its real error) or host-scheduling lag (keep
+                    # draining until the hard deadline)
+                    for f in futs:
+                        if f.done() and f.exception() is not None:
+                            raise f.exception()
+                    if time.time() - t0 > 180:
+                        raise TimeoutError(f"stalled at {served}/{n} exchanges")
+                    continue
                 sp = pc.split_pattern(pc.cast(tbl["payload"], pa.string()), ",")
                 eid = pc.cast(pc.list_element(sp, 0), pa.int64())
                 uid = pc.cast(pc.list_element(sp, 1), pa.int64())
@@ -3232,6 +3242,44 @@ def q_amqp_ingest(sf_dir: str):
         parsed,
         "event_type",
         {"n": ("event_type", "count"), "sum_id": ("event_id", "sum")},
+    )
+
+
+def q_monitor_lag(sf_dir: str):
+    """MonitorActivity / flow-health lag reporting graded: init a
+    fresh lake from the CDC fixture base, replay only a PREFIX of the
+    event log (lsn ≤ ⅔·head), then ``lag_report(head)`` — one row per
+    partition with its max applied LSN and its lag behind the log head
+    (state/metrics.py lag_report, the number the MetricsReporter
+    pushes; reference STD/MonitorActivity.java inactivity detection +
+    the ambari/datadog ReportingTask metric set). Oracle: sequential
+    dual impl in oracle_expected.py — scalar zlib.crc32 partitioner
+    over the raw event parquet, max-LSN per partition."""
+    import glob as _glob
+    import tempfile
+
+    from ..state.metrics import lag_report
+    from .cdc import CDCLake
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
+    _cfg, base_dir, ev_dir, _lake = cdc_fixture(sf_tag)
+    head = max(
+        int(pc.max(pq.read_table(f, columns=["lsn"])["lsn"]).as_py())
+        for f in sorted(_glob.glob(os.path.join(ev_dir, "*.parquet")))
+    )
+    cutoff = (head * 2) // 3
+    lake_dir = os.path.join(tempfile.mkdtemp(prefix="nifi_ray_lag_"), "lake")
+    lake = CDCLake(lake_dir)
+    lake.init_from(base_dir, num_partitions=8)
+    lake.replay(ev_dir, lsn_hi=cutoff)
+    rep = lag_report(lake_dir, log_head_lsn=head)
+    parts = sorted((int(k), v) for k, v in rep["partitions"].items())
+    return pa.table(
+        {
+            "partition": pa.array([k for k, _ in parts], pa.int64()),
+            "max_lsn": pa.array([int(v["max_lsn"]) for _, v in parts], pa.int64()),
+            "lag": pa.array([int(v["lag"]) for _, v in parts], pa.int64()),
+        }
     )
 
 
@@ -3380,6 +3428,7 @@ QUERIES = {
     "webservice_roundtrip": q_webservice_roundtrip,
     "amqp_ingest": q_amqp_ingest,
     "cache_dedup": q_cache_dedup,
+    "monitor_lag": q_monitor_lag,
 }
 
 
