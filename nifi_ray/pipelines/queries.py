@@ -659,6 +659,47 @@ def q_source_mix(sf_dir: str):
     return pre_aggregate(kept, "source", {"n_kept": ("doc_id", "count")})
 
 
+def q_temperature_mix(sf_dir: str):
+    """Temperature-based source re-weighting — the published
+    multinomial-sampling data mix (p_s ∝ c_s^α with α < 1 upweighting
+    rare sources; the XLM-R / mC4 recipe): per-source keep probability
+    w_d = min(1, (c_min/c_d)^(1-α)) at α = 0.3, applied as the same
+    deterministic md5-uniform filter as source_mix
+    (stages/packing.weighted_mix_filter), so the rarest domain keeps
+    everything and head domains downsample toward balance — replayable
+    and SQL-checkable, unlike RNG sampling. The mixing unit is the
+    source×lang DOMAIN (the mC4 site×language cell — the fixture's
+    domain counts skew 16×, so the weights genuinely discriminate).
+    The per-domain counts are a tiny aggregate (take_all over #domains
+    rows); the weight map ships by closure. Graded per domain on kept
+    count + kept chars."""
+    from ..stages.packing import weighted_mix_filter
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "source", "lang", "n_chars"])
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "domain",
+            pc.binary_join_element_wise(t["source"], t["lang"], ":"),
+        ),
+        batch_format="pyarrow",
+    )
+    counts = {}
+    for r in ds.groupby("domain").count().take_all():
+        n = next(v for k, v in r.items() if k != "domain")
+        counts[r["domain"]] = int(n)
+    c_min = min(counts.values())
+    alpha = 0.3
+    weights = {d: min(1.0, (c_min / c) ** (1.0 - alpha)) for d, c in counts.items()}
+    kept = ds.map_batches(
+        weighted_mix_filter(weights, source_col="domain"), batch_format="pyarrow"
+    )
+    return pre_aggregate(
+        kept,
+        "domain",
+        {"n_kept": ("doc_id", "count"), "kept_chars": ("n_chars", "sum")},
+    )
+
+
 def _decontaminate_harness(sf_dir: str, build_probe):
     """Shared harness for the decontamination family (the three graded
     variants differ ONLY in the probe structure — broadcast string set,
@@ -3429,6 +3470,7 @@ QUERIES = {
     "amqp_ingest": q_amqp_ingest,
     "cache_dedup": q_cache_dedup,
     "monitor_lag": q_monitor_lag,
+    "temperature_mix": q_temperature_mix,
 }
 
 
@@ -3827,6 +3869,24 @@ ORACLE_SQL["orc_ingest"] = """
            round(sum(value), 2) AS sum_val,
            max(event_id) AS max_eid
     FROM events GROUP BY event_type
+"""
+
+# Same double math on both sides: c_min/c and pow are single IEEE ops
+# (libm pow on identical operands), so the md5-uniform boundary compare
+# cannot diverge between the engine and DuckDB.
+ORACLE_SQL["temperature_mix"] = """
+    WITH docs AS (SELECT doc_id, source || ':' || lang AS domain, n_chars
+                  FROM documents),
+         c AS (SELECT domain, count(*) AS n FROM docs GROUP BY domain),
+         q AS (SELECT domain,
+                      least(1.0, pow((SELECT min(n) FROM c) * 1.0 / n, 0.7)) AS w
+               FROM c)
+    SELECT d.domain, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
+    FROM docs d JOIN q ON d.domain = q.domain
+    WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            / 4294967296.0 < q.w
+    GROUP BY d.domain
 """
 
 ORACLE_SQL["egress_roundtrip"] = """

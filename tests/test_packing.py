@@ -73,3 +73,17 @@ def test_ngram_decontaminator_flags_overlap():
     grams = set(pa.compute.list_flatten(bench["ngrams"]).to_pylist())
     out = NgramDecontaminator(grams, "text", 5)(t)
     assert out["contaminated"].to_pylist() == [True, False, False, False]
+
+
+def test_temperature_mix_weights_balance_sources():
+    # the temperature recipe: rarest source keeps everything, head
+    # sources downsample toward balance, monotone in count
+    counts = {"rare": 100, "mid": 1000, "head": 10000}
+    c_min = min(counts.values())
+    alpha = 0.3
+    w = {s: min(1.0, (c_min / c) ** (1.0 - alpha)) for s, c in counts.items()}
+    assert w["rare"] == 1.0
+    assert w["head"] < w["mid"] < 1.0
+    # expected kept mass c_s * w_s = c_min^(1-a) * c_s^a grows sublinearly
+    kept = {s: counts[s] * w[s] for s in counts}
+    assert kept["head"] / kept["rare"] < counts["head"] / counts["rare"] / 10
