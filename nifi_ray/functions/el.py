@@ -41,27 +41,33 @@ def substring_before(col, sep: str):  # substringBefore
 
     s = pa.chunked_array([col]) if isinstance(col, pa.Array) else col
     ser = s.to_pandas()
-    return pa.array(ser.str.split(sep, n=1).str[0].where(ser.str.contains(sep, regex=False), ser))
+    return pa.array(
+        ser.str.split(sep, n=1).str[0].where(ser.str.contains(sep, regex=False), ser),
+        pa.string(),  # pin: empty/all-null batches must not infer null type
+    )
 
 
 def substring_after(col, sep: str):  # substringAfter
     s = pa.chunked_array([col]) if isinstance(col, pa.Array) else col
     ser = s.to_pandas()
     out = ser.str.split(sep, n=1).str[1]
-    return pa.array(out.where(ser.str.contains(sep, regex=False), ser))
+    return pa.array(out.where(ser.str.contains(sep, regex=False), ser), pa.string())
 
 
 def substring_before_last(col, sep: str):  # substringBeforeLast
     s = pa.chunked_array([col]) if isinstance(col, pa.Array) else col
     ser = s.to_pandas()
-    return pa.array(ser.str.rsplit(sep, n=1).str[0].where(ser.str.contains(sep, regex=False), ser))
+    return pa.array(
+        ser.str.rsplit(sep, n=1).str[0].where(ser.str.contains(sep, regex=False), ser),
+        pa.string(),
+    )
 
 
 def substring_after_last(col, sep: str):  # substringAfterLast
     s = pa.chunked_array([col]) if isinstance(col, pa.Array) else col
     ser = s.to_pandas()
     out = ser.str.rsplit(sep, n=1).str[1]
-    return pa.array(out.where(ser.str.contains(sep, regex=False), ser))
+    return pa.array(out.where(ser.str.contains(sep, regex=False), ser), pa.string())
 
 
 def replace(col, find: str, repl: str):  # replace (literal)
@@ -222,7 +228,10 @@ def to_date(col, fmt: str):  # toDate
 
 def to_number(col):  # toNumber (dates → epoch millis; strings → int)
     if pa.types.is_timestamp(col.type):
-        return pc.cast(pc.cast(col, pa.timestamp("ms")), pa.int64())
+        # safe=False: sub-millisecond timestamps TRUNCATE to the epoch
+        # millisecond (Date.getTime() precision) — the default safe
+        # cast raises on any non-zero microsecond remainder
+        return pc.cast(pc.cast(col, pa.timestamp("ms"), safe=False), pa.int64())
     return pc.cast(col, pa.int64())
 
 

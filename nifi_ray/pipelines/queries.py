@@ -659,6 +659,57 @@ def q_source_mix(sf_dir: str):
     return pre_aggregate(kept, "source", {"n_kept": ("doc_id", "count")})
 
 
+def q_el_pipeline2(sf_dir: str):
+    """Expression-Language parity, part 2 (functions/el.py vs DuckDB —
+    complements el_pipeline's 17 evaluators with 18 more): case
+    folds, trim, starts/ends-with, literal + first-regex replace,
+    full/partial regex match, substringAfter / substringBeforeLast
+    not-found fallbacks, base64 decode roundtrip, integer arithmetic
+    chain, fromRadix(toRadix) identity, equalsIgnoreCase, in,
+    isEmpty/replaceEmpty on a genuinely-empty derived value,
+    lastIndexOf (-1 when absent), toNumber on a timestamp (epoch
+    millis), replaceNull. Reference §2.9 Query.java evaluators; every
+    output column is the EL result AND a plain SQL expression."""
+    from ..functions import el
+
+    ds = _t(
+        sf_dir, "events", columns=["event_id", "ts", "event_type", "props"]
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(el.mod(t["event_id"], 89), 0))
+        et, eid, ts, props = t["event_type"], t["event_id"], t["ts"], t["props"]
+        padded = el.prepend(el.append(et, "  "), " ")
+        after_w = el.substring_after_last(et, "w")
+        return pa.table(
+            {
+                "event_id": eid,
+                "low": el.to_lower(el.to_upper(et)),
+                "trimmed": el.trim(padded),
+                "sw": pc.cast(el.starts_with(et, "p"), pa.int64()),
+                "ew": pc.cast(el.ends_with(et, "se"), pa.int64()),
+                "rep": el.replace(et, "e", "3"),
+                "rep1": el.replace_first(et, "[aeiou]", "#"),
+                "mt": pc.cast(el.matches(et, "[a-z]*e"), pa.int64()),
+                "fd": pc.cast(el.find(et, "r{2}"), pa.int64()),
+                "sub_a": el.substring_after(et, "u"),
+                "sbl": el.substring_before_last(et, "e"),
+                "b64rt": el.base64_decode(el.base64_encode(et)),
+                "arith": el.divide(el.multiply(el.plus(eid, 11), 3), 7),
+                "fr": el.from_radix(el.to_radix(eid, 16), 16),
+                "eq_ic": pc.cast(el.equals_ignore_case(et, "ERROR"), pa.int64()),
+                "inset": pc.cast(el.in_(et, ["error", "view"]), pa.int64()),
+                "emp": pc.cast(el.is_empty(after_w), pa.int64()),
+                "refilled": el.replace_empty(after_w, "EMPTY"),
+                "liof": el.last_index_of(et, "e"),
+                "tn": el.to_number(ts),
+                "rn": el.replace_null(el.json_path_el(props, "zz"), "none"),
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow").sort("event_id")
+
+
 def q_temperature_mix(sf_dir: str):
     """Temperature-based source re-weighting — the published
     multinomial-sampling data mix (p_s ∝ c_s^α with α < 1 upweighting
@@ -3471,6 +3522,7 @@ QUERIES = {
     "cache_dedup": q_cache_dedup,
     "monitor_lag": q_monitor_lag,
     "temperature_mix": q_temperature_mix,
+    "el_pipeline2": q_el_pipeline2,
 }
 
 
@@ -3869,6 +3921,45 @@ ORACLE_SQL["orc_ingest"] = """
            round(sum(value), 2) AS sum_val,
            max(event_id) AS max_eid
     FROM events GROUP BY event_type
+"""
+
+ORACLE_SQL["el_pipeline2"] = """
+    WITH s AS (
+      SELECT *,
+             CASE WHEN strpos(event_type, 'w') > 0
+                  THEN substr(event_type,
+                              length(event_type) - strpos(reverse(event_type), 'w') + 2)
+                  ELSE event_type END AS after_w
+      FROM events WHERE event_id % 89 = 0)
+    SELECT event_id,
+           lower(upper(event_type)) AS low,
+           trim(' ' || event_type || '  ') AS trimmed,
+           CAST(starts_with(event_type, 'p') AS BIGINT) AS sw,
+           CAST(ends_with(event_type, 'se') AS BIGINT) AS ew,
+           replace(event_type, 'e', '3') AS rep,
+           regexp_replace(event_type, '[aeiou]', '#') AS rep1,
+           CAST(regexp_full_match(event_type, '[a-z]*e') AS BIGINT) AS mt,
+           CAST(regexp_matches(event_type, 'r{2}') AS BIGINT) AS fd,
+           CASE WHEN strpos(event_type, 'u') > 0
+                THEN substr(event_type, strpos(event_type, 'u') + 1)
+                ELSE event_type END AS sub_a,
+           CASE WHEN strpos(event_type, 'e') > 0
+                THEN substr(event_type, 1,
+                            length(event_type) - strpos(reverse(event_type), 'e'))
+                ELSE event_type END AS sbl,
+           decode(from_base64(base64(encode(event_type)))) AS b64rt,
+           (event_id + 11) * 3 // 7 AS arith,
+           event_id AS fr,
+           CAST(lower(event_type) = 'error' AS BIGINT) AS eq_ic,
+           CAST(event_type IN ('error', 'view') AS BIGINT) AS inset,
+           CAST(trim(after_w) = '' AS BIGINT) AS emp,
+           CASE WHEN trim(after_w) = '' THEN 'EMPTY' ELSE after_w END AS refilled,
+           CASE WHEN strpos(event_type, 'e') > 0
+                THEN length(event_type) - strpos(reverse(event_type), 'e')
+                ELSE -1 END AS liof,
+           CAST(epoch_ms(ts) AS BIGINT) AS tn,
+           coalesce(json_extract_string(props, '$.zz'), 'none') AS rn
+    FROM s ORDER BY event_id
 """
 
 # Same double math on both sides: c_min/c and pow are single IEEE ops

@@ -110,3 +110,24 @@ def test_json_path_el_is_string_typed_like_json_extract_string():
     assert el.json_path_el(b, "k").to_pylist() == [
         '{"a":1}', "[1,2]", None, None,
     ]
+
+
+def test_substring_family_and_to_number_edge_types():
+    # empty batches must stay string-typed (pandas infers null type on
+    # all-NaN series — broke is_empty downstream on small blocks), and
+    # toNumber on sub-millisecond timestamps truncates instead of raising
+    empty = pa.array([], pa.string())
+    for fn in (
+        el.substring_before,
+        el.substring_after,
+        el.substring_before_last,
+        el.substring_after_last,
+    ):
+        out = fn(empty, "w")
+        assert out.type == pa.string() and len(out) == 0
+    # not-found fallback returns the whole string
+    assert el.substring_after_last(pa.array(["view", "error"]), "w").to_pylist() == [
+        "", "error",
+    ]
+    ts = pa.array([1_000_123], pa.timestamp("us"))  # 1000.123 ms
+    assert el.to_number(ts).to_pylist() == [1000]  # truncated epoch ms
