@@ -315,3 +315,90 @@ def test_u64set_equals_exact_gram_overlap(bench, corpus, n):
         got.append(bool(hits[s : s + ln].any()) if ln else False)
     exp = [bool(grams(t) & bench_grams) for t in corpus]
     assert got == exp
+
+
+@given(
+    keys=st.lists(
+        st.one_of(st.integers(-50, 50), st.text(max_size=4)), min_size=0, max_size=60
+    ),
+    page_size=st.integers(1, 9),
+)
+@settings(max_examples=40, deadline=None)
+def test_keyset_pages_disjoint_exact_union(keys, page_size):
+    # generate_table_fetch keyset ranges: no LIMIT/OFFSET, pages stay
+    # disjoint (duplicate boundaries collapse) and their union is exact
+    # for any key multiset — including heavy skew and mixed signs
+    import os
+    import tempfile
+
+    import duckdb
+
+    from nifi_ray.sources.sql import generate_table_fetch
+
+    str_keys = all(isinstance(k, str) for k in keys) and keys
+    if not str_keys and not all(isinstance(k, int) for k in keys):
+        keys = [str(k) for k in keys]  # single-typed column
+    db = os.path.join(tempfile.mkdtemp(), "p.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE t (k %s, v BIGINT)" % (
+        "VARCHAR" if keys and isinstance(keys[0], str) else "BIGINT"))
+    for i, k in enumerate(keys):
+        con.execute("INSERT INTO t VALUES (?, ?)", [k, i])
+    con.close()
+
+    stmts = generate_table_fetch("t", "k", page_size=page_size, database=db)
+    assert all("OFFSET" not in s and "LIMIT" not in s for s in stmts)
+    con = duckdb.connect(db)
+    got = []
+    for s in stmts:
+        got.extend(v for (v,) in con.execute(
+            s.replace("SELECT *", "SELECT v")).fetchall())
+    con.close()
+    # NULL keys sort outside every range (SQL comparison semantics) —
+    # the contract covers non-null order columns
+    expect = [i for i, k in enumerate(keys) if k is not None]
+    assert sorted(got) == sorted(expect)
+
+
+@given(
+    payloads=st.lists(st.text(min_size=0, max_size=3000), min_size=1, max_size=6),
+    frame_max=st.integers(16, 4096),
+)
+@settings(max_examples=25, deadline=None)
+def test_amqp_put_frame_sizes_roundtrip(tmp_path_factory, payloads, frame_max):
+    # any payload size (empty, < frame, multi-frame) survives the
+    # publish→broker→spool circle byte-exact, in confirm order.
+    # Payloads are TEXT: every listener spools utf8-replace strings
+    # (the spool is a text topic by contract), so raw non-UTF-8 bodies
+    # are documented as lossy there — the framing under test is
+    # byte-oblivious either way.
+    payloads = [p.encode() for p in payloads]
+    import time
+
+    from nifi_ray.sources.listen import ListenAMQP, spool_dataset
+    from nifi_ray.stages.egress import AmqpPut
+
+    spool = str(tmp_path_factory.mktemp("amqp_prop"))
+    with ListenAMQP(spool_dir=spool) as srv:
+        put = AmqpPut("127.0.0.1", srv.port, frame_max=frame_max)
+        out = put(pa.table({"content": pa.array(payloads, pa.binary())}))
+        assert out["sent"].to_pylist() == [True] * len(payloads)
+        t0 = time.time()
+        while srv.writer.rows_written + srv.writer.rows_buffered < len(payloads):
+            assert time.time() - t0 < 30
+            time.sleep(0.01)
+    import glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    files = sorted(
+        glob.glob(_os.path.join(spool, "partition=*", "segment-*.parquet"))
+    )
+    got = pa.concat_tables([_pq.read_table(f, columns=["offset", "payload"]) for f in files])
+    by_offset = sorted(
+        zip(got["offset"].to_pylist(), got["payload"].to_pylist())
+    )
+    assert [p.encode() if isinstance(p, str) else p for _o, p in by_offset] == [
+        p for p in payloads
+    ]
