@@ -659,6 +659,33 @@ def q_source_mix(sf_dir: str):
     return pre_aggregate(kept, "source", {"n_kept": ("doc_id", "count")})
 
 
+def q_list_tables(sf_dir: str):
+    """ListDatabaseTables graded: load two fixture tables into a
+    deterministic DuckDB catalog (keyed by sf under /tmp,
+    build-then-rename so concurrent runs never see a half-built file)
+    and list it — (schema, table, row-estimate) rows vs an oracle
+    deriving the same facts straight from the parquet
+    (sources/sql.list_tables; reference STD/ListDatabaseTables.java
+    emits one flowfile per table with the same catalog attributes)."""
+    import tempfile
+
+    import duckdb
+
+    from ..sources.sql import list_tables
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    db = os.path.join(tempfile.gettempdir(), f"nifi_ray_catalog_{sf_tag}.duckdb")
+    if not os.path.exists(db):
+        tmp = f"{db}.tmp{os.getpid()}"
+        con = duckdb.connect(tmp)
+        for t in ("events", "documents"):
+            src = os.path.join(sf_dir, f"{t}.parquet")
+            con.execute(f"CREATE TABLE {t} AS SELECT * FROM read_parquet('{src}')")
+        con.close()
+        os.replace(tmp, db)
+    return list_tables(db)
+
+
 def q_el_pipeline2(sf_dir: str):
     """Expression-Language parity, part 2 (functions/el.py vs DuckDB —
     complements el_pipeline's 17 evaluators with 18 more): case
@@ -3523,6 +3550,7 @@ QUERIES = {
     "monitor_lag": q_monitor_lag,
     "temperature_mix": q_temperature_mix,
     "el_pipeline2": q_el_pipeline2,
+    "list_tables": q_list_tables,
 }
 
 
@@ -3921,6 +3949,14 @@ ORACLE_SQL["orc_ingest"] = """
            round(sum(value), 2) AS sum_val,
            max(event_id) AS max_eid
     FROM events GROUP BY event_type
+"""
+
+ORACLE_SQL["list_tables"] = """
+    SELECT 'main' AS schema_name, 'events' AS table_name,
+           CAST((SELECT count(*) FROM events) AS BIGINT) AS est_rows
+    UNION ALL
+    SELECT 'main', 'documents',
+           CAST((SELECT count(*) FROM documents) AS BIGINT)
 """
 
 ORACLE_SQL["el_pipeline2"] = """
