@@ -138,20 +138,27 @@ def get_delimited_field(col, index: int, delim: str = ","):  # getDelimitedField
 def url_encode(col):  # urlEncode
     import urllib.parse
 
-    return pa.array([None if v is None else urllib.parse.quote(v) for v in col.to_pylist()])
+    return pa.array(
+        [None if v is None else urllib.parse.quote(v) for v in col.to_pylist()],
+        pa.string(),
+    )
 
 
 def url_decode(col):  # urlDecode
     import urllib.parse
 
-    return pa.array([None if v is None else urllib.parse.unquote(v) for v in col.to_pylist()])
+    return pa.array(
+        [None if v is None else urllib.parse.unquote(v) for v in col.to_pylist()],
+        pa.string(),
+    )
 
 
 def base64_encode(col):  # base64Encode
     import base64
 
     return pa.array(
-        [None if v is None else base64.b64encode(v.encode()).decode() for v in col.to_pylist()]
+        [None if v is None else base64.b64encode(v.encode()).decode() for v in col.to_pylist()],
+        pa.string(),
     )
 
 
@@ -159,7 +166,8 @@ def base64_decode(col):  # base64Decode
     import base64
 
     return pa.array(
-        [None if v is None else base64.b64decode(v).decode() for v in col.to_pylist()]
+        [None if v is None else base64.b64decode(v).decode() for v in col.to_pylist()],
+        pa.string(),
     )
 
 
@@ -192,7 +200,10 @@ def mod(a, b):  # mod
 def to_radix(col, base: int):  # toRadix
     import numpy as np
 
-    return pa.array([None if v is None else np.base_repr(v, base) for v in col.to_pylist()])
+    return pa.array(
+        [None if v is None else np.base_repr(v, base) for v in col.to_pylist()],
+        pa.string(),
+    )
 
 
 def from_radix(col, base: int):  # fromRadix

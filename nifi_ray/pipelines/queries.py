@@ -3443,6 +3443,188 @@ def q_cache_dedup(sf_dir: str):
         CacheClient(name=name, shards=2).shutdown()
 
 
+def q_el_pipeline3(sf_dir: str):
+    """Expression-Language parity, part 3 (functions/el.py vs DuckDB —
+    with el_pipeline/el_pipeline2 this grades 58 of the 62 evaluators;
+    the remaining four — now, random, UUID, nextInt — are
+    non-deterministic by definition and stay pytest-only, as in the
+    reference where they're seeded per-invocation): boolean
+    combinators and/or/not, equals, gt/ge/lt/le, minus, isNull/notNull
+    on a genuinely-missing JSON key, toString, a
+    format→toDate→toNumber roundtrip, NumberToDate roundtrip,
+    escapeXml/unescapeXml, escapeJson, escapeCsv/unescapeCsv,
+    urlEncode/urlDecode, and the selection quantifiers anyAttribute /
+    allAttributes / anyMatchingAttribute / anyDelineatedValue /
+    allDelineatedValues. Reference §2.9 Query.java evaluators; every
+    output column is the EL result AND a plain SQL expression."""
+    from ..functions import el
+
+    ds = _t(sf_dir, "events", columns=["event_id", "ts", "event_type", "props"])
+
+    def drv(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(el.mod(t["event_id"], 97), 0))
+        et, eid, ts, props = t["event_type"], t["event_id"], t["ts"], t["props"]
+        b = lambda x: pc.cast(x, pa.int64())  # noqa: E731
+        zz = el.json_path_el(props, "zz")  # key absent -> null column
+        sx = el.append(el.prepend(et, '<a&"'), ">")  # xml/json payload
+        sc = el.append(et, ",x")  # csv payload (forces quoting)
+        su = el.append(et, " /q?")  # url payload
+        s3 = el.append(et, ",pause")  # delineated payload
+        esc_x = el.escape(sx, "xml")
+        esc_c = el.escape(sc, "csv")
+        url = el.url_encode(su)
+        return pa.table(
+            {
+                "event_id": eid,
+                "band": b(el.and_(el.gt(el.mod(eid, 10), 2),
+                                  el.starts_with(et, "p"))),
+                "bor": b(el.or_(el.lt(el.mod(eid, 10), 3),
+                                el.ends_with(et, "w"))),
+                "bnot": b(el.not_(el.equals(et, "view"))),
+                "beq": b(el.equals(et, "click")),
+                "bge": b(el.ge(el.mod(eid, 100), 50)),
+                "ble": b(el.le(el.mod(eid, 100), 50)),
+                "mns": el.minus(eid, 5),
+                "isn": b(el.is_null(zz)),
+                "nn": b(el.not_null(zz)),
+                "ts_str": el.to_string(eid),
+                # format(minute precision) -> toDate -> toNumber: epoch
+                # millis of the minute-truncated timestamp
+                "td_rt": el.to_number(
+                    el.to_date(el.format_date(ts, "%Y-%m-%d %H:%M"),
+                               "%Y-%m-%d %H:%M")
+                ),
+                # toNumber(ts)+500 -> NumberToDate -> toNumber: identity
+                "n2d_rt": el.to_number(
+                    el.number_to_date(el.plus(el.to_number(ts), 500))
+                ),
+                "esc_x": esc_x,
+                "unx": el.unescape(esc_x, "xml"),
+                "esc_j": el.escape(sx, "json"),
+                "esc_c": esc_c,
+                "unc": el.unescape(esc_c, "csv"),
+                "url": url,
+                "url_rt": el.url_decode(url),
+                "anyattr": b(el.any_attribute(
+                    t, ["event_type", "props"], lambda c: el.contains(c, "r"))),
+                "allattr": b(el.all_attributes(
+                    t, ["event_type", "props"],
+                    lambda c: el.gt(el.length(c), 3))),
+                "anymatch": b(el.any_matching_attribute(
+                    t, ".*(type|props)", lambda c: el.contains(c, "w"))),
+                "anydel": b(el.any_delineated_value(
+                    s3, ",", lambda c: el.equals(c, "click"))),
+                "alldel": b(el.all_delineated_values(
+                    s3, ",", lambda c: el.gt(el.length(c), 4))),
+            }
+        )
+
+    return ds.map_batches(drv, batch_format="pyarrow").sort("event_id")
+
+
+def q_cef_parse(sf_dir: str):
+    """ParseCEF end-to-end: render events as ArcSight CEF lines — with
+    an escaped pipe in the vendor header, so the unescape path is
+    value-checked — parse back with the actor-pool parser, project the
+    extension map (vectorized pc.map_lookup, no row loop) and
+    aggregate; oracle is plain SQL on the originals
+    (stages/parsers.py ParseCEF; reference STD/ParseCEF.java:327)."""
+    from ..stages.parsers import ParseCEF
+
+    ds = _t(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+
+    def mk_lines(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        lines = [
+            f"CEF:0|Acme\\|Corp|IDS|1.{e % 5}|sig-{e % 3}|{et} detected|"
+            f"{e % 10}|src=10.0.{u % 256}.{e % 256} act={et} cnt={e}"
+            for e, u, et in zip(eid, uid, t["event_type"].to_pylist())
+        ]
+        return pa.table({"line": pa.array(lines, pa.string())})
+
+    parsed = ds.map_batches(mk_lines, batch_format="pyarrow").map_batches(
+        ParseCEF, batch_format="pyarrow", concurrency=_pool()
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        ext = t["cef_extensions"]
+        if isinstance(ext, pa.ChunkedArray):
+            ext = ext.combine_chunks()
+        return pa.table(
+            {
+                "cef_vendor": t["cef_vendor"],
+                "cef_signature": t["cef_signature"],
+                "cef_severity": t["cef_severity"],
+                "act": pc.map_lookup(ext, query_key="act", occurrence="first"),
+                "cnt": pc.cast(
+                    pc.map_lookup(ext, query_key="cnt", occurrence="first"),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    rows = parsed.map_batches(project, batch_format="pyarrow")
+    return pre_aggregate(
+        rows,
+        ["cef_vendor", "cef_signature", "cef_severity", "act"],
+        {"n": ("cnt", "count"), "sum_cnt": ("cnt", "sum")},
+    )
+
+
+def q_control_rate(sf_dir: str):
+    """ControlRate graded circle: the full events table flows through a
+    token-bucket-limited actor pool (stages/control.RateLimitedStage —
+    the throttle NiFi puts in front of an external system, reference
+    STD/ControlRate.java:70) and aggregates on the other side; the
+    oracle is plain SQL on the originals, so the gate is pass-through
+    integrity under throttling (ControlRate delays, never drops). The
+    per-actor rate is high enough that the graded run is bounded by
+    work, not the bucket."""
+    from ..stages.control import RateLimitedStage
+
+    ds = _t(sf_dir, "events", columns=["event_id", "event_type"])
+    ds = ds.map_batches(
+        RateLimitedStage,
+        fn_constructor_args=(None, 500_000.0),
+        batch_format="pyarrow",
+        concurrency=_pool(),
+    )
+    return pre_aggregate(
+        ds, "event_type", {"n": ("event_id", "count"), "sum_id": ("event_id", "sum")}
+    )
+
+
+def q_stratified_sample(sf_dir: str):
+    """Stratified sampling — fixed-size per-stratum deterministic
+    sample (the balanced-eval-set op: N docs per source regardless of
+    stratum skew): seeded md5 shuffle key (stages/packing.shuffle_key,
+    same primitive as deterministic_shuffle) then per-source first-5 by
+    (key, doc_id) via groupby().map_groups — the per-group sort touches
+    only one stratum's rows, so at 100 TB each group task holds its
+    stratum, never the corpus. Oracle: row_number() OVER (PARTITION BY
+    source ORDER BY md5-key, doc_id) <= 5."""
+    from ..stages.packing import shuffle_key
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "source"])
+    ds = ds.map_batches(shuffle_key("doc_id", seed=13), batch_format="pyarrow")
+
+    def head5(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("shuffle_key", "ascending"), ("doc_id", "ascending")]
+        )[:5]
+        top = t.take(idx)
+        return pa.table(
+            {
+                "source": top["source"],
+                "rank": pa.array(range(1, top.num_rows + 1), pa.int64()),
+                "doc_id": top["doc_id"],
+            }
+        )
+
+    return ds.groupby("source").map_groups(head5, batch_format="pyarrow")
+
+
 QUERIES = {
     # ── lake-state / CDC family (the north rule) — 1..15 ──
     "cdc_replay": q_cdc_replay,
@@ -3551,6 +3733,10 @@ QUERIES = {
     "temperature_mix": q_temperature_mix,
     "el_pipeline2": q_el_pipeline2,
     "list_tables": q_list_tables,
+    "el_pipeline3": q_el_pipeline3,
+    "cef_parse": q_cef_parse,
+    "control_rate": q_control_rate,
+    "stratified_sample": q_stratified_sample,
 }
 
 
@@ -3996,6 +4182,75 @@ ORACLE_SQL["el_pipeline2"] = """
            CAST(epoch_ms(ts) AS BIGINT) AS tn,
            coalesce(json_extract_string(props, '$.zz'), 'none') AS rn
     FROM s ORDER BY event_id
+"""
+
+ORACLE_SQL["el_pipeline3"] = r"""
+    WITH s AS (
+      SELECT *,
+             '<a&"' || event_type || '>' AS sx,
+             event_type || ',x' AS sc,
+             json_extract_string(props, '$.zz') AS zz
+      FROM events WHERE event_id % 97 = 0)
+    SELECT event_id,
+           CAST(event_id % 10 > 2 AND starts_with(event_type, 'p') AS BIGINT)
+             AS band,
+           CAST(event_id % 10 < 3 OR ends_with(event_type, 'w') AS BIGINT)
+             AS bor,
+           CAST(NOT event_type = 'view' AS BIGINT) AS bnot,
+           CAST(event_type = 'click' AS BIGINT) AS beq,
+           CAST(event_id % 100 >= 50 AS BIGINT) AS bge,
+           CAST(event_id % 100 <= 50 AS BIGINT) AS ble,
+           event_id - 5 AS mns,
+           CAST(zz IS NULL AS BIGINT) AS isn,
+           CAST(zz IS NOT NULL AS BIGINT) AS nn,
+           CAST(event_id AS VARCHAR) AS ts_str,
+           CAST(epoch_ms(strptime(strftime(ts, '%Y-%m-%d %H:%M'),
+                                  '%Y-%m-%d %H:%M')) AS BIGINT) AS td_rt,
+           CAST(epoch_ms(ts) + 500 AS BIGINT) AS n2d_rt,
+           replace(replace(replace(replace(sx, '&', '&amp;'), '<', '&lt;'),
+                           '>', '&gt;'), '"', '&quot;') AS esc_x,
+           sx AS unx,
+           replace(sx, '"', '\"') AS esc_j,
+           '"' || sc || '"' AS esc_c,
+           sc AS unc,
+           replace(replace(event_type || ' /q?', ' ', '%20'), '?', '%3F')
+             AS url,
+           event_type || ' /q?' AS url_rt,
+           CAST(contains(event_type, 'r') OR contains(props, 'r') AS BIGINT)
+             AS anyattr,
+           CAST(length(event_type) > 3 AND length(props) > 3 AS BIGINT)
+             AS allattr,
+           CAST(contains(event_type, 'w') OR contains(props, 'w') AS BIGINT)
+             AS anymatch,
+           CAST(event_type = 'click' AS BIGINT) AS anydel,
+           CAST(length(event_type) > 4 AS BIGINT) AS alldel
+    FROM s ORDER BY event_id
+"""
+
+ORACLE_SQL["cef_parse"] = """
+    SELECT 'Acme|Corp' AS cef_vendor,
+           'sig-' || CAST(event_id % 3 AS VARCHAR) AS cef_signature,
+           CAST(event_id % 10 AS VARCHAR) AS cef_severity,
+           event_type AS act,
+           count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_cnt
+    FROM events GROUP BY 1, 2, 3, 4
+"""
+
+ORACLE_SQL["control_rate"] = """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_id
+    FROM events GROUP BY 1
+"""
+
+ORACLE_SQL["stratified_sample"] = """
+    SELECT source, CAST(rn AS BIGINT) AS rank, doc_id FROM (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '#13'), doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= 5
 """
 
 # Same double math on both sides: c_min/c and pow are single IEEE ops

@@ -18,6 +18,8 @@ NAMES = [
     "deterministic_shuffle",
     "source_mix",
     "decontaminate",
+    "el_pipeline3",
+    "stratified_sample",
 ]
 
 
