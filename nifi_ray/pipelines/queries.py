@@ -2365,6 +2365,28 @@ def q_cdc_changes(sf_dir: str):
     return lake.changes(1, 2).map_batches(summarize, batch_format="pyarrow")
 
 
+def _lookup_ids(cfg) -> list[str]:
+    """Deterministic point-read id set shared by q_point_lookup and its
+    oracle: a stride over 1.5× the base doc range, so it hits base docs,
+    event-updated docs, event-deleted docs (absent from the committed
+    state on both sides) and never-existed ids (the miss path)."""
+    return [f"doc{i:010d}" for i in range(0, cfg.n_docs * 3 // 2, 97)]
+
+
+def q_point_lookup(sf_dir: str):
+    """Point reads against the committed lake (CDCLake.lookup — the
+    GetHBase/FetchHBaseRow/FetchDistributedMapCache random-read shape,
+    reference hbase bundle GetHBase.java / FetchHBaseRow.java): a
+    deterministic id set including hits, deleted docs and misses is
+    fetched by hashing ids to their partitions and pushing ``doc_id
+    IN (...)`` into the parquet read — ≤ min(k, P) tasks, never a lake
+    scan. Oracle: the flagship LWW CTE filtered to the same id list."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    lake = _built_cow_lake(sf_tag)
+    cfg, _, _, _ = cdc_fixture(sf_tag)
+    return _cdc_summarize(lake.lookup(_lookup_ids(cfg)))
+
+
 def q_export_shards(sf_dir: str):
     """Lake → training shards: export the graded COW lake's final state
     as packed 512-token sequences, one shard per lake partition (zero
@@ -3737,6 +3759,7 @@ QUERIES = {
     "cef_parse": q_cef_parse,
     "control_rate": q_control_rate,
     "stratified_sample": q_stratified_sample,
+    "point_lookup": q_point_lookup,
 }
 
 
@@ -4521,6 +4544,10 @@ def _build_cdc_oracles(out: dict, sf_tag: str) -> None:
     )
     out["time_travel"] = _cdc_replay_oracle_sql(
         base_dir, ev_dir, lsn_hi=_cfg.n_events // 3
+    )
+    ids_sql = ", ".join(f"'{i}'" for i in _lookup_ids(_cfg))
+    out["point_lookup"] = (
+        f"SELECT * FROM ({out['cdc_replay']}) WHERE doc_id IN ({ids_sql})"
     )
     out["cdc_changes"] = _cdc_changes_oracle_sql(base_dir, ev_dir)
     out["incremental_agg"] = _cdc_agg_oracle_sql(base_dir, ev_dir)
