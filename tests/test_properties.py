@@ -118,6 +118,70 @@ def test_escape_roundtrip(vals, dialect):
     assert el.unescape(el.escape(col, dialect), dialect).to_pylist() == vals
 
 
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(alphabet="ab,x", max_size=12)),
+        max_size=15,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_delineated_quantifiers_match_python(vals):
+    """anyDelineatedValue / allDelineatedValues == the per-row Python
+    split-and-quantify, including empty strings, empty pieces from
+    leading/trailing/double separators, and null rows (null → '' like
+    the EL's missing-attribute coercion)."""
+    col = pa.array(vals, pa.string())
+    pred = lambda c: el.gt(el.length(c), 1)  # noqa: E731
+
+    def pieces(v):
+        return ((v or "")).split(",")
+
+    want_any = [any(len(p) > 1 for p in pieces(v)) for v in vals]
+    want_all = [all(len(p) > 1 for p in pieces(v)) and len(pieces(v)) > 0
+                for v in vals]
+    assert el.any_delineated_value(col, ",", pred).to_pylist() == want_any
+    assert el.all_delineated_values(col, ",", pred).to_pylist() == want_all
+
+
+@given(
+    st.lists(st.one_of(st.none(), st.text(alphabet="abw", max_size=6)), max_size=12),
+    st.lists(st.one_of(st.none(), st.text(alphabet="abw", max_size=6)), max_size=12),
+)
+@settings(max_examples=60, deadline=None)
+def test_attribute_quantifiers_match_python(xs, ys):
+    """anyAttribute / allAttributes over two columns == per-row Python
+    OR/AND with nulls counting as predicate-false (the EL treats a
+    missing attribute as failing every predicate)."""
+    n = min(len(xs), len(ys))
+    t = pa.table({"x": pa.array(xs[:n], pa.string()),
+                  "y": pa.array(ys[:n], pa.string())})
+    pred = lambda c: el.contains(c, "w")  # noqa: E731
+    hit = lambda v: v is not None and "w" in v  # noqa: E731
+    want_any = [hit(a) or hit(b) for a, b in zip(xs[:n], ys[:n])]
+    want_all = [hit(a) and hit(b) for a, b in zip(xs[:n], ys[:n])]
+    assert el.any_attribute(t, ["x", "y"], pred).to_pylist() == want_any
+    assert el.all_attributes(t, ["x", "y"], pred).to_pylist() == want_all
+
+
+@given(st.lists(st.one_of(st.none(), st.text(max_size=30)), max_size=15))
+@settings(max_examples=60, deadline=None)
+def test_url_encode_roundtrip(vals):
+    col = pa.array(vals, pa.string())
+    assert el.url_decode(el.url_encode(col)).to_pylist() == vals
+    # explicit string type even when every row is null / the batch is
+    # empty — a null-typed column breaks cross-batch schema unification
+    assert el.url_encode(col).type == pa.string()
+
+
+@given(st.lists(st.integers(0, 2**40), max_size=12), st.integers(2, 36))
+@settings(max_examples=60, deadline=None)
+def test_radix_roundtrip(vals, base):
+    col = pa.array(vals, pa.int64())
+    out = el.from_radix(el.to_radix(col, base), base)
+    assert out.to_pylist() == vals
+    assert el.to_radix(col, base).type == pa.string()
+
+
 @given(st.lists(st.text(max_size=300), min_size=1, max_size=30))
 @settings(max_examples=40, deadline=None)
 def test_crc32_matches_zlib(strings):
