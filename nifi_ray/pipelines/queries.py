@@ -3386,6 +3386,77 @@ def q_amqp_ingest(sf_dir: str):
     )
 
 
+def q_stomp_ingest(sf_dir: str):
+    """PublishJMS → broker-edge circle over STOMP 1.2 (the open text
+    protocol JMS brokers expose): publish one message per sampled event
+    (event_id % 13 slice) through the actor-pool StompPut — each row
+    stamped sent only after the broker's RECEIPT, which ListenSTOMP
+    sends only after sealing its durable spool segment — then read the
+    spool back, keep receipt-confirmed messages, parse and aggregate
+    per event_type (stages/egress.StompPut, sources/listen.ListenSTOMP;
+    reference nifi-jms-bundle PutJMS.java / GetJMSQueue.java
+    client-acknowledge-after-commit semantics)."""
+    import tempfile
+    import time
+
+    from ..functions import el
+    from ..sources.listen import ListenSTOMP, spool_dataset
+    from ..stages.egress import StompPut
+
+    ds = _t(sf_dir, "events", columns=["event_id", "event_type"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(el.mod(t["event_id"], 13), 0)),
+        batch_format="pyarrow",
+    ).map_batches(
+        lambda t: t.append_column(
+            "content",
+            pc.binary_join_element_wise(
+                pc.cast(t["event_id"], pa.string()), t["event_type"], "|"
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    spool = tempfile.mkdtemp(prefix="nifi_ray_stomp_")
+    with ListenSTOMP(spool) as srv:
+        pushed = ds.map_batches(
+            StompPut,
+            fn_constructor_args=("127.0.0.1", srv.port),
+            fn_constructor_kwargs={"destination": "/queue/events"},
+            batch_format="pyarrow",
+            concurrency=_pool(),
+        )
+        n_sent = n_rows = 0
+        for b in pushed.select_columns(["sent"]).iter_batches(batch_format="pyarrow"):
+            n_rows += b.num_rows
+            n_sent += pc.sum(pc.cast(b["sent"], pa.int64())).as_py() or 0
+        if n_sent != n_rows:
+            raise RuntimeError(f"stomp egress dropped rows: {n_sent}/{n_rows}")
+        deadline = time.time() + 60
+        while srv.writer.rows_written + srv.writer.rows_buffered < n_sent:
+            if time.time() > deadline:
+                raise TimeoutError("STOMP listener did not spool all messages")
+            time.sleep(0.05)
+
+    def parse(t: pa.Table) -> pa.Table:
+        sp = pc.split_pattern(t["payload"], "|")
+        return pa.table(
+            {
+                "event_id": pc.cast(pc.list_element(sp, 0), pa.int64()),
+                "event_type": pc.list_element(sp, 1),
+            }
+        )
+
+    msgs = spool_dataset(spool, columns=["payload", "confirmed"]).filter(
+        expr="confirmed"
+    )
+    parsed = msgs.map_batches(parse, batch_format="pyarrow")
+    return pre_aggregate(
+        parsed,
+        "event_type",
+        {"n": ("event_type", "count"), "sum_id": ("event_id", "sum")},
+    )
+
+
 def q_monitor_lag(sf_dir: str):
     """MonitorActivity / flow-health lag reporting graded: init a
     fresh lake from the CDC fixture base, replay only a PREFIX of the
@@ -3760,6 +3831,7 @@ QUERIES = {
     "control_rate": q_control_rate,
     "stratified_sample": q_stratified_sample,
     "point_lookup": q_point_lookup,
+    "stomp_ingest": q_stomp_ingest,
 }
 
 
@@ -4325,6 +4397,12 @@ ORACLE_SQL["amqp_ingest"] = """
     SELECT event_type, count(*) AS n,
            CAST(sum(event_id) AS BIGINT) AS sum_id
     FROM events WHERE event_id % 11 = 0 GROUP BY event_type
+"""
+
+ORACLE_SQL["stomp_ingest"] = """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_id
+    FROM events WHERE event_id % 13 = 0 GROUP BY event_type
 """
 
 ORACLE_SQL["cache_dedup"] = """

@@ -1102,6 +1102,195 @@ class ListenAMQP(_Listener):
         self._start()
 
 
+_STOMP_UNESC = {b"\\\\": b"\\", b"\\n": b"\n", b"\\r": b"\r", b"\\c": b":"}
+
+
+def _stomp_unescape(v: bytes) -> str:
+    out, i = bytearray(), 0
+    while i < len(v):
+        if v[i : i + 1] == b"\\":
+            rep = _STOMP_UNESC.get(v[i : i + 2])
+            if rep is None:
+                raise ValueError("undefined STOMP escape")
+            out += rep
+            i += 2
+        else:
+            out.append(v[i])
+            i += 1
+    return out.decode("utf-8", "replace")
+
+
+def _stomp_escape(v: str) -> str:
+    return (
+        v.replace("\\", "\\\\").replace("\r", "\\r")
+        .replace("\n", "\\n").replace(":", "\\c")
+    )
+
+
+class ListenSTOMP(_Listener):
+    """STOMP 1.2 broker edge — the open text protocol JMS brokers
+    commonly expose (reference nifi-jms-bundle GetJMSQueue.java /
+    JmsConsumer.java consume with CLIENT_ACKNOWLEDGE after session
+    commit; the wire format here is the public STOMP 1.2 spec, not any
+    broker's code): frame = COMMAND LF header-lines LF LF body NUL,
+    CRLF allowed, header values escape ``\\\\ \\r \\n \\c``, a
+    ``content-length`` header bounds binary bodies (otherwise the body
+    ends at the first NUL), bare EOLs between frames are heart-beats.
+
+    CONNECT/STOMP → CONNECTED (version:1.2). SEND spools
+    ``{payload, destination, confirmed, sender, proto='stomp'}``; a
+    SEND carrying a ``receipt`` header is answered with RECEIPT only
+    AFTER the append — ``ack_policy='durable'`` (default) additionally
+    seals the spool segment before any receipt in the drained window
+    is written (the JMS client-ack ordering; receipts batch per
+    read-loop drain exactly like ListenRELP's acks), ``'accept'`` acks
+    after the append (the ListenMQTT QoS1 bound). DISCONNECT honors
+    its receipt, then the connection ends. Any other command
+    (SUBSCRIBE/BEGIN/...) gets a loud ERROR frame and a close — this
+    edge is ingest-only, like ListenAMQP's 540 not-implemented."""
+
+    def __init__(
+        self,
+        spool_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        partition: int = 0,
+        segment_rows: int = 4096,
+        max_frame_bytes: int = 16 << 20,
+        ack_policy: str = "durable",
+    ):
+        if ack_policy not in ("durable", "accept"):
+            raise ValueError(f"ack_policy must be durable|accept, got {ack_policy!r}")
+        self.writer = SpoolWriter(spool_dir, partition, segment_rows)
+        writer = self.writer
+
+        class Handler(socketserver.BaseRequestHandler):
+            def _frame_out(self, command: str, headers, body: bytes = b""):
+                head = command + "\n" + "".join(
+                    f"{k}:{_stomp_escape(str(v))}\n" for k, v in headers
+                ) + "\n"
+                self.request.sendall(head.encode() + body + b"\x00")
+
+            @staticmethod
+            def _parse_frame(buf: bytearray):
+                """One complete frame off the front of ``buf`` →
+                (command, headers, body, n_consumed) or None if
+                incomplete. Raises ValueError on malformed input."""
+                i = 0  # heart-beats / inter-frame EOLs
+                while i < len(buf) and buf[i : i + 1] in (b"\n", b"\r"):
+                    i += 1
+                if i == len(buf):
+                    return None if i == 0 else ("", {}, b"", i)
+                ends = [
+                    (j, 2) for j in (buf.find(b"\n\n", i),) if j >= 0
+                ] + [
+                    (j, 3) for j in (buf.find(b"\n\r\n", i),) if j >= 0
+                ]
+                if not ends:
+                    if len(buf) - i > max_frame_bytes:
+                        raise ValueError("unterminated frame header")
+                    return None
+                he, dlen = min(ends)
+                lines = bytes(buf[i:he]).split(b"\n")
+                command = lines[0].rstrip(b"\r").decode("ascii", "replace")
+                headers: dict[str, str] = {}
+                for ln in lines[1:]:
+                    ln = ln.rstrip(b"\r")
+                    c = ln.find(b":")
+                    if c < 0:
+                        raise ValueError("header line without colon")
+                    k = ln[:c].decode("utf-8", "replace")
+                    if k not in headers:  # spec: first occurrence wins
+                        headers[k] = _stomp_unescape(ln[c + 1 :])
+                body_start = he + dlen
+                if "content-length" in headers:
+                    cl = int(headers["content-length"])
+                    if cl > max_frame_bytes:
+                        raise ValueError("frame too large")
+                    end = body_start + cl
+                    if len(buf) < end + 1:
+                        return None
+                    if buf[end : end + 1] != b"\x00":
+                        raise ValueError("content-length does not reach NUL")
+                else:
+                    end = buf.find(b"\x00", body_start)
+                    if end < 0:
+                        if len(buf) - body_start > max_frame_bytes:
+                            raise ValueError("unterminated frame body")
+                        return None
+                return command, headers, bytes(buf[body_start:end]), end + 1
+
+            def handle(self):
+                buf = bytearray()
+                pending_receipts: list[str] = []
+
+                def drain_receipts():
+                    if pending_receipts:
+                        if ack_policy == "durable":
+                            writer.flush()
+                        for rid in pending_receipts:
+                            self._frame_out("RECEIPT", [("receipt-id", rid)])
+                        pending_receipts.clear()
+
+                while True:
+                    try:
+                        parsed = self._parse_frame(buf)
+                    except (ValueError, UnicodeDecodeError) as e:
+                        self._frame_out(
+                            "ERROR", [("message", f"malformed frame: {e}")]
+                        )
+                        return
+                    if parsed is None:
+                        # no complete frame buffered → the pipelined
+                        # window is drained; seal + receipt, then block
+                        drain_receipts()
+                        data = self.request.recv(65536)
+                        if not data:
+                            return
+                        buf += data
+                        continue
+                    command, headers, body, consumed = parsed
+                    del buf[:consumed]
+                    if command == "":  # pure heart-beat bytes
+                        continue
+                    if command in ("CONNECT", "STOMP"):
+                        self._frame_out(
+                            "CONNECTED",
+                            [("version", "1.2"), ("heart-beat", "0,0")],
+                        )
+                    elif command == "SEND":
+                        writer.append(
+                            {
+                                "payload": body.decode("utf-8", "replace"),
+                                "destination": headers.get("destination", ""),
+                                "confirmed": "receipt" in headers,
+                                "sender": self.client_address[0],
+                                "proto": "stomp",
+                            }
+                        )
+                        if "receipt" in headers:
+                            pending_receipts.append(headers["receipt"])
+                    elif command == "DISCONNECT":
+                        if "receipt" in headers:
+                            pending_receipts.append(headers["receipt"])
+                        drain_receipts()
+                        return
+                    else:
+                        drain_receipts()
+                        self._frame_out(
+                            "ERROR",
+                            [("message", f"not implemented: {command}")],
+                        )
+                        return
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self.server = Server((host, port), Handler)
+        self._start()
+
+
 def spool_dataset(spool_dir: str, columns: list[str] | None = None):
     """Read every sealed segment of a spool as a Dataset (offset column
     included). For offset-tracked incremental consumption use

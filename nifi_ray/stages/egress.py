@@ -398,6 +398,127 @@ class AmqpPut:
         self._close()
 
 
+class StompPut:
+    """PublishJMS analog over STOMP 1.2 (reference nifi-jms-bundle
+    PutJMS.java semantics — publish with per-message acknowledgement;
+    the wire format is the public STOMP 1.2 spec): publish each row's
+    ``content_col`` as one SEND over ONE persistent connection per
+    actor, each frame carrying a unique ``receipt`` header and a
+    ``content-length`` — a row is ``sent`` only after the broker's
+    matching RECEIPT arrives (ack-after-confirm, the shared sink
+    ordering). Reconnect-once; never raise.
+
+    Loopback peer: ``sources/listen.ListenSTOMP``."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        content_col: str = "content",
+        destination: str = "/queue/events",
+        timeout: float = 10.0,
+    ):
+        self.host, self.port, self.timeout = host, port, timeout
+        self.content_col = content_col
+        self.destination = destination
+        self._conn = None  # (socket, rb file)
+        self._rid = 0
+
+    def _read_frame(self, f):
+        lines = []
+        while True:  # command line, skipping inter-frame EOLs
+            ln = f.readline()
+            if not ln:
+                raise ConnectionError("connection closed")
+            ln = ln.rstrip(b"\r\n")
+            if ln:
+                lines.append(ln)
+                break
+        headers = {}
+        while True:
+            ln = f.readline()
+            if not ln:
+                raise ConnectionError("connection closed mid-header")
+            ln = ln.rstrip(b"\r\n")
+            if not ln:
+                break
+            k, _, v = ln.partition(b":")
+            headers.setdefault(k.decode(), v.decode())
+        body = bytearray()  # server frames here carry no content-length
+        while True:
+            c = f.read(1)
+            if not c:
+                raise ConnectionError("connection closed mid-body")
+            if c == b"\x00":
+                break
+            body += c
+        return lines[0].decode(), headers, bytes(body)
+
+    def _connect(self):
+        import socket
+
+        s = socket.create_connection((self.host, self.port), timeout=self.timeout)
+        f = s.makefile("rb")
+        s.sendall(
+            b"CONNECT\naccept-version:1.2\nhost:%s\n\n\x00" % self.host.encode()
+        )
+        cmd, headers, _ = self._read_frame(f)
+        if cmd != "CONNECTED":
+            raise ConnectionError(f"expected CONNECTED, got {cmd}")
+        self._conn = (s, f)
+
+    def _close(self):
+        if self._conn is not None:
+            try:
+                self._conn[1].close()
+                self._conn[0].close()
+            except OSError:
+                pass
+            self._conn = None
+
+    def _send_one(self, payload: bytes) -> str | None:
+        for attempt in (1, 2):
+            try:
+                if self._conn is None:
+                    self._connect()
+                s, f = self._conn
+                self._rid += 1
+                rid = f"r-{self._rid}"
+                head = (
+                    f"SEND\ndestination:{self.destination}\n"
+                    f"receipt:{rid}\ncontent-length:{len(payload)}\n\n"
+                ).encode()
+                s.sendall(head + payload + b"\x00")
+                cmd, headers, _ = self._read_frame(f)
+                if cmd == "ERROR":
+                    raise ConnectionError(
+                        f"broker ERROR: {headers.get('message', '')}"
+                    )
+                if cmd != "RECEIPT" or headers.get("receipt-id") != rid:
+                    raise ConnectionError(f"expected RECEIPT {rid}, got {cmd}")
+                return None
+            except (OSError, ConnectionError) as e:
+                self._close()
+                if attempt == 2:
+                    return f"{type(e).__name__}: {e}"
+        return "unreachable"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sent, errs = [], []
+        for c in batch[self.content_col].to_pylist():
+            if c is None:
+                sent.append(False), errs.append("null content")
+                continue
+            e = self._send_one(c.encode() if isinstance(c, str) else bytes(c))
+            sent.append(e is None), errs.append(e)
+        return batch.append_column("sent", pa.array(sent, pa.bool_())).append_column(
+            "error", pa.array(errs, pa.string())
+        )
+
+    def __del__(self):
+        self._close()
+
+
 class EmailPut:
     """PutEmail.java analog: build one RFC-822 message per row
     (from/to/subject + ``body_col``; optional ``attach_col`` bytes

@@ -755,3 +755,109 @@ def test_amqp_oversized_body_frame_drops_connection(tmp_path):
         assert c.s.recv(16) == b""  # server closed, no Basic.Ack
         c.s.close()
         assert srv.writer.rows_written + srv.writer.rows_buffered == 0
+
+
+# ---- STOMP ----------------------------------------------------------
+
+
+def _stomp_read_frame(f):
+    buf = bytearray()
+    while not buf.endswith(b"\x00"):
+        c = f.read(1)
+        assert c, "connection closed"
+        buf += c
+    head, _, body = bytes(buf[:-1]).partition(b"\n\n")
+    lines = head.split(b"\n")
+    hdrs = dict(
+        ln.partition(b":")[::2] for ln in lines[1:] if ln
+    )
+    return lines[0].decode(), {k.decode(): v.decode() for k, v in hdrs.items()}, body
+
+
+def test_stomp_send_receipt_after_durable_spool(tmp_path, ray_session):
+    from nifi_ray.sources.listen import ListenSTOMP
+
+    spool = str(tmp_path / "stomp")
+    with ListenSTOMP(spool_dir=spool) as srv:
+        s = socket.create_connection(("127.0.0.1", srv.port))
+        f = s.makefile("rb")
+        s.sendall(b"CONNECT\naccept-version:1.2\nhost:x\n\n\x00")
+        cmd, hdrs, _ = _stomp_read_frame(f)
+        assert cmd == "CONNECTED" and hdrs["version"] == "1.2"
+        # pipeline three SENDs with receipts; receipts must arrive
+        # AFTER the durable flush (rows_written covers all three)
+        for i in range(3):
+            s.sendall(
+                f"SEND\ndestination:/queue/a\nreceipt:m{i}\n\nhello {i}\x00".encode()
+            )
+        rids = sorted(_stomp_read_frame(f)[1]["receipt-id"] for _ in range(3))
+        assert rids == ["m0", "m1", "m2"]
+        assert srv.writer.rows_written == 3  # sealed before the acks
+        s.sendall(b"DISCONNECT\nreceipt:bye\n\n\x00")
+        assert _stomp_read_frame(f)[1]["receipt-id"] == "bye"
+        s.close()
+    rows = sorted(spool_dataset(spool).take_all(), key=lambda r: r["offset"])
+    assert [r["payload"] for r in rows] == ["hello 0", "hello 1", "hello 2"]
+    assert all(
+        r["confirmed"] and r["proto"] == "stomp" and r["destination"] == "/queue/a"
+        for r in rows
+    )
+
+
+def test_stomp_content_length_nul_body_and_escapes(tmp_path, ray_session):
+    from nifi_ray.sources.listen import ListenSTOMP
+
+    spool = str(tmp_path / "stomp2")
+    with ListenSTOMP(spool_dir=spool) as srv:
+        s = socket.create_connection(("127.0.0.1", srv.port))
+        f = s.makefile("rb")
+        # heart-beat EOLs + CRLF framing on CONNECT
+        s.sendall(b"\n\r\nCONNECT\r\naccept-version:1.2\r\n\r\n\x00")
+        assert _stomp_read_frame(f)[0] == "CONNECTED"
+        # NUL inside a content-length-bounded body; \c escape in header
+        s.sendall(b"SEND\ndestination:/queue/q\\c2\ncontent-length:3\n\na\x00b\x00")
+        s.sendall(b"DISCONNECT\nreceipt:d\n\n\x00")
+        assert _stomp_read_frame(f)[1]["receipt-id"] == "d"
+        s.close()
+    rows = spool_dataset(spool).take_all()
+    assert rows[0]["payload"] == "a\x00b"
+    assert rows[0]["destination"] == "/queue/q:2"
+    assert rows[0]["confirmed"] is False
+
+
+def test_stomp_unsupported_command_errors_loudly(tmp_path):
+    from nifi_ray.sources.listen import ListenSTOMP
+
+    spool = str(tmp_path / "stomp3")
+    with ListenSTOMP(spool_dir=spool) as srv:
+        s = socket.create_connection(("127.0.0.1", srv.port))
+        f = s.makefile("rb")
+        s.sendall(b"CONNECT\n\n\x00")
+        assert _stomp_read_frame(f)[0] == "CONNECTED"
+        s.sendall(b"SUBSCRIBE\nid:0\ndestination:/queue/a\n\n\x00")
+        cmd, hdrs, _ = _stomp_read_frame(f)
+        assert cmd == "ERROR" and "not implemented" in hdrs["message"]
+        assert s.recv(16) == b""  # server closed after ERROR
+        s.close()
+        assert srv.writer.rows_written + srv.writer.rows_buffered == 0
+
+
+def test_stomp_put_roundtrip_and_reconnect(tmp_path, ray_session):
+    from nifi_ray.sources.listen import ListenSTOMP
+    from nifi_ray.stages.egress import StompPut
+
+    spool = str(tmp_path / "stomp4")
+    with ListenSTOMP(spool_dir=spool) as srv:
+        put = StompPut("127.0.0.1", srv.port, destination="/queue/ev")
+        t = pa.table({"content": pa.array(["x", None, "ümläut:z"], pa.string())})
+        out = put(t)
+        assert out["sent"].to_pylist() == [True, False, True]
+        assert out["error"].to_pylist()[1] == "null content"
+        # sever the broker side: next batch must reconnect-once and succeed
+        put._conn[0].close()
+        out2 = put(pa.table({"content": pa.array(["after"], pa.string())}))
+        assert out2["sent"].to_pylist() == [True]
+        srv.writer.flush()
+    rows = sorted(spool_dataset(spool).take_all(), key=lambda r: r["offset"])
+    assert [r["payload"] for r in rows] == ["x", "ümläut:z", "after"]
+    assert all(r["confirmed"] for r in rows)
