@@ -627,6 +627,23 @@ def q_pack_sequences(sf_dir: str):
     return packed.select_columns(["lang", "seq_idx", "n_tok", "tok_sum"])
 
 
+def q_vocab_df(sf_dir: str):
+    """Corpus vocabulary statistics — per-term document frequency, top
+    50 by (df desc, term): the df table behind data-driven stopword
+    lists, quality filters and BPE corpus prep. Each batch explodes its
+    docs' distinct alphabetic terms and pre-counts (vectorized Arrow
+    group_by — stages/quality.document_frequency), so the shuffle
+    carries vocabulary-sized partials, never the corpus; the final sort
+    runs over one small aggregated table. Oracle: DuckDB unnest +
+    DISTINCT + the same (df desc, term) total order."""
+    from ..stages.quality import document_frequency
+
+    ds = _t(sf_dir, "documents", columns=["text"])
+    ds = ds.map_batches(document_frequency("text"), batch_format="pyarrow")
+    df = pre_aggregate(ds, "term", {"df": ("df", "sum")})
+    return df.sort(["df", "term"], descending=[True, False]).limit(50)
+
+
 def q_deterministic_shuffle(sf_dir: str):
     """Seeded deterministic corpus shuffle (stages/packing.shuffle_key):
     global sort by md5(doc_id '#' seed) — a replayable permutation for
@@ -3832,6 +3849,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "point_lookup": q_point_lookup,
     "stomp_ingest": q_stomp_ingest,
+    "vocab_df": q_vocab_df,
 }
 
 
@@ -4397,6 +4415,19 @@ ORACLE_SQL["amqp_ingest"] = """
     SELECT event_type, count(*) AS n,
            CAST(sum(event_id) AS BIGINT) AS sum_id
     FROM events WHERE event_id % 11 = 0 GROUP BY event_type
+"""
+
+ORACLE_SQL["vocab_df"] = """
+    WITH exploded AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id,
+               unnest(string_split(
+                 regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' ')) AS term
+        FROM documents)
+      WHERE term <> ''
+    )
+    SELECT term, count(*) AS df FROM exploded
+    GROUP BY term ORDER BY df DESC, term LIMIT 50
 """
 
 ORACLE_SQL["stomp_ingest"] = """

@@ -113,6 +113,39 @@ def token_count(col: str = "text", out: str = "n_tokens", pattern: str = TOKEN_P
     return fn
 
 
+def document_frequency(col: str = "text"):
+    """Stateless map_batches body for corpus vocabulary statistics —
+    per-term DOCUMENT frequency partials (the df table behind stopword
+    derivation, quality filters and BPE corpus prep): lowercase, strip
+    non-letters, explode each doc's DISTINCT alphabetic terms, count
+    docs per term within the batch. Fully vectorized: one regex
+    replace + split per batch, parent-doc indices by np.repeat over
+    list offsets, per-doc dedup via Arrow group_by — no Python loop
+    over rows or terms. Correct to sum across batches because a doc
+    lives wholly in one row; downstream: pre_aggregate(term, sum) —
+    the partials shrink each batch to its distinct-term set, so the
+    all-to-all carries vocabulary-sized data, not corpus-sized."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        clean = pc.replace_substring_regex(
+            pc.utf8_lower(batch[col]), pattern="[^a-z]+", replacement=" "
+        )
+        parts = pc.split_pattern(clean, pattern=" ").combine_chunks()
+        flat = pc.list_flatten(parts)
+        lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        pairs = pa.table({"d": pa.array(doc_idx), "term": flat}).filter(
+            pc.not_equal(flat, "")
+        )
+        distinct = pairs.group_by(["d", "term"]).aggregate([])
+        out = distinct.group_by("term").aggregate([("d", "count")])
+        return out.rename_columns(["term", "df"]).set_column(
+            1, "df", pc.cast(out["d_count"], pa.int64())
+        )
+
+    return fn
+
+
 class Tokenizer:
     """Actor-pool stage: deterministic word-hash tokenizer producing the
     lake's token schema — ``tokens: list<int32>`` + ``n_tok: int32``

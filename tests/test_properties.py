@@ -182,6 +182,55 @@ def test_radix_roundtrip(vals, base):
     assert el.to_radix(col, base).type == pa.string()
 
 
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet=st.characters(blacklist_characters="\x00"),
+                    max_size=20),               # destination (escapable)
+            st.binary(max_size=40),              # body (may contain NULs)
+            st.booleans(),                       # carry a receipt header
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.sampled_from(["\n", "\r\n"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_stomp_frame_parse_roundtrip(frames, eol):
+    """ListenSTOMP's frame parser recovers exactly the (destination,
+    body) pairs that were framed — arbitrary unicode destinations
+    (escaped per spec), binary bodies with NULs (content-length
+    bounded), LF and CRLF framing, pipelined in one buffer with
+    heart-beat EOLs between frames."""
+    import tempfile
+
+    from nifi_ray.sources.listen import ListenSTOMP, _stomp_escape
+
+    # the parser is a staticmethod on the per-listener handler class;
+    # a real (traffic-free) listener is the cheapest way to reach it
+    with ListenSTOMP(tempfile.mkdtemp(prefix="stomp_prop_")) as srv:
+        handler_cls = srv.server.RequestHandlerClass
+        parse = handler_cls._parse_frame
+        buf = bytearray()
+        for dest, body, receipt in frames:
+            head = "SEND" + eol + "destination:" + _stomp_escape(dest) + eol
+            if receipt:
+                head += "receipt:r1" + eol
+            head += f"content-length:{len(body)}" + eol + eol
+            buf += head.encode() + body + b"\x00" + eol.encode()  # heart-beat
+        got = []
+        while True:
+            parsed = parse(buf)
+            if parsed is None:
+                break
+            cmd, headers, body, consumed = parsed
+            del buf[:consumed]
+            if cmd == "":
+                continue
+            got.append((headers["destination"], body))
+        assert got == [(d, b) for d, b, _r in frames]
+
+
 @given(st.lists(st.text(max_size=300), min_size=1, max_size=30))
 @settings(max_examples=40, deadline=None)
 def test_crc32_matches_zlib(strings):
