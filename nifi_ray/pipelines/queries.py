@@ -627,6 +627,55 @@ def q_pack_sequences(sf_dir: str):
     return packed.select_columns(["lang", "seq_idx", "n_tok", "tok_sum"])
 
 
+def q_jaccard_pairs(sf_dir: str):
+    """Exact n-gram Jaccard near-dup pairs, graded standalone: over a
+    bounded slice (doc_id < 256 — constant cost at every sf, and it
+    contains the corpus's injected near-dups) compute word-3-gram
+    Jaccard for EVERY pair and keep those with J ≥ 0.5 — emitted as
+    integer (inter, union_n) so the SQL oracle (DuckDB list_intersect
+    over the same shingle sets) reproduces every value exactly, with
+    the τ compare done in integers (2·inter ≥ union). This grades the
+    exact verification kernel of the dedup family by brute force on a
+    bounded slice; corpus-scale candidate generation is minhash_pairs
+    (LSH), whose verify stage uses the hashed form of this kernel
+    (stages/dedup.NgramJaccardPairs / PairVerifier)."""
+    import ray as _ray
+
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    def slice_docs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["doc_id"], 256))
+        return t.set_column(0, "doc_id", pc.cast(t["doc_id"], pa.string()))
+
+    sl = docs.map_batches(slice_docs, batch_format="pyarrow")
+    rows = sl.select_columns(["doc_id", "text"]).take_all()  # bounded slice
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    ids = sorted(texts, key=int)
+    a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]]) if (
+        len(ids) > 1
+    ) else ((), ())
+    pairs = pa.table({"a": pa.array(a, pa.string()), "b": pa.array(b, pa.string())})
+    import ray.data as rd
+
+    ref = _ray.put(texts)
+    ds = rd.from_arrow(pairs)
+    out = ds.map_batches(
+        dd.NgramJaccardPairs,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=_pool(),
+    )
+    surv = out.sort(["a", "b"]).take_all()  # ≤ |passing pairs| — small
+    return pa.table(
+        {
+            "a": pa.array([int(r["a"]) for r in surv], pa.int64()),
+            "b": pa.array([int(r["b"]) for r in surv], pa.int64()),
+            "inter": pa.array([r["inter"] for r in surv], pa.int64()),
+            "union_n": pa.array([r["union_n"] for r in surv], pa.int64()),
+        }
+    )
+
+
 def q_vocab_df(sf_dir: str):
     """Corpus vocabulary statistics — per-term document frequency, top
     50 by (df desc, term): the df table behind data-driven stopword
@@ -3850,6 +3899,7 @@ QUERIES = {
     "point_lookup": q_point_lookup,
     "stomp_ingest": q_stomp_ingest,
     "vocab_df": q_vocab_df,
+    "jaccard_pairs": q_jaccard_pairs,
 }
 
 
@@ -4415,6 +4465,35 @@ ORACLE_SQL["amqp_ingest"] = """
     SELECT event_type, count(*) AS n,
            CAST(sum(event_id) AS BIGINT) AS sum_id
     FROM events WHERE event_id % 11 = 0 GROUP BY event_type
+"""
+
+ORACLE_SQL["jaccard_pairs"] = r"""
+    WITH sl AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         w -> w <> '') AS ws
+      FROM documents
+      WHERE doc_id < 256
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+                  WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                  ELSE list_distinct(list_transform(
+                         range(0, len(ws) - 2),
+                         i -> array_to_string(
+                           ws[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' ')))
+             END AS s
+      FROM sl
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+           CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT)
+             AS union_n
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE 2 * len(list_intersect(a.s, b.s))
+            >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+    ORDER BY a, b
 """
 
 ORACLE_SQL["vocab_df"] = """
