@@ -693,6 +693,27 @@ def q_vocab_df(sf_dir: str):
     return df.sort(["df", "term"], descending=[True, False]).limit(50)
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality gates, graded per document
+    (stages/quality.ngram_repetition): token count, distinct-token
+    count, and the (top-count, total-count) integer pairs behind the
+    published top-2-gram / top-3-gram repetition-fraction filters. A
+    100 TB curation run computes these for every document before
+    training; here every doc in the corpus is graded against a DuckDB
+    oracle that re-derives the same statistics from first principles
+    (unnest + window-free group-by-max). Integer output only — the
+    fraction compare belongs to the caller, so no float rounding can
+    flip the hash."""
+    from ..stages.quality import ngram_repetition
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(ngram_repetition("text"), batch_format="pyarrow")
+    return ds.select_columns(
+        ["doc_id", "n_tok", "n_distinct", "top2_count", "n_2grams",
+         "top3_count", "n_3grams"]
+    )
+
+
 def q_deterministic_shuffle(sf_dir: str):
     """Seeded deterministic corpus shuffle (stages/packing.shuffle_key):
     global sort by md5(doc_id '#' seed) — a replayable permutation for
@@ -3900,6 +3921,7 @@ QUERIES = {
     "stomp_ingest": q_stomp_ingest,
     "vocab_df": q_vocab_df,
     "jaccard_pairs": q_jaccard_pairs,
+    "repetition_stats": q_repetition_stats,
 }
 
 
@@ -4507,6 +4529,42 @@ ORACLE_SQL["vocab_df"] = """
     )
     SELECT term, count(*) AS df FROM exploded
     GROUP BY term ORDER BY df DESC, term LIMIT 50
+"""
+
+ORACLE_SQL["repetition_stats"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
+               w -> w <> '') AS ws
+      FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, greatest(len(ws) - 1, 0)),
+               i -> ws[CAST(i + 1 AS INT)] || ' ' || ws[CAST(i + 2 AS INT)])) AS g
+      FROM toks
+    ),
+    c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+    m2 AS (SELECT doc_id, max(c) AS top2, sum(c) AS tot2 FROM c2 GROUP BY 1),
+    g3 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, greatest(len(ws) - 2, 0)),
+               i -> ws[CAST(i + 1 AS INT)] || ' ' || ws[CAST(i + 2 AS INT)]
+                    || ' ' || ws[CAST(i + 3 AS INT)])) AS g
+      FROM toks
+    ),
+    c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+    m3 AS (SELECT doc_id, max(c) AS top3, sum(c) AS tot3 FROM c3 GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(len(t.ws) AS BIGINT) AS n_tok,
+           CAST(len(list_distinct(t.ws)) AS BIGINT) AS n_distinct,
+           CAST(coalesce(m2.top2, 0) AS BIGINT) AS top2_count,
+           CAST(coalesce(m2.tot2, 0) AS BIGINT) AS n_2grams,
+           CAST(coalesce(m3.top3, 0) AS BIGINT) AS top3_count,
+           CAST(coalesce(m3.tot3, 0) AS BIGINT) AS n_3grams
+    FROM toks t LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
+    ORDER BY doc_id
 """
 
 ORACLE_SQL["stomp_ingest"] = """

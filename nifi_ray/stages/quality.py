@@ -146,6 +146,99 @@ def document_frequency(col: str = "text"):
     return fn
 
 
+def _explode_terms(batch: pa.Table, col: str):
+    """Shared vectorized tokenization: lowercase, non-letters → space,
+    explode to a flat (doc_index, term) pair set. Returns
+    (doc_idx int64 ndarray, terms object ndarray, n_docs)."""
+    clean = pc.replace_substring_regex(
+        pc.utf8_lower(batch[col]), pattern="[^a-z]+", replacement=" "
+    )
+    parts = pc.split_pattern(clean, pattern=" ").combine_chunks()
+    flat = pc.list_flatten(parts)
+    lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    if len(keep) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, object), len(batch)
+    return (
+        doc_idx[keep],
+        flat.to_numpy(zero_copy_only=False)[keep],
+        len(batch),
+    )
+
+
+def ngram_repetition(col: str = "text"):
+    """Stateless map_batches body: Gopher-style repetition statistics
+    per document (Rae et al. 2021's repetition-removal family — the
+    quality gates a web-scale curation pipeline runs before training):
+    token count, distinct-token count, and for n ∈ {2, 3} the count of
+    the document's MOST FREQUENT word n-gram plus the total n-gram
+    count — the integer numerators/denominators of the published
+    "fraction of characters in the top n-gram" filters (integer output
+    by design: graded values must never ride on float rounding).
+
+    Fully vectorized: one regex+split per batch, n-gram strings built
+    by shifted whole-array concatenation (no per-row loop), per-doc
+    mode counts via Arrow group_by. Correct to compute per batch
+    because every statistic is per-document and a document lives
+    wholly in one row."""
+
+    def _gram_stats(d, toks, n_docs, k):
+        n_g = np.zeros(n_docs, np.int64)
+        top = np.zeros(n_docs, np.int64)
+        m = len(toks) - (k - 1)
+        if m <= 0:
+            return top, n_g
+        ok = d[:m] == d[k - 1 :]
+        g = toks[:m].copy()
+        for j in range(1, k):
+            g = g + " " + toks[j : m + j]
+        gd, gs = d[:m][ok], g[ok]
+        if len(gd) == 0:
+            return top, n_g
+        n_g[: gd.max() + 1] = np.bincount(gd)
+        gt = pa.table(
+            {
+                "d": pa.array(gd),
+                "g": pa.array(gs, pa.string()),
+                "one": pa.array(np.ones(len(gd), np.int64)),
+            }
+        )
+        cnt = gt.group_by(["d", "g"]).aggregate([("one", "sum")])
+        mx = cnt.group_by("d").aggregate([("one_sum", "max")])
+        top[mx["d"].to_numpy()] = mx["one_sum_max"].to_numpy()
+        return top, n_g
+
+    def fn(batch: pa.Table) -> pa.Table:
+        d, toks, n_docs = _explode_terms(batch, col)
+        n_tok = np.zeros(n_docs, np.int64)
+        n_distinct = np.zeros(n_docs, np.int64)
+        if len(d):
+            n_tok[: d.max() + 1] = np.bincount(d)
+            tt = pa.table({"d": pa.array(d), "t": pa.array(toks, pa.string())})
+            dist = (
+                tt.group_by(["d", "t"])
+                .aggregate([])
+                .group_by("d")
+                .aggregate([("t", "count")])
+            )
+            n_distinct[dist["d"].to_numpy()] = dist["t_count"].to_numpy()
+        top2, n2 = _gram_stats(d, toks, n_docs, 2)
+        top3, n3 = _gram_stats(d, toks, n_docs, 3)
+        for name, arr in (
+            ("n_tok", n_tok),
+            ("n_distinct", n_distinct),
+            ("top2_count", top2),
+            ("n_2grams", n2),
+            ("top3_count", top3),
+            ("n_3grams", n3),
+        ):
+            batch = batch.append_column(name, pa.array(arr, pa.int64()))
+        return batch
+
+    return fn
+
+
 class Tokenizer:
     """Actor-pool stage: deterministic word-hash tokenizer producing the
     lake's token schema — ``tokens: list<int32>`` + ``n_tok: int32``

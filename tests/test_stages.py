@@ -313,3 +313,30 @@ def test_split_content_byte_sequence_keep_modes():
         b"y",
         b"z",
     ]
+
+
+def test_ngram_repetition_edge_cases():
+    from nifi_ray.stages.quality import ngram_repetition
+
+    t = pa.table(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "a b a b a b",          # top 2-gram 'a b' ×3, 'b a' ×2
+                "",                      # empty doc
+                "word",                  # single token → no n-grams
+                "x y z",                 # all grams unique
+                "Go, go; GO!",           # case/punct folding → go go go
+            ],
+        }
+    )
+    out = ngram_repetition("text")(t)
+    assert out["n_tok"].to_pylist() == [6, 0, 1, 3, 3]
+    assert out["n_distinct"].to_pylist() == [2, 0, 1, 3, 1]
+    assert out["top2_count"].to_pylist() == [3, 0, 0, 1, 2]
+    assert out["n_2grams"].to_pylist() == [5, 0, 0, 2, 2]
+    assert out["top3_count"].to_pylist() == [2, 0, 0, 1, 1]
+    assert out["n_3grams"].to_pylist() == [4, 0, 0, 1, 1]
+    # batch-composition invariance: stats for doc 0 alone are identical
+    solo = ngram_repetition("text")(t.slice(0, 1))
+    assert solo["top2_count"].to_pylist() == [3]
