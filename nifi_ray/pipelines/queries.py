@@ -714,6 +714,29 @@ def q_repetition_stats(sf_dir: str):
     )
 
 
+def q_line_dedup(sf_dir: str):
+    """Corpus-level line deduplication (the CCNet/RefinedWeb paragraph
+    dedup step): re-chunk each doc's tokens into fixed 8-token lines
+    (the corpus has no natural newlines; the chunk rule is part of the
+    contract on both sides), drop every line whose exact text occurred
+    earlier in corpus order (first occurrence wins, order =
+    (doc_id, line_idx)), and reassemble each doc from its survivors.
+    Two keyed shuffles — explode → groupby(line) first-writer →
+    groupby(doc) reassemble — with a per-doc sentinel row so docs
+    whose every line was seen elsewhere (and empty docs) survive to
+    the output. Graded per doc on (n_lines, n_kept, md5 of the
+    deduplicated text); the oracle re-derives the same with a window
+    over (doc_id, line_idx). stages/dedup.explode_fixed_lines."""
+    from ..stages.dedup import explode_fixed_lines, first_occurrence, reassemble_doc
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    exploded = ds.map_batches(explode_fixed_lines("text"), batch_format="pyarrow")
+    kept = exploded.groupby("dedup_key").map_groups(
+        first_occurrence, batch_format="pyarrow"
+    )
+    return kept.groupby("doc_id").map_groups(reassemble_doc, batch_format="pyarrow")
+
+
 def q_deterministic_shuffle(sf_dir: str):
     """Seeded deterministic corpus shuffle (stages/packing.shuffle_key):
     global sort by md5(doc_id '#' seed) — a replayable permutation for
@@ -3922,6 +3945,7 @@ QUERIES = {
     "vocab_df": q_vocab_df,
     "jaccard_pairs": q_jaccard_pairs,
     "repetition_stats": q_repetition_stats,
+    "line_dedup": q_line_dedup,
 }
 
 
@@ -4565,6 +4589,38 @@ ORACLE_SQL["repetition_stats"] = """
            CAST(coalesce(m3.tot3, 0) AS BIGINT) AS n_3grams
     FROM toks t LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
     ORDER BY doc_id
+"""
+
+ORACLE_SQL["line_dedup"] = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, i AS line_idx,
+             array_to_string(
+               ws[CAST(i * 8 + 1 AS INT):CAST(i * 8 + 8 AS INT)], ' ') AS line
+      FROM (SELECT doc_id, ws,
+                   unnest(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS i
+            FROM toks)
+    ),
+    kept AS (
+      SELECT * FROM lines
+      QUALIFY row_number() OVER (PARTITION BY line
+                                 ORDER BY doc_id, line_idx) = 1
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(line, chr(10) ORDER BY line_idx)) AS dedup_md5
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(ceil(len(t.ws) / 8.0) AS BIGINT) AS n_lines,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(a.dedup_md5, md5('')) AS dedup_md5
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    ORDER BY t.doc_id
 """
 
 ORACLE_SQL["stomp_ingest"] = """

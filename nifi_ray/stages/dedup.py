@@ -89,6 +89,118 @@ def exact_dedup(ds, col: str, order: str, out_hash: str = "content_hash",
     )
 
 
+def explode_fixed_lines(col: str = "text", id_col: str = "doc_id", width: int = 8):
+    """map_batches body for corpus-level LINE deduplication (the
+    paragraph/line dedup step of web-scale curation, e.g. CCNet /
+    RefinedWeb: drop every line already seen elsewhere in the corpus,
+    keep first occurrence): re-chunk each document's whitespace tokens
+    into fixed-``width`` lines and explode to one row per line.
+
+    Emits columns: ``id_col``, ``line_idx`` (0-based within doc),
+    ``line`` (the chunk text), ``dedup_key`` (the line text for real
+    lines; a per-doc sentinel for the one ``line_idx = -1`` row every
+    doc also emits so fully-deduplicated and empty docs survive the
+    keyed shuffle), ``n_lines`` (per-doc total, carried on the
+    sentinel row).
+
+    Fully vectorized: one regex split per batch; the ragged
+    token→line re-chunk is a scatter into a padded (n_lines, width)
+    object matrix, joined by whole-column concatenation.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        parts = pc.split_pattern_regex(
+            pc.cast(batch[col], pa.string()), pattern=r"\s+"
+        ).combine_chunks()
+        flat = pc.list_flatten(parts)
+        lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        doc_of_tok = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        toks = flat.to_numpy(zero_copy_only=False)[keep]
+        doc_of_tok = doc_of_tok[keep]
+        n_tok_per_doc = np.bincount(doc_of_tok, minlength=len(batch))
+        n_lines_per_doc = -(-n_tok_per_doc // width)  # ceil
+        # global line id per token: doc's first line id + pos_in_doc // width
+        first_line = np.zeros(len(batch) + 1, np.int64)
+        np.cumsum(n_lines_per_doc, out=first_line[1:])
+        tok_starts = np.zeros(len(batch) + 1, np.int64)
+        np.cumsum(n_tok_per_doc, out=tok_starts[1:])
+        pos_in_doc = np.arange(len(toks)) - tok_starts[doc_of_tok]
+        line_of_tok = first_line[doc_of_tok] + pos_in_doc // width
+        total_lines = int(first_line[-1])
+        mat = np.full((total_lines, width), "", object)
+        mat[line_of_tok, pos_in_doc % width] = toks
+        joined = mat[:, 0]
+        for j in range(1, width):
+            joined = joined + np.where(mat[:, j] == "", "", " " + mat[:, j])
+        line_doc = np.repeat(np.arange(len(batch), dtype=np.int64), n_lines_per_doc)
+        line_idx = np.arange(total_lines) - first_line[line_doc]
+        # real line rows + one sentinel row per doc
+        sent_key = np.array(["\x00" + str(i) for i in ids], object)
+        out = pa.table(
+            {
+                id_col: pa.array(
+                    np.concatenate([ids[line_doc], ids]), pa.int64()
+                ),
+                "line_idx": pa.array(
+                    np.concatenate([line_idx, np.full(len(batch), -1)]),
+                    pa.int64(),
+                ),
+                "line": pa.array(
+                    np.concatenate([joined, np.full(len(batch), "", object)]),
+                    pa.string(),
+                ),
+                "dedup_key": pa.array(
+                    np.concatenate([joined, sent_key]), pa.string()
+                ),
+                "n_lines": pa.array(
+                    np.concatenate(
+                        [np.zeros(total_lines, np.int64), n_lines_per_doc]
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+        return out
+
+    return fn
+
+
+def first_occurrence(group: pa.Table) -> pa.Table:
+    """map_groups body over ``dedup_key``: global first-occurrence wins,
+    ordered by (doc_id, line_idx) — the corpus-order rule of line-level
+    dedup (ties impossible: a doc emits a line_idx once)."""
+    return group.sort_by(
+        [("doc_id", "ascending"), ("line_idx", "ascending")]
+    ).slice(0, 1)
+
+
+def reassemble_doc(group: pa.Table) -> pa.Table:
+    """map_groups body over ``doc_id``: rebuild the deduplicated
+    document from its surviving lines (line_idx order, newline-joined)
+    and emit (doc_id, n_lines, n_kept, dedup_md5). The sentinel row
+    guarantees every doc reaches here even with zero surviving lines."""
+    g = group.sort_by([("line_idx", "ascending")])
+    idx = g["line_idx"].to_numpy(zero_copy_only=False)
+    real = idx >= 0
+    lines = g["line"].to_numpy(zero_copy_only=False)[real]
+    text = "\n".join(lines)
+    return pa.table(
+        {
+            "doc_id": pa.array([g["doc_id"][0].as_py()], pa.int64()),
+            "n_lines": pa.array(
+                [int(g["n_lines"].to_numpy(zero_copy_only=False).max())],
+                pa.int64(),
+            ),
+            "n_kept": pa.array([int(real.sum())], pa.int64()),
+            "dedup_md5": pa.array(
+                [hashlib.md5(text.encode()).hexdigest()], pa.string()
+            ),
+        }
+    )
+
+
 # ------------------------------------------------------------ shingles
 
 

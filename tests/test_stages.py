@@ -340,3 +340,46 @@ def test_ngram_repetition_edge_cases():
     # batch-composition invariance: stats for doc 0 alone are identical
     solo = ngram_repetition("text")(t.slice(0, 1))
     assert solo["top2_count"].to_pylist() == [3]
+
+
+def test_explode_fixed_lines_and_reassemble():
+    from nifi_ray.stages.dedup import (
+        explode_fixed_lines,
+        first_occurrence,
+        reassemble_doc,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": [10, 11, 12],
+            "text": [
+                "a b c d e f g h i j",   # 2 lines: 8 + 2
+                "a b c d e f g h",       # 1 line, duplicate of doc 10's first
+                "",                       # empty doc → sentinel only
+            ],
+        }
+    )
+    ex = explode_fixed_lines("text")(t)
+    # 3 real lines + 3 sentinels
+    assert len(ex) == 6
+    lines = {
+        (r["doc_id"], r["line_idx"]): r["line"] for r in ex.to_pylist()
+    }
+    assert lines[(10, 0)] == "a b c d e f g h"
+    assert lines[(10, 1)] == "i j"
+    assert lines[(11, 0)] == "a b c d e f g h"
+    assert lines[(12, -1)] == ""
+    # first-occurrence over the duplicate line keeps doc 10's copy
+    dup_group = ex.filter(pc.equal(ex["dedup_key"], "a b c d e f g h"))
+    kept = first_occurrence(dup_group)
+    assert kept["doc_id"].to_pylist() == [10]
+    # reassembly: doc 11 lost its only line → n_kept 0, md5('')
+    import hashlib
+
+    doc11 = ex.filter(
+        pc.and_(pc.equal(ex["doc_id"], 11), pc.equal(ex["line_idx"], -1))
+    )
+    out = reassemble_doc(doc11)
+    assert out["n_kept"].to_pylist() == [0]
+    assert out["n_lines"].to_pylist() == [1]
+    assert out["dedup_md5"].to_pylist() == [hashlib.md5(b"").hexdigest()]
