@@ -737,6 +737,57 @@ def q_line_dedup(sf_dir: str):
     return kept.groupby("doc_id").map_groups(reassemble_doc, batch_format="pyarrow")
 
 
+def q_unigram_logprob(sf_dir: str):
+    """Corpus-LM quality scoring (stages/quality.UnigramLM): pass 1
+    aggregates corpus token frequencies (vocabulary-sized — the
+    all-to-all carries per-batch distinct-term partials, never the
+    corpus), pass 2 broadcasts the count table via ONE ray.put and
+    scores every doc's mean negative ln-likelihood per token in an
+    actor pool. The CCNet-perplexity-gate shape with a unigram model
+    standing in for KenLM. Graded per doc on (n_tok, avg_nll rounded
+    3) vs a DuckDB oracle recomputing the same model."""
+    import ray as _ray
+
+    from ..stages.quality import UnigramLM, term_frequency
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    partials = ds.map_batches(term_frequency("text"), batch_format="pyarrow")
+    counts_tbl = pre_aggregate(partials, "term", {"tf": ("tf", "sum")}).take_all()
+    counts = {r["term"]: r["tf"] for r in counts_tbl}  # vocabulary-sized
+    ref = _ray.put(counts)
+    scored = ds.map_batches(
+        UnigramLM,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        concurrency=_pool(),
+    )
+    return _round(
+        scored.select_columns(["doc_id", "n_tok", "avg_nll"]), {"avg_nll": 3}
+    )
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-document top-3 TF-IDF keyword extraction
+    (stages/quality.tfidf_top_terms): pass 1 aggregates the corpus df
+    table (vocabulary-sized) and derives integer micro-scaled idf =
+    round(ln(N/df)·1e6) — the score domain is integer on BOTH engines
+    so libm 1-ulp drift can never flip an ordering — then a stateless
+    pass emits each doc's top-3 (score desc, term asc). Graded on
+    every (doc_id, rank, term, score_micro) row vs a DuckDB window
+    oracle."""
+    from ..stages.quality import document_frequency, tfidf_top_terms
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    dfp = ds.map_batches(document_frequency("text"), batch_format="pyarrow")
+    df_tbl = pre_aggregate(dfp, "term", {"df": ("df", "sum")}).take_all()
+    n_docs = ds.count()
+    idf_micro = {
+        r["term"]: int(np.floor(np.log(n_docs / r["df"]) * 1e6 + 0.5))
+        for r in df_tbl
+    }
+    return ds.map_batches(tfidf_top_terms(idf_micro, "text"), batch_format="pyarrow")
+
+
 def q_deterministic_shuffle(sf_dir: str):
     """Seeded deterministic corpus shuffle (stages/packing.shuffle_key):
     global sort by md5(doc_id '#' seed) — a replayable permutation for
@@ -3946,6 +3997,8 @@ QUERIES = {
     "jaccard_pairs": q_jaccard_pairs,
     "repetition_stats": q_repetition_stats,
     "line_dedup": q_line_dedup,
+    "unigram_logprob": q_unigram_logprob,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
 
 
@@ -4621,6 +4674,59 @@ ORACLE_SQL["line_dedup"] = r"""
            coalesce(a.dedup_md5, md5('')) AS dedup_md5
     FROM toks t LEFT JOIN agg a USING (doc_id)
     ORDER BY t.doc_id
+"""
+
+ORACLE_SQL["unigram_logprob"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(
+               regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
+               w -> w <> '')) AS term
+      FROM documents
+    ),
+    cnt AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+    tot AS (SELECT sum(c) AS s FROM cnt),
+    per AS (
+      SELECT t.doc_id, sum(ln(cnt.c / tot.s)) AS lp, count(*) AS n
+      FROM toks t JOIN cnt USING (term) CROSS JOIN tot
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(per.n, 0) AS BIGINT) AS n_tok,
+           round(coalesce(-per.lp / per.n, 0), 3) AS avg_nll
+    FROM documents d LEFT JOIN per USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+ORACLE_SQL["tfidf_top_terms"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(
+               regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
+               w -> w <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    idf AS (
+      SELECT term, CAST(round(ln(n.n / df.df) * 1000000, 0) AS BIGINT)
+               AS idf_micro
+      FROM df CROSS JOIN n
+    ),
+    s AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf * idf.idf_micro AS BIGINT) AS score_micro
+      FROM tf JOIN idf USING (term)
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_micro DESC, term)
+                AS BIGINT) AS rank,
+           term, score_micro
+    FROM s
+    QUALIFY rank <= 3
+    ORDER BY doc_id, rank
 """
 
 ORACLE_SQL["stomp_ingest"] = """

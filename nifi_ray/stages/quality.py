@@ -239,6 +239,121 @@ def ngram_repetition(col: str = "text"):
     return fn
 
 
+def term_frequency(col: str = "text"):
+    """Stateless map_batches body: per-term corpus TOKEN-frequency
+    partials (multiplicity counted, unlike document_frequency) — pass 1
+    of unigram-LM training. Each batch shrinks to its distinct-term
+    set before the shuffle; downstream pre_aggregate(term, sum) yields
+    the vocabulary-sized count table."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        d, toks, _ = _explode_terms(batch, col)
+        t = pa.table(
+            {
+                "term": pa.array(toks, pa.string()),
+                "one": pa.array(np.ones(len(toks), np.int64)),
+            }
+        )
+        out = t.group_by("term").aggregate([("one", "sum")])
+        return out.rename_columns(["term", "tf"])
+
+    return fn
+
+
+class UnigramLM:
+    """Actor-pool stage: corpus unigram language-model scoring — the
+    classic lightweight quality score of web-scale curation (the
+    CCNet-style "perplexity against a corpus LM" gate, with a unigram
+    model standing in for KenLM, which has no in-container lib). Two
+    passes: the caller first aggregates corpus term counts (a
+    vocabulary-sized table) and broadcasts them via ONE ``ray.put``;
+    each actor resolves the ref once in ``__init__`` and scores every
+    batch vectorized (token→logp via a hash map lookup, per-doc sums
+    via bincount-with-weights). Out-of-vocabulary tokens are excluded
+    from both numerator and denominator (the SQL oracle's inner join).
+
+    Emits ``n_tok`` (scored tokens) and ``avg_nll`` (mean negative
+    ln-likelihood per token; 0.0 for docs with no scorable token).
+    """
+
+    def __init__(self, counts_ref, col: str = "text"):
+        import ray
+
+        counts: dict[str, int] = ray.get(counts_ref)
+        total = float(sum(counts.values()))
+        self.col = col
+        self.logp = {t: float(np.log(c / total)) for t, c in counts.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        d, toks, n_docs = _explode_terms(batch, self.col)
+        n_tok = np.zeros(n_docs, np.int64)
+        avg = np.zeros(n_docs, np.float64)
+        if len(d):
+            lp = pd.Series(toks).map(self.logp).to_numpy(np.float64, na_value=np.nan)
+            ok = ~np.isnan(lp)
+            dd = d[ok]
+            if len(dd):
+                n_tok[: dd.max() + 1] = np.bincount(dd)
+                sums = np.bincount(dd, weights=lp[ok])
+                nz = n_tok[: len(sums)] > 0
+                avg[: len(sums)][nz] = -sums[nz] / n_tok[: len(sums)][nz]
+        batch = batch.append_column("n_tok", pa.array(n_tok, pa.int64()))
+        return batch.append_column("avg_nll", pa.array(avg, pa.float64()))
+
+
+def tfidf_top_terms(idf_micro: dict[str, int], col: str = "text", k: int = 3):
+    """Stateless map_batches body: per-document top-``k`` TF-IDF terms
+    (the keyword-extraction primitive of corpus curation). The caller
+    computes integer micro-scaled idf once from the corpus df table
+    (``round(ln(N/df)·1e6)`` — integer score domain so cross-engine
+    libm 1-ulp drift can never flip an ordering) and closes it over
+    this body; score = tf · idf_micro, ties broken by term ascending.
+    Per-batch is corpus-correct because tf is per-document and idf is
+    a constant broadcast table. Emits one row per (doc, rank ≤ k):
+    doc_id, rank, term, score_micro."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        d, toks, _ = _explode_terms(batch, col)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if len(d) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "score_micro": pa.array([], pa.int64()),
+                }
+            )
+        tf = (
+            pa.table({"d": pa.array(d), "term": pa.array(toks, pa.string()),
+                      "one": pa.array(np.ones(len(d), np.int64))})
+            .group_by(["d", "term"])
+            .aggregate([("one", "sum")])
+        )
+        df = tf.to_pandas()
+        df["idf"] = df["term"].map(idf_micro).fillna(0).astype(np.int64)
+        df["score_micro"] = df["one_sum"].astype(np.int64) * df["idf"]
+        df = df.sort_values(
+            ["d", "score_micro", "term"], ascending=[True, False, True]
+        )
+        df["rank"] = df.groupby("d").cumcount() + 1
+        df = df[df["rank"] <= k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[df["d"].to_numpy()], pa.int64()),
+                "rank": pa.array(df["rank"].to_numpy(np.int64)),
+                "term": pa.array(df["term"].to_numpy(), pa.string()),
+                "score_micro": pa.array(df["score_micro"].to_numpy(np.int64)),
+            }
+        )
+
+    return fn
+
+
 class Tokenizer:
     """Actor-pool stage: deterministic word-hash tokenizer producing the
     lake's token schema — ``tokens: list<int32>`` + ``n_tok: int32``

@@ -383,3 +383,31 @@ def test_explode_fixed_lines_and_reassemble():
     assert out["n_kept"].to_pylist() == [0]
     assert out["n_lines"].to_pylist() == [1]
     assert out["dedup_md5"].to_pylist() == [hashlib.md5(b"").hexdigest()]
+
+
+def test_unigram_lm_and_tfidf(ray_session):
+    import math
+
+    import ray
+
+    from nifi_ray.stages.quality import UnigramLM, tfidf_top_terms
+
+    # corpus: 'a' ×3, 'b' ×2, 'c' ×1 → total 6
+    t = pa.table({"doc_id": [0, 1, 2], "text": ["a a b", "A b; c!", ""]})
+    ref = ray.put({"a": 3, "b": 2, "c": 1})
+    out = UnigramLM(ref)(t)
+    assert out["n_tok"].to_pylist() == [3, 3, 0]
+    want0 = -(2 * math.log(3 / 6) + math.log(2 / 6)) / 3
+    want1 = -(math.log(3 / 6) + math.log(2 / 6) + math.log(1 / 6)) / 3
+    got = out["avg_nll"].to_pylist()
+    assert abs(got[0] - want0) < 1e-12 and abs(got[1] - want1) < 1e-12
+    assert got[2] == 0.0
+
+    # tfidf: df(a)=2, df(b)=2, df(c)=1 over N=3
+    idf = {w: int(np.floor(np.log(3 / d) * 1e6 + 0.5))
+           for w, d in {"a": 2, "b": 2, "c": 1}.items()}
+    top = tfidf_top_terms(idf, "text", k=3)(t)
+    rows = [(r["doc_id"], r["rank"], r["term"]) for r in top.to_pylist()]
+    # doc 0: a(tf2) > b(tf1); doc 1: c (idf ln3) > a = b (tie → term asc)
+    assert rows == [(0, 1, "a"), (0, 2, "b"),
+                    (1, 1, "c"), (1, 2, "a"), (1, 3, "b")]
