@@ -788,6 +788,119 @@ def q_tfidf_top_terms(sf_dir: str):
     return ds.map_batches(tfidf_top_terms(idf_micro, "text"), batch_format="pyarrow")
 
 
+def q_exec_command(sf_dir: str):
+    """ExecuteStreamCommand graded end-to-end (stages/exec.py): over a
+    bounded slice (doc_id < 64 — constant cost at every sf; this is a
+    process-per-record glue operator, never a hot path) run two real
+    subprocess stages in an actor pool: (1) content mode, each doc's
+    text piped to ``wc -c`` on stdin → byte count; (2) attribute mode
+    with argv templating, ``printf %s:%s {doc_id} {lang}`` with stdin
+    ignored → echo column. Graded on (n_bytes, echo, both exit
+    statuses) vs a DuckDB oracle computing strlen(text) and the
+    concatenation directly — if stdout parsing, templating, or status
+    routing breaks, the hash flips."""
+    from ..stages.exec import ExecuteStreamCommand
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 64)), batch_format="pyarrow"
+    )
+    ds = ds.map_batches(
+        ExecuteStreamCommand,
+        fn_constructor_args=(["wc", "-c"],),
+        fn_constructor_kwargs={"content_col": "text", "output": "attribute"},
+        batch_format="pyarrow",
+        concurrency=_pool(),
+    )
+    ds = ds.map_batches(
+        lambda t: t.rename_columns(
+            [
+                {"cmd_output": "wc_out", "execution_status": "status_wc",
+                 }.get(c, c)
+                for c in t.column_names
+            ]
+        ).drop_columns(["execution_error"]),
+        batch_format="pyarrow",
+    )
+    ds = ds.map_batches(
+        ExecuteStreamCommand,
+        fn_constructor_args=(["printf", "%s:%s", "{doc_id}", "{lang}"],),
+        fn_constructor_kwargs={"ignore_stdin": True, "output": "attribute"},
+        batch_format="pyarrow",
+        concurrency=_pool(),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        n_bytes = pd.Series(t["wc_out"].to_pylist()).str.strip().astype("int64")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bytes": pa.array(n_bytes, pa.int64()),
+                "echo": t["cmd_output"],
+                "status_wc": pc.cast(t["status_wc"], pa.int64()),
+                "status_echo": pc.cast(t["execution_status"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+def q_segment_roundtrip(sf_dir: str):
+    """SegmentContent → MergeContent-Defragment graded circle
+    (stages/split_merge.py): each doc's UTF-8 bytes exploded into
+    97-byte segments under the fragment.* contract, segments decoded
+    (the corpus is ASCII so any byte offset is a char boundary),
+    reassembled by the defragment groupby, and md5-compared against
+    the original text via the DuckDB oracle. If segmentation drops /
+    duplicates / reorders one byte, or the fragment contract breaks,
+    the md5 flips; n_frags grades the ceil(len/97) segment count
+    (empty docs still produce one segment)."""
+    from ..stages.split_merge import defragment_fn, segment_content
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "content", pc.cast(t["text"], pa.binary())
+        ).drop_columns(["text"])
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    ds = ds.map_batches(segment_content("content", 97), batch_format="pyarrow")
+
+    def decode(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "fragment_id": pc.cast(t["doc_id"], pa.string()),
+                "fragment_index": t["fragment_index"],
+                "fragment_count": t["fragment_count"],
+                "segment_str": pc.cast(t["segment"], pa.string()),
+            }
+        )
+
+    ds = ds.map_batches(decode, batch_format="pyarrow")
+    merged = ds.groupby("fragment_id").map_groups(
+        defragment_fn("segment_str"), batch_format="pyarrow"
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        md5s = [
+            hashlib.md5((v or "").encode()).hexdigest()
+            for v in t["merged"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["fragment_id"], pa.int64()),
+                "n_frags": pc.cast(t["n_frags"], pa.int64()),
+                "merged_md5": pa.array(md5s, pa.string()),
+                "relationship": t["relationship"],
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
 def q_deterministic_shuffle(sf_dir: str):
     """Seeded deterministic corpus shuffle (stages/packing.shuffle_key):
     global sort by md5(doc_id '#' seed) — a replayable permutation for
@@ -3999,6 +4112,8 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "unigram_logprob": q_unigram_logprob,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "exec_command": q_exec_command,
+    "segment_roundtrip": q_segment_roundtrip,
 }
 
 
@@ -4727,6 +4842,25 @@ ORACLE_SQL["tfidf_top_terms"] = """
     FROM s
     QUALIFY rank <= 3
     ORDER BY doc_id, rank
+"""
+
+ORACLE_SQL["exec_command"] = """
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(doc_id AS VARCHAR) || ':' || lang AS echo,
+           CAST(0 AS BIGINT) AS status_wc,
+           CAST(0 AS BIGINT) AS status_echo
+    FROM documents WHERE doc_id < 64
+    ORDER BY doc_id
+"""
+
+ORACLE_SQL["segment_roundtrip"] = """
+    SELECT doc_id,
+           GREATEST(CAST(ceil(strlen(text) / 97.0) AS BIGINT), 1) AS n_frags,
+           md5(text) AS merged_md5,
+           'merged' AS relationship
+    FROM documents
+    ORDER BY doc_id
 """
 
 ORACLE_SQL["stomp_ingest"] = """
