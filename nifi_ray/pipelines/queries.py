@@ -3992,6 +3992,106 @@ def q_stratified_sample(sf_dir: str):
     return ds.groupby("source").map_groups(head5, batch_format="pyarrow")
 
 
+def q_running_total(sf_dir: str):
+    """Running total per user in event-time order — SUM(value) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED
+    PRECEDING). Hash repartition by key, vectorized cumsum INSIDE each
+    group (stages/windows.running_total_fn) — the per-key window shape:
+    no global sort, one group per task."""
+    from ..stages.windows import running_total_fn
+
+    ds = _t(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+    out = ds.groupby("user_id").map_groups(
+        running_total_fn("user_id", ["ts", "event_id"], "value", "running"),
+        batch_format="pyarrow",
+    )
+    out = out.map_batches(
+        lambda t: t.select(["user_id", "event_id", "running"]),
+        batch_format="pyarrow",
+    )
+    return _round(out, {"running": 2})
+
+
+def q_pivot_events(sf_dir: str):
+    """SQL PIVOT / COUNT(*) FILTER as a two-level aggregate: indicator
+    columns stamped per batch (stages/aggregate.pivot_indicators — the
+    pivot domain is a declared constant like SQL PIVOT's IN clause),
+    then ONE combiner-style groupby over the partials. Per-user event
+    mix + purchase revenue in a single shuffle of |users| rows."""
+    from ..stages.aggregate import pivot_indicators
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = _t(sf_dir, "events", columns=["user_id", "event_type", "value"])
+    ds = ds.map_batches(
+        pivot_indicators("event_type", types, value_col="value"),
+        batch_format="pyarrow",
+    )
+    specs = {f"n_{t}": (f"n_{t}", "sum") for t in types}
+    specs["revenue"] = ("sum_purchase", "sum")
+    out = pre_aggregate(ds, "user_id", specs)
+    return _round(out, {"revenue": 2})
+
+
+def q_zscore_outliers(sf_dir: str):
+    """Two-pass anomaly gate: pass 1 reduces the value column to
+    (n, mean, stddev_pop) — O(blocks) partial rows, never the data
+    (stages/aggregate.global_moments); the tiny stats broadcast into a
+    pass-2 filter stamping each outlier's z-score. The 100-TB shape for
+    any global-statistic filter: two streaming scans, zero shuffle."""
+    from ..stages.aggregate import global_moments
+
+    ds = _t(sf_dir, "events", columns=["event_id", "value"])
+    _n, mean, std = global_moments(ds, "value")
+
+    def flag(batch: pa.Table, _m=mean, _s=std) -> pa.Table:
+        v = pc.cast(batch["value"], pa.float64()).to_numpy(zero_copy_only=False)
+        z = (v - _m) / _s
+        keep = np.abs(z) > 2.0
+        return pa.table(
+            {
+                "event_id": batch["event_id"].filter(pa.array(keep)),
+                "value": batch["value"].filter(pa.array(keep)),
+                "zscore": pa.array(z[keep], pa.float64()),
+            }
+        )
+
+    out = ds.map_batches(flag, batch_format="pyarrow")
+    return _round(out, {"zscore": 2})
+
+
+def q_rollup_agg(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): the finest grain is
+    one combiner-style aggregate; the (flag) and () subtotal levels are
+    re-aggregations of those |flag×status| partial rows on the driver —
+    never a second scan (stages/aggregate.rollup2). NULL marks rolled
+    keys, as in SQL."""
+    from ..stages.aggregate import rollup2
+
+    ds = _t(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    return rollup2(
+        ds,
+        "l_returnflag",
+        "l_linestatus",
+        {"n": ("l_quantity", "count"), "sum_qty": ("l_quantity", "sum")},
+    )
+
+
+def q_quantiles(sf_dir: str):
+    """EXACT percentiles without a global sort: histogram refinement
+    (stages/aggregate.exact_quantiles) — (count,min,max) scan, then
+    edge-array bucket-count scans narrowing each target rank's bucket
+    geometrically, then a filter-scan collecting only the candidate
+    bucket's values. Matches DuckDB quantile_disc (rank = max(1,
+    ceil(q·n))) element-for-element; every pass streams one column with
+    O(n_buckets) partials."""
+    from ..stages.aggregate import exact_quantiles
+
+    ds = _t(sf_dir, "lineitem", columns=["l_extendedprice"])
+    return exact_quantiles(
+        ds, "l_extendedprice", [0.01, 0.25, 0.5, 0.75, 0.99]
+    )
+
+
 QUERIES = {
     # ── lake-state / CDC family (the north rule) — 1..15 ──
     "cdc_replay": q_cdc_replay,
@@ -4114,6 +4214,11 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "exec_command": q_exec_command,
     "segment_roundtrip": q_segment_roundtrip,
+    "running_total": q_running_total,
+    "pivot_events": q_pivot_events,
+    "zscore_outliers": q_zscore_outliers,
+    "rollup_agg": q_rollup_agg,
+    "quantiles": q_quantiles,
 }
 
 
@@ -4861,6 +4966,47 @@ ORACLE_SQL["segment_roundtrip"] = """
            'merged' AS relationship
     FROM documents
     ORDER BY doc_id
+"""
+
+ORACLE_SQL["running_total"] = """
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 2) AS running
+    FROM events
+"""
+
+ORACLE_SQL["pivot_events"] = """
+    SELECT user_id,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+           CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+           CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+           round(coalesce(sum(value) FILTER (event_type = 'purchase'), 0), 2) AS revenue
+    FROM events GROUP BY user_id
+"""
+
+ORACLE_SQL["zscore_outliers"] = """
+    WITH s AS (SELECT avg(value) AS m, stddev_pop(value) AS sd FROM events)
+    SELECT event_id, value,
+           round((value - s.m) / s.sd, 2) AS zscore
+    FROM events, s
+    WHERE abs((value - s.m) / s.sd) > 2.0
+"""
+
+ORACLE_SQL["rollup_agg"] = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n, sum(l_quantity) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+ORACLE_SQL["quantiles"] = """
+    WITH v AS (SELECT quantile_disc(l_extendedprice,
+                                    [0.01, 0.25, 0.5, 0.75, 0.99]) AS vs
+               FROM lineitem)
+    SELECT unnest([0.01, 0.25, 0.5, 0.75, 0.99]) AS q,
+           unnest(vs) AS value
+    FROM v
 """
 
 ORACLE_SQL["stomp_ingest"] = """

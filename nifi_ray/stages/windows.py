@@ -86,6 +86,24 @@ def lag_fn(key_col: str, ts_col: str, value_col: str, out: str):
     return fn
 
 
+def running_total_fn(
+    key_col: str, order_cols: list[str], value_col: str, out: str
+):
+    """map_groups body (one key per group): cumulative sum of
+    ``value_col`` in ``order_cols`` order — SUM(value) OVER
+    (PARTITION BY key ORDER BY ... ROWS UNBOUNDED PRECEDING). The
+    accumulation is the same left-to-right sequential add the SQL
+    window frame performs, so doubles match the oracle bit-for-bit
+    up to the documented rounding."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(c, "ascending") for c in order_cols])
+        vals = pc.cast(g[value_col], pa.float64()).to_numpy(zero_copy_only=False)
+        return g.append_column(out, pa.array(np.cumsum(vals), pa.float64()))
+
+    return fn
+
+
 def topk_per_group_fn(order_col: str, k: int, tiebreak: str | None = None):
     """map_groups body: top-k rows by ``order_col`` desc (deterministic
     tie-break)."""

@@ -1,0 +1,150 @@
+"""Analytics-operator tests: running totals, pivot indicators, global
+moments / z-score gating, ROLLUP re-aggregation, exact histogram
+quantiles (including the refinement path and float-boundary edges)."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session):
+    import ray.data
+
+    return ray.data
+
+
+def test_running_total_orders_and_accumulates(rd):
+    from nifi_ray.stages.windows import running_total_fn
+
+    g = pa.table(
+        {
+            "k": ["u"] * 4,
+            "ts": [3, 1, 2, 1],
+            "id": [40, 10, 30, 5],
+            "v": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    out = running_total_fn("k", ["ts", "id"], "v", "running")(g)
+    # order: (1,5)=4.0 → (1,10)=2.0 → (2,30)=3.0 → (3,40)=1.0
+    assert out["id"].to_pylist() == [5, 10, 30, 40]
+    assert out["running"].to_pylist() == [4.0, 6.0, 9.0, 10.0]
+
+
+def test_pivot_indicators_counts_and_gated_sums():
+    from nifi_ray.stages.aggregate import pivot_indicators
+
+    t = pa.table(
+        {
+            "et": ["a", "b", None, "a"],
+            "v": [1.0, 2.0, 3.0, None],
+        }
+    )
+    out = pivot_indicators("et", ["a", "b"], value_col="v")(t)
+    assert out["n_a"].to_pylist() == [1, 0, 0, 1]
+    assert out["n_b"].to_pylist() == [0, 1, 0, 0]
+    # null value gated to 0, non-matching rows contribute 0
+    assert out["sum_a"].to_pylist() == [1.0, 0.0, 0.0, 0.0]
+    assert out["sum_b"].to_pylist() == [0.0, 2.0, 0.0, 0.0]
+
+
+def test_global_moments_matches_numpy(rd):
+    from nifi_ray.stages.aggregate import global_moments
+
+    rng = np.random.default_rng(7)
+    v = rng.normal(50, 10, size=5000)
+    ds = rd.from_arrow(pa.table({"x": v})).repartition(8)
+    n, mean, std = global_moments(ds, "x")
+    assert n == 5000
+    assert abs(mean - v.mean()) < 1e-9
+    assert abs(std - v.std()) < 1e-9
+
+
+def test_global_moments_empty(rd):
+    from nifi_ray.stages.aggregate import global_moments
+
+    ds = rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
+    assert global_moments(ds, "x") == (0, 0.0, 0.0)
+
+
+def test_rollup2_levels(rd):
+    from nifi_ray.stages.aggregate import rollup2
+
+    t = pa.table(
+        {
+            "a": ["x", "x", "y", "y"],
+            "b": ["p", "q", "p", "p"],
+            "v": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    ds = rd.from_arrow(t).repartition(3)
+    out = rollup2(ds, "a", "b", {"n": ("v", "count"), "s": ("v", "sum")})
+    rows = {
+        (r["a"], r["b"]): (r["n"], r["s"]) for r in out.to_pylist()
+    }
+    assert rows[("x", "p")] == (1, 1.0)
+    assert rows[("x", "q")] == (1, 2.0)
+    assert rows[("y", "p")] == (2, 7.0)
+    assert rows[("x", None)] == (2, 3.0)
+    assert rows[("y", None)] == (2, 7.0)
+    assert rows[(None, None)] == (4, 10.0)
+    assert len(rows) == 6
+
+
+def _disc(v: np.ndarray, q: float) -> float:
+    # DuckDB quantile_disc: 1-based ascending rank max(1, ceil(q*n))
+    s = np.sort(v)
+    return float(s[max(1, math.ceil(q * len(v))) - 1])
+
+
+def test_exact_quantiles_matches_disc_rule(rd):
+    from nifi_ray.stages.aggregate import exact_quantiles
+
+    rng = np.random.default_rng(3)
+    v = np.round(rng.uniform(0, 1000, size=4321), 2)
+    ds = rd.from_arrow(pa.table({"x": v})).repartition(7)
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    out = exact_quantiles(ds, "x", qs)
+    got = dict(zip(out["q"].to_pylist(), out["value"].to_pylist()))
+    for q in qs:
+        assert got[q] == _disc(v, q), q
+
+
+def test_exact_quantiles_refinement_path(rd):
+    """collect_threshold smaller than any bucket forces the recursive
+    re-histogram; results must stay exact."""
+    from nifi_ray.stages.aggregate import exact_quantiles
+
+    rng = np.random.default_rng(9)
+    v = rng.normal(0, 1, size=3000)
+    ds = rd.from_arrow(pa.table({"x": v})).repartition(5)
+    qs = [0.5, 0.9]
+    out = exact_quantiles(ds, "x", qs, n_buckets=4, collect_threshold=50)
+    got = dict(zip(out["q"].to_pylist(), out["value"].to_pylist()))
+    for q in qs:
+        assert got[q] == _disc(v, q), q
+
+
+def test_exact_quantiles_constant_column(rd):
+    """All-equal values: zero-width range cannot split — the collect
+    fallback must still return the value."""
+    from nifi_ray.stages.aggregate import exact_quantiles
+
+    v = np.full(500, 42.5)
+    ds = rd.from_arrow(pa.table({"x": v}))
+    out = exact_quantiles(ds, "x", [0.5], collect_threshold=10)
+    assert out["value"].to_pylist() == [42.5]
+
+
+def test_exact_quantiles_extremes_and_duplicates(rd):
+    from nifi_ray.stages.aggregate import exact_quantiles
+
+    v = np.array([1.0, 1.0, 1.0, 2.0, 2.0, 3.0, 100.0])
+    ds = rd.from_arrow(pa.table({"x": v}))
+    out = exact_quantiles(ds, "x", [0.01, 0.5, 1.0], n_buckets=8)
+    got = dict(zip(out["q"].to_pylist(), out["value"].to_pylist()))
+    assert got[0.01] == 1.0
+    assert got[0.5] == 2.0
+    assert got[1.0] == 100.0
