@@ -1142,6 +1142,52 @@ def expected_monitor_lag(sf_dir: str) -> pa.Table:
     )
 
 
+def expected_semdedup(sf_dir: str, n_cells: int = 8, tau: float = 0.30) -> pa.Table:
+    """Sequential SemDeDup (queries.q_semdedup semantics): shared
+    deterministic quantizer (kmeans_lite is an input constant, not the
+    machinery under test), scalar per-vector cell assignment, then a
+    per-cell greedy pass in vec_id order keeping an item iff every
+    already-kept item's cosine stays below tau — pairwise scalar dots,
+    not the engine's kept-matrix matvec."""
+    from .stages.similarity import kmeans_lite
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pylist()
+    C = kmeans_lite(
+        np.vstack([np.asarray(r["embedding"]) for r in tbl[:256]]),
+        n_cells=n_cells,
+        seed=0,
+    )
+
+    def unit(v):
+        n = np.linalg.norm(v)
+        return v / n if n > 1e-12 else v
+
+    rows = sorted(
+        (
+            (int(r["vec_id"]), unit(np.asarray(r["embedding"], dtype=np.float64)))
+            for r in tbl
+        ),
+        key=lambda t: t[0],
+    )
+    cells = {vid: int(np.argmax(C @ v)) for vid, v in rows}
+    kept_by_cell: dict[int, list[np.ndarray]] = {}
+    out_id, out_cell, out_kept = [], [], []
+    for vid, v in rows:
+        c = cells[vid]
+        kept_list = kept_by_cell.setdefault(c, [])
+        keep = all(float(u @ v) < tau for u in kept_list)
+        if keep:
+            kept_list.append(v)
+        out_id.append(vid), out_cell.append(c), out_kept.append(keep)
+    return pa.table(
+        {
+            "vec_id": pa.array(out_id, pa.int64()),
+            "cell": pa.array(out_cell, pa.int32()),
+            "kept": pa.array(out_kept, pa.bool_()),
+        }
+    )
+
+
 EXPECTED_BUILDERS = {
     "monitor_lag": expected_monitor_lag,
     "mime_identify": expected_mime_identify,
@@ -1168,6 +1214,7 @@ EXPECTED_BUILDERS = {
     "minhash_pairs": expected_minhash_pairs,
     "minhash_dup_groups": expected_minhash_dup_groups,
     "knn_ivf": expected_knn_ivf,
+    "semdedup": expected_semdedup,
 }
 
 

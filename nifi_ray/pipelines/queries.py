@@ -4092,6 +4092,78 @@ def q_quantiles(sf_dir: str):
     )
 
 
+def q_dup_ngrams(sf_dir: str):
+    """Duplicate word-5-gram detection across the corpus — the
+    candidate-span primitive of exact substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): grams
+    shared by ≥2 documents, top-20 by document reach. Shape: per-batch
+    explode to (gram, doc_id, occ) via ONE Arrow group_by (per-doc
+    counts collapse duplicates before the exchange), then a
+    combiner-style gram aggregate, filter, and a top-k prune per block
+    before the final tiny sort — the gram-key shuffle is the one
+    unavoidable exchange and it carries pre-aggregated rows only."""
+    from ..stages.packing import doc_ngrams
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(doc_ngrams("text", n=5, out="ngrams"), batch_format="pyarrow")
+
+    def explode(t: pa.Table) -> pa.Table:
+        n_per = pc.list_value_length(t["ngrams"]).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(t["ngrams"])
+        ids = pa.array(
+            np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), n_per), pa.int64()
+        )
+        pairs = pa.table({"gram": flat, "doc_id": ids})
+        g = pairs.group_by(["gram", "doc_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["gram", "doc_id", "occ"])
+
+    pairs = ds.map_batches(explode, batch_format="pyarrow")
+    agg = pre_aggregate(
+        pairs, "gram", {"n_docs": ("doc_id", "count"), "n_occ": ("occ", "sum")}
+    )
+    dup = agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_docs"], 2)).sort_by(
+            [("n_docs", "descending"), ("n_occ", "descending"), ("gram", "ascending")]
+        )[:20],
+        batch_format="pyarrow",
+    )
+    return dup.sort(
+        ["n_docs", "n_occ", "gram"], descending=[True, True, False]
+    ).limit(20)
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup semantic dedup (stages/similarity.semdedup_group_fn):
+    k-means cells assigned by the broadcast-centroid actor pool
+    (IVFAssign — quantizer trained once on a constant-size sample),
+    then per-cell greedy cosine dedup in id order. One shuffle (by
+    cell); each task sees one cell, never the corpus. The production
+    threshold is ~0.95; the synthetic embeddings' max pairwise cosine
+    is ≈0.48, so τ=0.30 exercises drops non-vacuously (same convention
+    as embedding_neardup). Oracle: sequential scalar replay in
+    oracle_expected.py."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import IVFAssign, kmeans_lite, semdedup_group_fn
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    sample = np.vstack(tbl.slice(0, 256)["embedding"].to_numpy(zero_copy_only=False))
+    centroids = kmeans_lite(sample, n_cells=8, seed=0)
+
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    assigned = ds.map_batches(
+        IVFAssign,
+        fn_constructor_kwargs={"centroids_ref": centroids},
+        batch_format="pyarrow",
+        concurrency=_pool(),
+    )
+    return assigned.groupby("cell").map_groups(
+        semdedup_group_fn(0.30), batch_format="pyarrow"
+    )
+
+
 QUERIES = {
     # ── lake-state / CDC family (the north rule) — 1..15 ──
     "cdc_replay": q_cdc_replay,
@@ -4219,6 +4291,8 @@ QUERIES = {
     "zscore_outliers": q_zscore_outliers,
     "rollup_agg": q_rollup_agg,
     "quantiles": q_quantiles,
+    "dup_ngrams": q_dup_ngrams,
+    "semdedup": q_semdedup,
 }
 
 
@@ -5007,6 +5081,24 @@ ORACLE_SQL["quantiles"] = """
     SELECT unnest([0.01, 0.25, 0.5, 0.75, 0.99]) AS q,
            unnest(vs) AS value
     FROM v
+"""
+
+ORACLE_SQL["dup_ngrams"] = """
+    WITH docs AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS gram
+      FROM (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i FROM docs)
+      WHERE i <= len(ws) - 4)
+    SELECT gram,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occ
+    FROM grams
+    GROUP BY gram
+    HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occ DESC, gram
+    LIMIT 20
 """
 
 ORACLE_SQL["stomp_ingest"] = """

@@ -218,3 +218,38 @@ def knn_ivf(
         concurrency=actor_pool_size(),
     )
     return global_topk(cands, k, id_col)
+
+
+def semdedup_group_fn(tau: float, id_col: str = "vec_id",
+                      col: str = "embedding", cell_col: str = "cell"):
+    """map_groups body (one IVF cell per group): SemDeDup-style semantic
+    dedup (Abbas et al. 2023, arXiv:2303.09540 — cluster with k-means,
+    drop near-identical items WITHIN each cluster). Greedy in ascending
+    id order: an item is dropped iff its cosine to an already-KEPT
+    earlier item in the cell reaches ``tau``; the kept set grows
+    incrementally so exactly one representative survives per semantic
+    clump. Partitioning assumption (custom-operator rule): one cell per
+    task — cell population is bounded by the quantizer granularity
+    (n_cells scales with corpus size), never the corpus. The scan is a
+    per-item matvec against the kept matrix: O(cell · kept)."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        g = group.sort_by(id_col)
+        X = _as_matrix(g[col])
+        X = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-12, None)
+        kept = np.zeros(len(X), dtype=bool)
+        kept_rows: list[int] = []
+        for i in range(len(X)):
+            if kept_rows and float((X[kept_rows] @ X[i]).max()) >= tau:
+                continue
+            kept[i] = True
+            kept_rows.append(i)
+        return pa.table(
+            {
+                id_col: g[id_col],
+                cell_col: g[cell_col],
+                "kept": pa.array(kept),
+            }
+        )
+
+    return fn

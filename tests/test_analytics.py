@@ -148,3 +148,45 @@ def test_exact_quantiles_extremes_and_duplicates(rd):
     assert got[0.01] == 1.0
     assert got[0.5] == 2.0
     assert got[1.0] == 100.0
+
+
+def test_semdedup_greedy_keeps_one_per_clump():
+    from nifi_ray.stages.similarity import semdedup_group_fn
+
+    # cell with two exact-dup pairs and one loner
+    base = np.random.default_rng(1).normal(size=(3, 8))
+    X = np.vstack([base[0], base[0] * 2.0, base[1], base[1] * 0.5, base[2]])
+    g = pa.table(
+        {
+            "vec_id": pa.array([10, 11, 20, 21, 30], pa.int64()),
+            "embedding": pa.array(X.tolist(), pa.list_(pa.float32())),
+            "cell": pa.array([0] * 5, pa.int32()),
+        }
+    )
+    out = semdedup_group_fn(0.95)(g)
+    kept = dict(zip(out["vec_id"].to_pylist(), out["kept"].to_pylist()))
+    # scaled copies are cosine-1 to their base: lowest id survives
+    assert kept == {10: True, 11: False, 20: True, 21: False, 30: True}
+
+
+def test_semdedup_cascade_kept_set_only():
+    """B dups A (dropped), C dups B but NOT A → C must be KEPT: the
+    greedy compares against the kept set, not all earlier items."""
+    from nifi_ray.stages.similarity import semdedup_group_fn
+
+    a = np.array([1.0, 0.0])
+    b = np.array([0.9, np.sqrt(1 - 0.81)])  # cos(a,b) = 0.9
+    # c: cos(b,c)=0.9 but cos(a,c)=0.62 — rotate b by the same angle
+    th = np.arccos(0.9)
+    rot = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    c = rot @ b
+    g = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3], pa.int64()),
+            "embedding": pa.array([a.tolist(), b.tolist(), c.tolist()],
+                                  pa.list_(pa.float32())),
+            "cell": pa.array([0, 0, 0], pa.int32()),
+        }
+    )
+    out = semdedup_group_fn(0.85)(g)
+    assert out["kept"].to_pylist() == [True, False, True]
