@@ -4164,6 +4164,86 @@ def q_semdedup(sf_dir: str):
     )
 
 
+def q_hopping_window(sf_dir: str):
+    """Event-time HOPPING windows (size 60 s, hop 15 s): each event is
+    stamped with its 4 covering window starts inside map_batches
+    (stages/windows.stamp_hopping_windows — constant size/hop
+    replication, never data-dependent), then ONE combiner-style
+    aggregate per (window). Windowing-as-a-column is the streaming
+    shape NiFi gets from MergeContent max-bin-age + bucketed
+    correlation attributes; here it is a plain groupby after a cheap
+    stamp, so the only exchange carries pre-aggregated rows."""
+    from ..stages.windows import stamp_hopping_windows
+
+    ds = _t(sf_dir, "events", columns=["ts", "value"])
+    ds = ds.map_batches(stamp_hopping_windows("ts", 60, 15), batch_format="pyarrow")
+
+    def to_sec(t: pa.Table) -> pa.Table:
+        ws = pc.divide(pc.cast(t["window_start"], pa.int64()), 1_000_000)
+        i = t.schema.get_field_index("window_start")
+        return t.set_column(i, "window_start", pc.cast(ws, pa.int64()))
+
+    ds = ds.map_batches(to_sec, batch_format="pyarrow")
+    out = pre_aggregate(
+        ds, "window_start", {"n": ("value", "count"), "sum_value": ("value", "sum")}
+    )
+    return _round(out, {"sum_value": 2})
+
+
+def q_dense_rank(sf_dir: str):
+    """DENSE_RANK() OVER (PARTITION BY user_id ORDER BY value DESC) —
+    hash repartition by key, change-point cumsum INSIDE each group
+    (stages/windows.dense_rank_fn). Same per-key window shape as
+    running_total: no global sort, one group per task, ties share a
+    rank so the output set is deterministic under tie reordering."""
+    from ..stages.windows import dense_rank_fn
+
+    ds = _t(sf_dir, "events", columns=["user_id", "event_id", "value"])
+    out = ds.groupby("user_id").map_groups(
+        dense_rank_fn("user_id", "value", out="rank", descending=True),
+        batch_format="pyarrow",
+    )
+    return out.map_batches(
+        lambda t: t.select(["user_id", "event_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+def q_group_quantiles(sf_dir: str):
+    """Per-group EXACT discrete quantiles (DuckDB quantile_disc rank
+    rule) — groupby(event_type).map_groups with an in-task sort of ONE
+    group's values (stages/windows.group_quantiles_fn). Correct shape
+    when groups are key-bounded; the unbounded-column variant is the
+    histogram-refinement `quantiles` query."""
+    from ..stages.windows import group_quantiles_fn
+
+    ds = _t(sf_dir, "events", columns=["event_type", "value"])
+    return ds.groupby("event_type").map_groups(
+        group_quantiles_fn(
+            "event_type", "value", {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p95": 0.95}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_funnel(sf_dir: str):
+    """Ordered conversion funnel view → click → purchase per user:
+    stage N counts only if its FIRST occurrence is strictly after stage
+    N-1's first occurrence (stages/windows.funnel_stage_fn). One
+    key-partitioned pass; the sequential scan is over the 3 declared
+    stages, vectorized over the group's events — the sessionized
+    event-order analytic a NiFi flow would build from RouteOnAttribute
+    + DistributedMapCache state."""
+    from ..stages.windows import funnel_stage_fn
+
+    ds = _t(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return ds.groupby("user_id").map_groups(
+        funnel_stage_fn(
+            "user_id", "ts", "event_type", ["view", "click", "purchase"], out="stage"
+        ),
+        batch_format="pyarrow",
+    )
+
+
 QUERIES = {
     # ── lake-state / CDC family (the north rule) — 1..15 ──
     "cdc_replay": q_cdc_replay,
@@ -4293,6 +4373,10 @@ QUERIES = {
     "quantiles": q_quantiles,
     "dup_ngrams": q_dup_ngrams,
     "semdedup": q_semdedup,
+    "hopping_window": q_hopping_window,
+    "dense_rank": q_dense_rank,
+    "group_quantiles": q_group_quantiles,
+    "funnel": q_funnel,
 }
 
 
@@ -5099,6 +5183,50 @@ ORACLE_SQL["dup_ngrams"] = """
     HAVING count(DISTINCT doc_id) >= 2
     ORDER BY n_docs DESC, n_occ DESC, gram
     LIMIT 20
+"""
+
+ORACLE_SQL["hopping_window"] = """
+    SELECT (epoch_us(ts) // 15000000 - g.k) * 15 AS window_start,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) g
+    GROUP BY 1
+"""
+
+ORACLE_SQL["dense_rank"] = """
+    SELECT user_id, event_id,
+           CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY value DESC)
+                AS BIGINT) AS rank
+    FROM events
+"""
+
+ORACLE_SQL["group_quantiles"] = """
+    SELECT event_type,
+           quantile_disc(value, 0.25) AS p25,
+           quantile_disc(value, 0.50) AS p50,
+           quantile_disc(value, 0.75) AS p75,
+           quantile_disc(value, 0.95) AS p95
+    FROM events GROUP BY event_type
+"""
+
+ORACLE_SQL["funnel"] = """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    v AS (SELECT user_id, min(ts) AS t FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+          JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+          JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY e.user_id)
+    SELECT u.user_id,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     WHEN v.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS stage
+    FROM u LEFT JOIN v ON u.user_id = v.user_id
+           LEFT JOIN c ON u.user_id = c.user_id
+           LEFT JOIN p ON u.user_id = p.user_id
 """
 
 ORACLE_SQL["stomp_ingest"] = """

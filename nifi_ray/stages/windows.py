@@ -115,3 +115,101 @@ def topk_per_group_fn(order_col: str, k: int, tiebreak: str | None = None):
         return group.sort_by(keys).slice(0, k)
 
     return fn
+
+
+def stamp_hopping_windows(
+    ts_col: str, size_sec: int, hop_sec: int, out: str = "window_start"
+):
+    """map_batches body: replicate each row once per covering hopping
+    window (size divisible by hop; an event at t falls in the size/hop
+    windows starting at hop_trunc(t) - k·hop, k = 0..size/hop-1). Like
+    the tumbling stamp this turns event-time windowing into a plain
+    column — downstream is an ordinary pre-aggregated groupby, and the
+    replication factor is the constant size/hop, not data-dependent."""
+    if size_sec % hop_sec:
+        raise ValueError("size must be a multiple of hop")
+    n_w = size_sec // hop_sec
+    hop_us = hop_sec * 1_000_000
+
+    def fn(batch: pa.Table) -> pa.Table:
+        epoch = pc.cast(batch[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        base = (epoch // hop_us) * hop_us
+        reps = []
+        for k in range(n_w):
+            t = batch.append_column(
+                out, pa.array(base - k * hop_us, pa.int64()).cast(pa.timestamp("us"))
+            )
+            reps.append(t)
+        return pa.concat_tables(reps)
+
+    return fn
+
+
+def dense_rank_fn(
+    key_col: str, order_col: str, out: str = "rank", descending: bool = True
+):
+    """map_groups body: DENSE_RANK() OVER (PARTITION BY key ORDER BY
+    order_col) — equal values share a rank, no gaps. Vectorized via the
+    sorted group's change-points."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(order_col, "descending" if descending else "ascending")])
+        v = g[order_col].to_numpy(zero_copy_only=False)
+        changed = np.ones(len(v), dtype=np.int64)
+        if len(v) > 1:
+            changed[1:] = (v[1:] != v[:-1]).astype(np.int64)
+        return g.append_column(out, pa.array(np.cumsum(changed), pa.int64()))
+
+    return fn
+
+
+def group_quantiles_fn(key_col: str, value_col: str, qs: dict[str, float]):
+    """map_groups body: per-group EXACT discrete quantiles (DuckDB
+    quantile_disc rank rule: 1-based ascending rank max(1, ceil(q·n))).
+    One output row per group. Groups are key-bounded (an event type, a
+    tenant) so the in-task sort touches one group, never the dataset —
+    for quantiles of an UNBOUNDED column use
+    aggregate.exact_quantiles' histogram refinement instead."""
+    import math
+
+    def fn(group: pa.Table) -> pa.Table:
+        v = np.sort(
+            pc.cast(group[value_col], pa.float64()).to_numpy(zero_copy_only=False)
+        )
+        n = len(v)
+        cols = {key_col: group[key_col][:1]}
+        for name, q in qs.items():
+            cols[name] = pa.array([float(v[max(1, math.ceil(q * n)) - 1])], pa.float64())
+        return pa.table(cols)
+
+    return fn
+
+
+def funnel_stage_fn(
+    key_col: str, ts_col: str, type_col: str, stages: list[str], out: str = "stage"
+):
+    """map_groups body: ordered-funnel depth per key — how many of the
+    ``stages`` happened in order, each stage's FIRST occurrence
+    strictly after the previous stage's first occurrence (the classic
+    conversion funnel: view → click → purchase). Emits one row per key
+    with the reached depth (0..len(stages))."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        ts = pc.cast(group[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        et = group[type_col].to_numpy(zero_copy_only=False)
+        depth = 0
+        prev = -(1 << 62)
+        for s in stages:
+            hits = ts[(et == s) & (ts > prev)]
+            if len(hits) == 0:
+                break
+            prev = int(hits.min())
+            depth += 1
+        return pa.table(
+            {
+                key_col: group[key_col][:1],
+                out: pa.array([depth], pa.int64()),
+            }
+        )
+
+    return fn

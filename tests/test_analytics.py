@@ -190,3 +190,68 @@ def test_semdedup_cascade_kept_set_only():
     )
     out = semdedup_group_fn(0.85)(g)
     assert out["kept"].to_pylist() == [True, False, True]
+
+
+def test_hopping_window_stamp_covering_windows():
+    from nifi_ray.stages.windows import stamp_hopping_windows
+
+    # event at t=47s with size=60 hop=15 → windows starting 45,30,15,0
+    t = pa.table({"ts": pa.array([47_000_000], pa.timestamp("us")), "v": [1.0]})
+    out = stamp_hopping_windows("ts", 60, 15)(t)
+    starts = sorted(
+        s // 1_000_000
+        for s in out["window_start"].cast(pa.int64()).to_pylist()
+    )
+    assert starts == [0, 15, 30, 45]
+    # every stamped window actually covers the event
+    for w in starts:
+        assert w <= 47 < w + 60
+    with pytest.raises(ValueError):
+        stamp_hopping_windows("ts", 60, 7)
+
+
+def test_dense_rank_ties_share_rank_no_gaps():
+    from nifi_ray.stages.windows import dense_rank_fn
+
+    g = pa.table({"k": ["a"] * 5, "id": [1, 2, 3, 4, 5],
+                  "v": [9.0, 7.0, 9.0, 3.0, 7.0]})
+    out = dense_rank_fn("k", "v", out="rank")(g)
+    got = dict(zip(out["id"].to_pylist(), out["rank"].to_pylist()))
+    assert got == {1: 1, 3: 1, 2: 2, 5: 2, 4: 3}
+
+
+def test_group_quantiles_matches_duckdb_disc_rule():
+    import duckdb
+
+    from nifi_ray.stages.windows import group_quantiles_fn
+
+    rng = np.random.default_rng(3)
+    v = np.round(rng.normal(100, 25, size=137), 2)
+    g = pa.table({"k": ["x"] * len(v), "v": v})
+    out = group_quantiles_fn("k", "v", {"p25": 0.25, "p50": 0.5, "p99": 0.99})(g)
+    exp = duckdb.sql(
+        "SELECT quantile_disc(v, 0.25), quantile_disc(v, 0.5), "
+        "quantile_disc(v, 0.99) FROM g"
+    ).fetchone()
+    assert (
+        out["p25"][0].as_py(),
+        out["p50"][0].as_py(),
+        out["p99"][0].as_py(),
+    ) == exp
+
+
+def test_funnel_requires_strict_order():
+    from nifi_ray.stages.windows import funnel_stage_fn
+
+    fn = funnel_stage_fn("u", "ts", "et", ["view", "click", "purchase"])
+    # purchase BEFORE the first post-view click → depth stops at 2
+    g = pa.table({"u": [1] * 4, "ts": [10, 20, 15, 5],
+                  "et": ["view", "click", "purchase", "purchase"]})
+    assert fn(g)["stage"].to_pylist() == [2]
+    # full ordered funnel
+    g2 = pa.table({"u": [2] * 3, "ts": [1, 2, 3],
+                   "et": ["view", "click", "purchase"]})
+    assert fn(g2)["stage"].to_pylist() == [3]
+    # no view at all → 0
+    g3 = pa.table({"u": [3] * 2, "ts": [1, 2], "et": ["click", "purchase"]})
+    assert fn(g3)["stage"].to_pylist() == [0]
