@@ -1188,6 +1188,62 @@ def expected_semdedup(sf_dir: str, n_cells: int = 8, tau: float = 0.30) -> pa.Ta
     )
 
 
+# ------------------------------------------------------------- bpe_train
+
+
+def expected_bpe_train(sf_dir: str, n_merges: int = 12) -> pa.Table:
+    """Sequential subword-nmt-style BPE trainer: a plain dict vocab,
+    each round recounts adjacent pairs over the CURRENT segmentation
+    and rewrites every word by merging the winner left-to-right
+    non-overlapping (incremental form — the engine instead re-segments
+    from scratch by rank replay each round; the two must coincide)."""
+    import re
+
+    counts: dict[str, int] = {}
+    for row in _read_docs(sf_dir):
+        for w in re.findall(r"[a-z0-9]+", (row["text"] or "").lower()):
+            counts[w] = counts.get(w, 0) + 1
+    seg = {w: list(w) for w in counts}
+
+    out_rows = []
+    for k in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, syms in seg.items():
+            n = counts[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (left, right), freq = best
+        if freq < 2:
+            break
+        out_rows.append((k + 1, left, right, freq))
+        merged = left + right
+        for w, syms in seg.items():
+            if left not in syms:
+                continue
+            ns: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == left and syms[i + 1] == right:
+                    ns.append(merged)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            seg[w] = ns
+    return pa.table(
+        {
+            "rank": pa.array([r[0] for r in out_rows], pa.int64()),
+            "left": pa.array([r[1] for r in out_rows], pa.string()),
+            "right": pa.array([r[2] for r in out_rows], pa.string()),
+            "freq": pa.array([r[3] for r in out_rows], pa.int64()),
+        }
+    )
+
+
 EXPECTED_BUILDERS = {
     "monitor_lag": expected_monitor_lag,
     "mime_identify": expected_mime_identify,
@@ -1215,6 +1271,7 @@ EXPECTED_BUILDERS = {
     "minhash_dup_groups": expected_minhash_dup_groups,
     "knn_ivf": expected_knn_ivf,
     "semdedup": expected_semdedup,
+    "bpe_train": expected_bpe_train,
 }
 
 

@@ -4292,6 +4292,20 @@ def q_value_delta(sf_dir: str):
     return out.map_batches(delta, batch_format="pyarrow")
 
 
+def q_bpe_train(sf_dir: str):
+    """Distributed BPE merge training (stages/bpe.py; subword-nmt
+    counting/application semantics) — top-12 merges over the documents
+    corpus. One corpus pass collapses to the (word, n) table; each
+    round is a streaming pair-count over that small table with bounded
+    partial statistics reduced on the driver. Oracle: sequential
+    incremental-rewrite trainer (oracle_expected.expected_bpe_train) —
+    a deliberately different code path."""
+    from ..stages.bpe import learn_bpe, word_counts
+
+    ds = _t(sf_dir, "documents", columns=["text"])
+    return learn_bpe(word_counts(ds), n_merges=12)
+
+
 QUERIES = {
     # ── lake-state / CDC family (the north rule) — 1..15 ──
     "cdc_replay": q_cdc_replay,
@@ -4427,6 +4441,7 @@ QUERIES = {
     "funnel": q_funnel,
     "sessionize": q_sessionize,
     "value_delta": q_value_delta,
+    "bpe_train": q_bpe_train,
 }
 
 

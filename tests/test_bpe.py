@@ -1,0 +1,118 @@
+"""BPE trainer tests: rank-replay segmentation vs in-order sequential
+application (the equivalence learn_bpe relies on), word-count collapse,
+and the distributed trainer vs a sequential dict reference on a random
+corpus far richer than the graded fixture's 31-word vocab."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _apply_in_order(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Sequential ground truth: apply each merge, in learned order, to
+    all non-overlapping occurrences left-to-right."""
+    syms = list(word)
+    for left, right in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _train_sequential(counts: dict[str, int], n_merges: int):
+    """Dict-based subword-nmt-style trainer (incremental rewrite)."""
+    seg = {w: list(w) for w in counts}
+    merges, rows = [], []
+    for k in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, syms in seg.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + counts[w]
+        if not pairs:
+            break
+        (left, right), freq = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if freq < 2:
+            break
+        merges.append((left, right))
+        rows.append((k + 1, left, right, freq))
+        for w, syms in seg.items():
+            if left in syms:
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i < len(syms) - 1
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                seg[w] = out
+    return rows
+
+
+def _random_words(seed: int, n: int) -> dict[str, int]:
+    rng = np.random.default_rng(seed)
+    alpha = list("abcdef")
+    counts: dict[str, int] = {}
+    for _ in range(n):
+        L = int(rng.integers(1, 9))
+        w = "".join(rng.choice(alpha) for _ in range(L))
+        counts[w] = counts.get(w, 0) + int(rng.integers(1, 20))
+    return counts
+
+
+def test_segment_rank_replay_equals_in_order():
+    from nifi_ray.stages.bpe import segment
+
+    counts = _random_words(11, 300)
+    rows = _train_sequential(counts, 15)
+    merges = [(r[1], r[2]) for r in rows]
+    ranks = {m: i for i, m in enumerate(merges)}
+    for w in counts:
+        assert segment(w, ranks) == _apply_in_order(w, merges), w
+
+
+def test_word_counts_matches_counter(ray_session):
+    import ray.data
+
+    from nifi_ray.stages.bpe import word_counts
+
+    docs = pa.table(
+        {"text": ["The cat CAT sat", "cat-dog 42 dog", None, "  ", "42 cat"]}
+    )
+    ds = ray.data.from_arrow(docs).repartition(3)
+    got = {
+        r["word"]: r["n"] for r in word_counts(ds).take_all()
+    }
+    assert got == {"the": 1, "cat": 4, "sat": 1, "dog": 2, "42": 2}
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_learn_bpe_matches_sequential_reference(ray_session, seed):
+    import ray.data
+
+    from nifi_ray.stages.bpe import learn_bpe
+
+    counts = _random_words(seed, 400)
+    words = pa.table(
+        {
+            "word": pa.array(list(counts), pa.string()),
+            "n": pa.array([counts[w] for w in counts], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(words).repartition(4)
+    got = learn_bpe(ds, 10).to_pylist()
+    exp = _train_sequential(counts, 10)
+    assert [(r["rank"], r["left"], r["right"], r["freq"]) for r in got] == exp
