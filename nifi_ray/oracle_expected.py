@@ -1244,6 +1244,44 @@ def expected_bpe_train(sf_dir: str, n_merges: int = 12) -> pa.Table:
     )
 
 
+def expected_bpe_encode(sf_dir: str, n_merges: int = 12) -> pa.Table:
+    """Sequential encode: train via expected_bpe_train's incremental
+    path, then apply the merges IN LEARNED ORDER to each word of each
+    doc (no rank replay, no memo — the independent application form)."""
+    import re
+
+    m = expected_bpe_train(sf_dir, n_merges)
+    merges = list(zip(m["left"].to_pylist(), m["right"].to_pylist()))
+    ids, ns = [], []
+    for row in _read_docs(sf_dir):
+        tot = 0
+        for w in re.findall(r"[a-z0-9]+", (row["text"] or "").lower()):
+            syms = list(w)
+            for left, right in merges:
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i < len(syms) - 1
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            tot += len(syms)
+        ids.append(row["doc_id"])
+        ns.append(tot)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_bpe_tokens": pa.array(ns, pa.int64()),
+        }
+    )
+
+
 EXPECTED_BUILDERS = {
     "monitor_lag": expected_monitor_lag,
     "mime_identify": expected_mime_identify,
@@ -1272,6 +1310,7 @@ EXPECTED_BUILDERS = {
     "knn_ivf": expected_knn_ivf,
     "semdedup": expected_semdedup,
     "bpe_train": expected_bpe_train,
+    "bpe_encode": expected_bpe_encode,
 }
 
 

@@ -4306,6 +4306,32 @@ def q_bpe_train(sf_dir: str):
     return learn_bpe(word_counts(ds), n_merges=12)
 
 
+def q_bpe_encode(sf_dir: str):
+    """Apply the learned BPE merges to the whole corpus: per-doc BPE
+    token counts via the BpeEncoder actor pool (ranks built + word
+    segmentations memoized once per actor — stages/bpe.py). Train on
+    the collapsed word table, encode embarrassingly parallel; the
+    merge list is constructor state, never re-shipped per batch."""
+    from ..stages.bpe import BpeEncoder, learn_bpe, word_counts
+
+    merges_tbl = learn_bpe(
+        word_counts(_t(sf_dir, "documents", columns=["text"])), n_merges=12
+    )
+    merges = list(
+        zip(merges_tbl["left"].to_pylist(), merges_tbl["right"].to_pylist())
+    )
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        BpeEncoder,
+        fn_constructor_kwargs={"merges": merges},
+        batch_format="pyarrow",
+        concurrency=_pool(),
+    )
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_bpe_tokens"]), batch_format="pyarrow"
+    )
+
+
 QUERIES = {
     # ── lake-state / CDC family (the north rule) — 1..15 ──
     "cdc_replay": q_cdc_replay,
@@ -4442,6 +4468,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "value_delta": q_value_delta,
     "bpe_train": q_bpe_train,
+    "bpe_encode": q_bpe_encode,
 }
 
 

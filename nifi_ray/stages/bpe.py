@@ -175,3 +175,36 @@ def learn_bpe(words_ds, n_merges: int) -> pa.Table:
             ]
         ),
     )
+
+
+class BpeEncoder:
+    """Actor-pool stage: segment every document with a learned merge
+    table and stamp the BPE token count. The rank dict and regex are
+    built once per actor; per-word segmentations are memoized across
+    batches (the memo is vocab-bounded — distinct words, not corpus
+    rows). The corpus pass is embarrassingly parallel: merges are tiny
+    constructor state, shipped once per actor, never per batch."""
+
+    def __init__(
+        self,
+        merges: list[tuple[str, str]],
+        col: str = "text",
+        out: str = "n_bpe_tokens",
+    ):
+        self._ranks = {tuple(m): i for i, m in enumerate(merges)}
+        self._pat = re.compile(WORD_RE)
+        self._memo: dict[str, int] = {}
+        self._col, self._out = col, out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ns = []
+        for v in _folded_pylist(batch[self._col]):
+            tot = 0
+            for w in self._pat.findall(v):
+                n = self._memo.get(w)
+                if n is None:
+                    n = len(segment(w, self._ranks))
+                    self._memo[w] = n
+                tot += n
+            ns.append(tot)
+        return batch.append_column(self._out, pa.array(ns, pa.int64()))

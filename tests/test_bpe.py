@@ -116,3 +116,13 @@ def test_learn_bpe_matches_sequential_reference(ray_session, seed):
     got = learn_bpe(ds, 10).to_pylist()
     exp = _train_sequential(counts, 10)
     assert [(r["rank"], r["left"], r["right"], r["freq"]) for r in got] == exp
+
+
+def test_bpe_encoder_counts_and_memo(ray_session):
+    from nifi_ray.stages.bpe import BpeEncoder
+
+    enc = BpeEncoder([("a", "b"), ("ab", "c")], col="t")
+    out = enc(pa.table({"t": ["abc ab xyz", "ABC", None]}))
+    # abc→[abc]=1, ab→[ab]=1, xyz→3 → 5; ABC folds to abc → 1; None → 0
+    assert out["n_bpe_tokens"].to_pylist() == [5, 1, 0]
+    assert enc._memo["abc"] == 1 and enc._memo["xyz"] == 3
