@@ -4244,54 +4244,6 @@ def q_funnel(sf_dir: str):
     )
 
 
-def q_sessionize(sf_dir: str):
-    """Gap-based SESSION windows (gap 300 s) per user: hash repartition
-    by key, then one vectorized in-group pass (sort → diff → boundary
-    cumsum → reduceat; stages/windows.sessionize_fn) emitting one row
-    per session. The data-dependent window NiFi flows approximate with
-    MergeContent max-bin-age; here session assignment never leaves the
-    key's task and the output is |sessions|, not |events|."""
-    from ..stages.windows import sessionize_fn
-
-    ds = _t(sf_dir, "events", columns=["user_id", "ts"])
-    return ds.groupby("user_id").map_groups(
-        sessionize_fn("user_id", "ts", 300), batch_format="pyarrow"
-    )
-
-
-def q_value_delta(sf_dir: str):
-    """LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id):
-    per-key shift with a NULL boundary row (stages/windows.lag_fn),
-    delta stamped in the same task — change-detection over an ordered
-    per-entity stream (the UpdateAttribute + DistributedMapCache
-    'previous value' idiom) as one key-partitioned pass."""
-    from ..stages.windows import lag_fn
-
-    ds = _t(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
-    out = ds.groupby("user_id").map_groups(
-        lag_fn("user_id", ["ts", "event_id"], "value", out="prev"),
-        batch_format="pyarrow",
-    )
-
-    def delta(t: pa.Table) -> pa.Table:
-        # null-preserving DuckDB-style round (half-away): _round would
-        # coerce the NULL boundary row to NaN via to_numpy
-        d = pc.subtract(pc.cast(t["value"], pa.float64()), t["prev"])
-        null = pc.is_null(d).to_numpy(zero_copy_only=False)
-        v = d.to_numpy(zero_copy_only=False)
-        with np.errstate(invalid="ignore"):
-            r = np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5) / 100.0
-        return pa.table(
-            {
-                "user_id": t["user_id"],
-                "event_id": t["event_id"],
-                "delta": pa.array(r, pa.float64(), mask=null),
-            }
-        )
-
-    return out.map_batches(delta, batch_format="pyarrow")
-
-
 def q_bpe_train(sf_dir: str):
     """Distributed BPE merge training (stages/bpe.py; subword-nmt
     counting/application semantics) — top-12 merges over the documents
@@ -4465,8 +4417,6 @@ QUERIES = {
     "dense_rank": q_dense_rank,
     "group_quantiles": q_group_quantiles,
     "funnel": q_funnel,
-    "sessionize": q_sessionize,
-    "value_delta": q_value_delta,
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
 }
@@ -5319,33 +5269,6 @@ ORACLE_SQL["funnel"] = """
     FROM u LEFT JOIN v ON u.user_id = v.user_id
            LEFT JOIN c ON u.user_id = c.user_id
            LEFT JOIN p ON u.user_id = p.user_id
-"""
-
-ORACLE_SQL["sessionize"] = """
-    WITH x AS (
-      SELECT user_id, ts,
-             CASE WHEN lag(ts) OVER w IS NULL
-                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 300000000
-                  THEN 1 ELSE 0 END AS new_s
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-    y AS (
-      SELECT user_id, ts,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                              ROWS UNBOUNDED PRECEDING) AS session_id
-      FROM x)
-    SELECT user_id,
-           CAST(session_id AS BIGINT) AS session_id,
-           CAST(count(*) AS BIGINT) AS n_events,
-           epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
-    FROM y GROUP BY user_id, session_id
-"""
-
-ORACLE_SQL["value_delta"] = """
-    SELECT user_id, event_id,
-           round(value - lag(value) OVER (PARTITION BY user_id
-                                          ORDER BY ts, event_id), 2) AS delta
-    FROM events
 """
 
 ORACLE_SQL["stomp_ingest"] = """

@@ -213,73 +213,3 @@ def funnel_stage_fn(
         )
 
     return fn
-
-
-def sessionize_fn(
-    key_col: str, ts_col: str, gap_sec: int, out_prefix: str = "session"
-):
-    """map_groups body: gap-based SESSION windows per key — a new
-    session starts when the time since the previous event (in ts
-    order) exceeds ``gap_sec``. Emits one row per session:
-    (key, session_id 1-based, n_events, dur_us). Fully vectorized:
-    sort, np.diff, boundary cumsum, reduceat over session starts.
-    Ties in ts land in the same session regardless of tie order, so
-    the output is deterministic under unstable sorts."""
-    gap_us = gap_sec * 1_000_000
-
-    def fn(group: pa.Table) -> pa.Table:
-        g = group.sort_by([(ts_col, "ascending")])
-        ts = pc.cast(g[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
-        n = len(ts)
-        boundary = np.ones(n, dtype=np.int64)
-        if n > 1:
-            boundary[1:] = (np.diff(ts) > gap_us).astype(np.int64)
-        sid = np.cumsum(boundary)  # 1-based session id per event
-        starts = np.flatnonzero(boundary)
-        counts = np.diff(np.append(starts, n))
-        first = ts[starts]
-        last = ts[np.append(starts[1:], n) - 1]
-        n_sessions = len(starts)
-        key_type = g.schema.field(key_col).type
-        key_val = g[key_col][0].as_py() if n else None
-        return pa.table(
-            {
-                key_col: pa.array([key_val] * n_sessions, key_type),
-                f"{out_prefix}_id": pa.array(sid[starts], pa.int64()),
-                "n_events": pa.array(counts, pa.int64()),
-                "dur_us": pa.array(last - first, pa.int64()),
-            }
-        )
-
-    return fn
-
-
-def lag_fn(
-    key_col: str,
-    order_cols: list[str],
-    value_col: str,
-    out: str = "lag",
-    lead: bool = False,
-):
-    """map_groups body: LAG(value) (or LEAD with ``lead=True``) OVER
-    (PARTITION BY key ORDER BY order_cols) — the boundary row gets
-    NULL, exactly like SQL. Shift is a numpy slice + validity mask;
-    no Python row loop."""
-
-    def fn(group: pa.Table) -> pa.Table:
-        g = group.sort_by([(c, "ascending") for c in order_cols])
-        v = pc.cast(g[value_col], pa.float64()).to_numpy(zero_copy_only=False)
-        n = len(v)
-        shifted = np.empty(n, dtype=np.float64)
-        mask = np.zeros(n, dtype=bool)
-        if lead:
-            if n > 1:
-                shifted[:-1] = v[1:]
-            mask[-1:] = True
-        else:
-            if n > 1:
-                shifted[1:] = v[:-1]
-            mask[:1] = True
-        return g.append_column(out, pa.array(shifted, pa.float64(), mask=mask))
-
-    return fn

@@ -255,36 +255,3 @@ def test_funnel_requires_strict_order():
     # no view at all → 0
     g3 = pa.table({"u": [3] * 2, "ts": [1, 2], "et": ["click", "purchase"]})
     assert fn(g3)["stage"].to_pylist() == [0]
-
-
-def test_sessionize_gap_boundaries_and_durations():
-    from nifi_ray.stages.windows import sessionize_fn
-
-    us = 1_000_000
-    # gaps: 100s (same), 301s (new), 300s exactly (same — strict >)
-    ts = [0, 100 * us, 401 * us, 701 * us]
-    g = pa.table({"u": [7] * 4, "ts": pa.array(ts, pa.timestamp("us"))})
-    out = sessionize_fn("u", "ts", 300)(g)
-    assert out["session_id"].to_pylist() == [1, 2]
-    assert out["n_events"].to_pylist() == [2, 2]
-    assert out["dur_us"].to_pylist() == [100 * us, 300 * us]
-    assert out["u"].to_pylist() == [7, 7]
-
-
-def test_sessionize_single_event_session():
-    from nifi_ray.stages.windows import sessionize_fn
-
-    g = pa.table({"u": ["a"], "ts": pa.array([5], pa.timestamp("us"))})
-    out = sessionize_fn("u", "ts", 300)(g)
-    assert out["n_events"].to_pylist() == [1]
-    assert out["dur_us"].to_pylist() == [0]
-
-
-def test_lag_and_lead_null_boundaries():
-    from nifi_ray.stages.windows import lag_fn
-
-    g = pa.table({"k": ["x"] * 3, "o": [2, 1, 3], "v": [20.0, 10.0, 30.0]})
-    out = lag_fn("k", ["o"], "v", out="prev")(g)
-    assert out["prev"].to_pylist() == [None, 10.0, 20.0]
-    led = lag_fn("k", ["o"], "v", out="nxt", lead=True)(g)
-    assert led["nxt"].to_pylist() == [20.0, 30.0, None]
