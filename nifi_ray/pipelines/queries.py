@@ -4284,6 +4284,34 @@ def q_bpe_encode(sf_dir: str):
     )
 
 
+def q_inverted_index(sf_dir: str):
+    """Inverted-index build: distinct (term, doc_id) pairs exploded
+    vectorized per batch (stages/quality.term_postings), ONE term-key
+    exchange, then per-term document frequency + the first 10 postings
+    (sorted doc ids, comma-joined). The full posting lists would be
+    data-sized — a real index writes them as term-partitioned parquet;
+    the graded surface carries the capped head + exact df."""
+    from ..stages.quality import term_postings
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ds.map_batches(term_postings(), batch_format="pyarrow")
+
+    def build(group: pa.Table) -> pa.Table:
+        g = group.sort_by("doc_id")
+        ids = g["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "term": g["term"][:1],
+                "df": pa.array([len(ids)], pa.int64()),
+                "postings": pa.array(
+                    [",".join(str(i) for i in ids[:10])], pa.string()
+                ),
+            }
+        )
+
+    return pairs.groupby("term").map_groups(build, batch_format="pyarrow")
+
+
 QUERIES = {
     # ── lake-state / CDC family (the north rule) — 1..15 ──
     "cdc_replay": q_cdc_replay,
@@ -4419,6 +4447,7 @@ QUERIES = {
     "funnel": q_funnel,
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
+    "inverted_index": q_inverted_index,
 }
 
 
@@ -5269,6 +5298,21 @@ ORACLE_SQL["funnel"] = """
     FROM u LEFT JOIN v ON u.user_id = v.user_id
            LEFT JOIN c ON u.user_id = c.user_id
            LEFT JOIN p ON u.user_id = p.user_id
+"""
+
+ORACLE_SQL["inverted_index"] = """
+    WITH exploded AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id,
+               unnest(string_split(
+                 regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' ')) AS term
+        FROM documents)
+      WHERE term <> ''
+    )
+    SELECT term, CAST(count(*) AS BIGINT) AS df,
+           array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 10),
+                           ',') AS postings
+    FROM exploded GROUP BY term
 """
 
 ORACLE_SQL["stomp_ingest"] = """

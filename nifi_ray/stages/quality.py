@@ -466,3 +466,27 @@ class Fingerprinter:
         )
         batch = batch.append_column("fp", fp_col)
         return batch.append_column("fp_min", fp_min)
+
+
+def term_postings(id_col: str = "doc_id", col: str = "text"):
+    """map_batches body: distinct (term, doc_id) pairs — the
+    posting-list explode behind an inverted index. Same vectorized
+    shape as document_frequency (regex fold + split + np.repeat parent
+    ids + Arrow group_by dedup) but keeps the real document id. A doc
+    lives wholly in one row, so per-batch distinct IS global distinct
+    and the term-key exchange carries vocabulary-bounded pairs."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        clean = pc.replace_substring_regex(
+            pc.utf8_lower(batch[col]), pattern="[^a-z]+", replacement=" "
+        )
+        parts = pc.split_pattern(clean, pattern=" ").combine_chunks()
+        flat = pc.list_flatten(parts)
+        lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        ids = np.repeat(batch[id_col].to_numpy(zero_copy_only=False), lens)
+        pairs = pa.table(
+            {"term": flat, "doc_id": pa.array(ids, pa.int64())}
+        ).filter(pc.not_equal(flat, ""))
+        return pairs.group_by(["term", "doc_id"]).aggregate([])
+
+    return fn

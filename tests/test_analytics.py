@@ -255,3 +255,17 @@ def test_funnel_requires_strict_order():
     # no view at all → 0
     g3 = pa.table({"u": [3] * 2, "ts": [1, 2], "et": ["click", "purchase"]})
     assert fn(g3)["stage"].to_pylist() == [0]
+
+
+def test_term_postings_distinct_pairs():
+    from nifi_ray.stages.quality import term_postings
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": ["The cat cat, dog!", "Dog dog 42"],
+        }
+    )
+    out = term_postings()(t)
+    pairs = set(zip(out["term"].to_pylist(), out["doc_id"].to_pylist()))
+    assert pairs == {("the", 1), ("cat", 1), ("dog", 1), ("dog", 2)}
