@@ -4312,6 +4312,45 @@ def q_inverted_index(sf_dir: str):
     return pairs.groupby("term").map_groups(build, batch_format="pyarrow")
 
 
+def q_cooccur_pairs(sf_dir: str):
+    """Document-level term co-occurrence with df marginals — the
+    integer core of PMI / word-association mining: top-30 unordered
+    pairs by doc-co-occurrence plus each side's document frequency
+    (integer output only; the log-ratio belongs to the caller — the
+    repetition_stats float policy). Pairs explode per batch
+    (stages/quality.term_pair_partials — vocabulary-bounded partials),
+    dfs come from the vocab_df kernel; the final join runs over two
+    vocabulary-sized statistics tables on the driver."""
+    from ..stages.quality import document_frequency, term_pair_partials
+
+    docs = _t(sf_dir, "documents", columns=["text"])
+    pairs = pre_aggregate(
+        docs.map_batches(term_pair_partials(col="text"), batch_format="pyarrow"),
+        ["t1", "t2"],
+        {"n_both": ("n_both", "sum")},
+    )
+    top = pa.Table.from_pylist(
+        pairs.sort(["n_both", "t1", "t2"], descending=[True, False, False])
+        .limit(30)
+        .take_all()
+    )
+    dfs = pre_aggregate(
+        docs.map_batches(document_frequency("text"), batch_format="pyarrow"),
+        "term",
+        {"df": ("df", "sum")},
+    )
+    df_map = {r["term"]: r["df"] for r in dfs.take_all()}
+    return pa.table(
+        {
+            "t1": top["t1"],
+            "t2": top["t2"],
+            "n_both": pc.cast(top["n_both"], pa.int64()),
+            "df1": pa.array([df_map[t] for t in top["t1"].to_pylist()], pa.int64()),
+            "df2": pa.array([df_map[t] for t in top["t2"].to_pylist()], pa.int64()),
+        }
+    )
+
+
 QUERIES = {
     # ── lake-state / CDC family (the north rule) — 1..15 ──
     "cdc_replay": q_cdc_replay,
@@ -4448,6 +4487,7 @@ QUERIES = {
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
     "inverted_index": q_inverted_index,
+    "cooccur_pairs": q_cooccur_pairs,
 }
 
 
@@ -5298,6 +5338,27 @@ ORACLE_SQL["funnel"] = """
     FROM u LEFT JOIN v ON u.user_id = v.user_id
            LEFT JOIN c ON u.user_id = c.user_id
            LEFT JOIN p ON u.user_id = p.user_id
+"""
+
+ORACLE_SQL["cooccur_pairs"] = """
+    WITH exploded AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id,
+               unnest(string_split(
+                 regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' ')) AS term
+        FROM documents)
+      WHERE term <> ''
+    ),
+    df AS (SELECT term, count(*) AS df FROM exploded GROUP BY term),
+    pairs AS (
+      SELECT a.term AS t1, b.term AS t2, count(*) AS n_both
+      FROM exploded a JOIN exploded b
+        ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2)
+    SELECT t1, t2, CAST(n_both AS BIGINT) AS n_both,
+           CAST(d1.df AS BIGINT) AS df1, CAST(d2.df AS BIGINT) AS df2
+    FROM pairs JOIN df d1 ON d1.term = t1 JOIN df d2 ON d2.term = t2
+    ORDER BY n_both DESC, t1, t2 LIMIT 30
 """
 
 ORACLE_SQL["inverted_index"] = """

@@ -490,3 +490,35 @@ def term_postings(id_col: str = "doc_id", col: str = "text"):
         return pairs.group_by(["term", "doc_id"]).aggregate([])
 
     return fn
+
+
+def term_pair_partials(id_col: str = "doc_id", col: str = "text"):
+    """map_batches body: per-doc DISTINCT unordered term pairs
+    (t1 < t2), pre-counted within the batch — the document-level
+    co-occurrence explode behind PMI / word-association statistics.
+    Terms fold exactly like document_frequency. The Python loop runs
+    over each doc's distinct-term set (vocabulary-bounded, not token
+    count); a doc lives wholly in one row so per-batch counts sum
+    correctly across batches, and the pair-key exchange carries
+    O(vocab²)-bounded partials, never the corpus."""
+    import itertools
+
+    def fn(batch: pa.Table) -> pa.Table:
+        clean = pc.replace_substring_regex(
+            pc.utf8_lower(batch[col]), pattern="[^a-z]+", replacement=" "
+        )
+        cnt: dict[tuple[str, str], int] = {}
+        for words in pc.split_pattern(clean, pattern=" ").to_pylist():
+            terms = sorted({w for w in (words or []) if w})
+            for p in itertools.combinations(terms, 2):
+                cnt[p] = cnt.get(p, 0) + 1
+        t1, t2 = zip(*cnt.keys()) if cnt else ((), ())
+        return pa.table(
+            {
+                "t1": pa.array(list(t1), pa.string()),
+                "t2": pa.array(list(t2), pa.string()),
+                "n_both": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    return fn

@@ -269,3 +269,22 @@ def test_term_postings_distinct_pairs():
     out = term_postings()(t)
     pairs = set(zip(out["term"].to_pylist(), out["doc_id"].to_pylist()))
     assert pairs == {("the", 1), ("cat", 1), ("dog", 1), ("dog", 2)}
+
+
+def test_term_pair_partials_distinct_unordered():
+    from nifi_ray.stages.quality import term_pair_partials
+
+    t = pa.table({"text": ["cat dog cat bird", "dog cat", None, "solo"]})
+    out = term_pair_partials(col="text")(t)
+    got = {
+        (a, b): n
+        for a, b, n in zip(
+            out["t1"].to_pylist(), out["t2"].to_pylist(), out["n_both"].to_pylist()
+        )
+    }
+    # per-doc distinct pairs, t1 < t2; repeats inside a doc count once
+    assert got == {
+        ("bird", "cat"): 1,
+        ("bird", "dog"): 1,
+        ("cat", "dog"): 2,
+    }
