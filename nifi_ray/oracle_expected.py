@@ -1282,7 +1282,66 @@ def expected_bpe_encode(sf_dir: str, n_merges: int = 12) -> pa.Table:
     )
 
 
+# ----------------------------------------------------------- kmeans_train
+
+
+def expected_kmeans_train(sf_dir: str, k: int = 6, iters: int = 3) -> pa.Table:
+    """Sequential full-corpus Lloyd spherical k-means
+    (queries.q_kmeans_train semantics): rows in vec_id order, init =
+    first k unit vectors, per-iteration argmax assignment followed by a
+    per-cell sum in vec_id order (numpy's pairwise summation over the
+    same-ordered float64 matrix reproduces the engine's
+    order-canonicalized distributed reduction bitwise), centroids
+    rounded to 9 dp between iterations. A trailing report pass against
+    the FINAL centroids yields (cell, n_members, avg_sim, c0, c1)."""
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    ).sort_by("vec_id")
+    X = np.vstack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    X = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-12, None)
+    C = np.round(X[:k].copy(), 9)
+
+    def _assign(cur: np.ndarray) -> np.ndarray:
+        return np.argmax(X @ cur.T, axis=1)
+
+    for _ in range(iters):
+        assign = _assign(C)
+        newC = C.copy()
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                S = members.sum(axis=0)
+                norm = np.linalg.norm(S)
+                if norm > 1e-12:
+                    newC[c] = S / norm
+        C = np.round(newC, 9)
+
+    assign = _assign(C)
+    cells, ns, avg, c0, c1 = [], [], [], [], []
+    for c in range(k):
+        members = X[assign == c]
+        if not len(members):
+            continue
+        sims = members @ C[c]
+        cells.append(c)
+        ns.append(len(members))
+        avg.append(round(float(np.sum(sims)) / len(members), 6))
+        c0.append(round(float(C[c, 0]), 6))
+        c1.append(round(float(C[c, 1]), 6))
+    return pa.table(
+        {
+            "cell": pa.array(cells, pa.int32()),
+            "n_members": pa.array(ns, pa.int64()),
+            "avg_sim": pa.array(avg, pa.float64()),
+            "c0": pa.array(c0, pa.float64()),
+            "c1": pa.array(c1, pa.float64()),
+        }
+    )
+
+
 EXPECTED_BUILDERS = {
+    "kmeans_train": expected_kmeans_train,
     "monitor_lag": expected_monitor_lag,
     "mime_identify": expected_mime_identify,
     "listing_watermark": expected_listing_watermark,

@@ -4351,6 +4351,88 @@ def q_cooccur_pairs(sf_dir: str):
     )
 
 
+def q_kmeans_train(sf_dir: str):
+    """Distributed full-corpus Lloyd k-means
+    (stages/similarity.kmeans_full): the clustering pass of a
+    semantic-curation pipeline (SemDeDup / cluster-balanced sampling,
+    Abbas et al. 2023) run over EVERY embedding — unlike kmeans_lite,
+    which only ever sees a constant-size quantizer sample. Per
+    iteration one ray.put broadcast of the k×dim centroids, one
+    assignment map_batches, one groupby(cell) whose per-cell reduction
+    sorts by vec_id so the float64 sums are order-canonical
+    (bitwise-reproducible by the sequential oracle in
+    oracle_expected.expected_kmeans_train); only k sufficient-statistic
+    rows reach the driver per round. Init = the first k vectors in
+    vec_id order (no RNG); centroids round to 9 dp between iterations
+    so last-ulp BLAS drift cannot flip an assignment. Graded on
+    (cell, n_members, avg_sim, c0, c1) at 6 dp, stats measured against
+    the final centroids."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import kmeans_full
+
+    K, ITERS = 6, 3
+    head = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).sort_by("vec_id")
+    init = np.vstack(
+        head.slice(0, K)["embedding"].to_numpy(zero_copy_only=False)
+    ).astype(np.float64)
+    init = init / np.clip(np.linalg.norm(init, axis=1, keepdims=True), 1e-12, None)
+
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    C, stats = kmeans_full(ds, init, iters=ITERS, concurrency=_pool())
+    stats = sorted(stats, key=lambda r: r["cell"])
+    return pa.table(
+        {
+            "cell": pa.array([int(r["cell"]) for r in stats], pa.int32()),
+            "n_members": pa.array([int(r["n"]) for r in stats], pa.int64()),
+            "avg_sim": pa.array(
+                [round(r["sim_sum"] / r["n"], 6) for r in stats], pa.float64()
+            ),
+            "c0": pa.array(
+                [round(float(C[int(r["cell"]), 0]), 6) for r in stats], pa.float64()
+            ),
+            "c1": pa.array(
+                [round(float(C[int(r["cell"]), 1]), 6) for r in stats], pa.float64()
+            ),
+        }
+    )
+
+
+def q_bigram_logprob(sf_dir: str):
+    """Corpus bigram-LM quality scoring (stages/quality.BigramLM): the
+    order-sensitive companion to unigram_logprob — together the cheap
+    stand-ins for the CCNet KenLM perplexity gate. Pass 1 aggregates
+    the corpus bigram count table (bigram-vocabulary-sized partials,
+    never the corpus) and derives the conditional model
+    p(w2|w1) = c(w1,w2)/Σ_w c(w1,w); pass 2 broadcasts it via ONE
+    ray.put and scores every doc's mean negative ln-likelihood per
+    adjacent pair in an actor pool. Graded per doc on
+    (n_bigram, avg_nll rounded 3) vs a DuckDB oracle recomputing the
+    same model with zipped-unnest pair extraction."""
+    import ray as _ray
+
+    from ..stages.quality import BigramLM, bigram_frequency
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    partials = ds.map_batches(bigram_frequency("text"), batch_format="pyarrow")
+    counts_tbl = pre_aggregate(
+        partials, ["w1", "w2"], {"tf": ("tf", "sum")}
+    ).take_all()
+    counts = {(r["w1"], r["w2"]): r["tf"] for r in counts_tbl}
+    ref = _ray.put(counts)
+    scored = ds.map_batches(
+        BigramLM,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        concurrency=_pool(),
+    )
+    return _round(
+        scored.select_columns(["doc_id", "n_bigram", "avg_nll"]), {"avg_nll": 3}
+    )
+
+
 QUERIES = {
     # ── lake-state / CDC family (the north rule) — 1..15 ──
     "cdc_replay": q_cdc_replay,
@@ -4488,6 +4570,8 @@ QUERIES = {
     "bpe_encode": q_bpe_encode,
     "inverted_index": q_inverted_index,
     "cooccur_pairs": q_cooccur_pairs,
+    "kmeans_train": q_kmeans_train,
+    "bigram_logprob": q_bigram_logprob,
 }
 
 
@@ -5182,6 +5266,34 @@ ORACLE_SQL["unigram_logprob"] = """
     )
     SELECT d.doc_id,
            CAST(coalesce(per.n, 0) AS BIGINT) AS n_tok,
+           round(coalesce(-per.lp / per.n, 0), 3) AS avg_nll
+    FROM documents d LEFT JOIN per USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+ORACLE_SQL["bigram_logprob"] = """
+    WITH lists AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
+               w -> w <> '') AS l
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id,
+             unnest(l[1:len(l) - 1]) AS w1,
+             unnest(l[2:len(l)]) AS w2
+      FROM lists WHERE len(l) >= 2
+    ),
+    cnt AS (SELECT w1, w2, count(*) AS c FROM pairs GROUP BY 1, 2),
+    c1 AS (SELECT w1, sum(c) AS s FROM cnt GROUP BY 1),
+    per AS (
+      SELECT p.doc_id, sum(ln(cnt.c / c1.s)) AS lp, count(*) AS n
+      FROM pairs p JOIN cnt USING (w1, w2) JOIN c1 USING (w1)
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(per.n, 0) AS BIGINT) AS n_bigram,
            round(coalesce(-per.lp / per.n, 0), 3) AS avg_nll
     FROM documents d LEFT JOIN per USING (doc_id)
     ORDER BY d.doc_id

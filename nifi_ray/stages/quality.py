@@ -522,3 +522,88 @@ def term_pair_partials(id_col: str = "doc_id", col: str = "text"):
         )
 
     return fn
+
+
+# ------------------------------------------------------------- bigram LM
+
+_BIGRAM_SEP = "\x1f"
+
+
+def bigram_frequency(col: str = "text"):
+    """Stateless map_batches body: per-batch corpus BIGRAM-frequency
+    partials — pass 1 of bigram-LM training (the order-sensitive step
+    a unigram model misses; together they are the cheap stand-ins for
+    the KenLM perplexity gate of CCNet-style curation). Adjacent word
+    pairs are taken WITHIN a document only (the doc-index delta mask),
+    each batch shrinks to its distinct-pair set before the shuffle, and
+    downstream pre_aggregate((w1,w2), sum) yields the bigram-vocabulary
+    -sized count table."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        d, toks, _ = _explode_terms(batch, col)
+        if len(d) >= 2:
+            adj = np.flatnonzero(d[1:] == d[:-1])
+        else:
+            adj = np.zeros(0, np.int64)
+        t = pa.table(
+            {
+                "w1": pa.array(toks[adj].tolist(), pa.string()),
+                "w2": pa.array(toks[adj + 1].tolist(), pa.string()),
+                "one": pa.array(np.ones(len(adj), np.int64)),
+            }
+        )
+        out = t.group_by(["w1", "w2"]).aggregate([("one", "sum")])
+        return out.rename_columns(["w1", "w2", "tf"])
+
+    return fn
+
+
+class BigramLM:
+    """Actor-pool stage: corpus bigram language-model scoring. Two
+    passes like UnigramLM: the caller aggregates the corpus bigram
+    count table (bigram-vocabulary-sized — tiny relative to the corpus)
+    and broadcasts it via ONE ``ray.put``; each actor resolves the ref
+    once in ``__init__``, derives the conditional model
+    lp(w1,w2) = ln(c(w1,w2) / Σ_w c(w1,w)) , and scores every batch
+    vectorized (pair-key hash-map lookup, per-doc sums via
+    bincount-with-weights). Emits ``n_bigram`` (scored adjacent pairs)
+    and ``avg_nll`` (mean negative ln-likelihood per pair; 0.0 for docs
+    with fewer than two tokens). Every in-corpus pair is in-vocabulary
+    by construction; the OOV mask mirrors the SQL oracle's inner join
+    anyway."""
+
+    def __init__(self, counts_ref, col: str = "text"):
+        import ray
+
+        counts: dict[tuple[str, str], int] = ray.get(counts_ref)
+        c1: dict[str, int] = {}
+        for (a, _b), c in counts.items():
+            c1[a] = c1.get(a, 0) + c
+        self.logp = {
+            a + _BIGRAM_SEP + b: float(np.log(c / c1[a]))
+            for (a, b), c in counts.items()
+        }
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        d, toks, n_docs = _explode_terms(batch, self.col)
+        n_bi = np.zeros(n_docs, np.int64)
+        avg = np.zeros(n_docs, np.float64)
+        if len(d) >= 2:
+            adj = np.flatnonzero(d[1:] == d[:-1])
+            if len(adj):
+                keys = toks[adj] + _BIGRAM_SEP + toks[adj + 1]
+                lp = pd.Series(keys).map(self.logp).to_numpy(
+                    np.float64, na_value=np.nan
+                )
+                ok = ~np.isnan(lp)
+                dd = d[adj][ok]
+                if len(dd):
+                    n_bi[: dd.max() + 1] = np.bincount(dd)
+                    sums = np.bincount(dd, weights=lp[ok])
+                    nz = n_bi[: len(sums)] > 0
+                    avg[: len(sums)][nz] = -sums[nz] / n_bi[: len(sums)][nz]
+        batch = batch.append_column("n_bigram", pa.array(n_bi, pa.int64()))
+        return batch.append_column("avg_nll", pa.array(avg, pa.float64()))

