@@ -1340,8 +1340,32 @@ def expected_kmeans_train(sf_dir: str, k: int = 6, iters: int = 3) -> pa.Table:
     )
 
 
+# ------------------------------------------------------------ hll_distinct
+
+
+def expected_hll_distinct(sf_dir: str) -> pa.Table:
+    """Sequential HyperLogLog (queries.q_hll_distinct semantics): hash
+    each whole column once, build one register array, estimate. The
+    engine's per-batch max-merged registers must equal this single-pass
+    array exactly (max-merge is associative/commutative/idempotent), so
+    the integer estimates coincide bit-for-bit."""
+    from .stages.sketch import hll_estimate, hll_registers
+
+    cols = ["event_type", "user_id"]  # output sorted by column name
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=cols)
+    return pa.table(
+        {
+            "column": pa.array(cols, pa.string()),
+            "est_distinct": pa.array(
+                [hll_estimate(hll_registers(tbl[c])) for c in cols], pa.int64()
+            ),
+        }
+    )
+
+
 EXPECTED_BUILDERS = {
     "kmeans_train": expected_kmeans_train,
+    "hll_distinct": expected_hll_distinct,
     "monitor_lag": expected_monitor_lag,
     "mime_identify": expected_mime_identify,
     "listing_watermark": expected_listing_watermark,

@@ -4433,6 +4433,55 @@ def q_bigram_logprob(sf_dir: str):
     )
 
 
+def q_hll_distinct(sf_dir: str):
+    """HyperLogLog count-distinct (stages/sketch.py): the corpus-scale
+    COUNT(DISTINCT) — exact distinct is an all-to-all exchange of every
+    distinct value; the sketch is a CONSTANT-size register array merged
+    by elementwise max, so per-block partials are ~4 KB regardless of
+    block size and the operator is one streaming pass at any corpus
+    size. Per-batch partials → groupby(column) max-merge (the exchange
+    carries one tiny row per block) → driver estimates from 2 register
+    rows. Deterministic: registers are a pure function of the value SET
+    (CRC→splitmix hash, max-merge), independent of order and batch
+    composition — the oracle (oracle_expected.expected_hll_distinct)
+    recomputes the sketch sequentially and must agree bit-for-bit."""
+    from ..stages.sketch import hll_estimate, hll_merge, hll_partials_fn
+    from ..util.io import drop_schemaless_empties
+
+    COLS = ["user_id", "event_type"]
+    ds = _t(sf_dir, "events", columns=COLS)
+    parts = ds.map_batches(hll_partials_fn(COLS), batch_format="pyarrow")
+
+    def merge_group(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.schema(
+                [("column", pa.string()), ("registers", pa.list_(pa.uint8()))]
+            ).empty_table()
+        regs = hll_merge(
+            [np.asarray(r, np.uint8) for r in t["registers"].to_pylist()]
+        )
+        return pa.table(
+            {
+                "column": pa.array([t["column"][0].as_py()], pa.string()),
+                "registers": pa.array([regs.tolist()], pa.list_(pa.uint8())),
+            }
+        )
+
+    merged = drop_schemaless_empties(
+        parts.groupby("column").map_groups(merge_group, batch_format="pyarrow")
+    ).take_all()  # one row per column, never the corpus
+    merged.sort(key=lambda r: r["column"])
+    return pa.table(
+        {
+            "column": pa.array([r["column"] for r in merged], pa.string()),
+            "est_distinct": pa.array(
+                [hll_estimate(np.asarray(r["registers"], np.uint8)) for r in merged],
+                pa.int64(),
+            ),
+        }
+    )
+
+
 QUERIES = {
     # ── lake-state / CDC family (the north rule) — 1..15 ──
     "cdc_replay": q_cdc_replay,
@@ -4572,6 +4621,7 @@ QUERIES = {
     "cooccur_pairs": q_cooccur_pairs,
     "kmeans_train": q_kmeans_train,
     "bigram_logprob": q_bigram_logprob,
+    "hll_distinct": q_hll_distinct,
 }
 
 
