@@ -4482,6 +4482,31 @@ def q_hll_distinct(sf_dir: str):
     )
 
 
+def q_weighted_sample(sf_dir: str):
+    """Weighted reservoir sample WITHOUT a corpus shuffle
+    (stages/packing.weighted_sample_key_fn — Efraimidis–Spirakis
+    A-ES): each doc gets key = ln(md5-uniform)/weight (weight =
+    n_chars), each block prunes to its LOCAL top-16 before the
+    exchange, and the global top-16 by key is a weighted sample
+    without replacement — the training-mixture sampler shape that
+    stays one streaming pass at any corpus size (contrast the full
+    sort a naive ORDER BY random() needs). Keys are micro-ints so the
+    graded ordering is integer; ties break by doc_id in both engines.
+    Graded on the exact 16 sampled rows vs a DuckDB oracle recomputing
+    the identical key."""
+    from ..stages.packing import weighted_sample_key_fn
+
+    K = 16
+    ds = _t(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    pruned = ds.map_batches(
+        weighted_sample_key_fn("n_chars", "doc_id", K), batch_format="pyarrow"
+    )
+    top = pruned.sort(["key_micro", "doc_id"], descending=[True, False]).limit(K)
+    return pa.Table.from_pylist(top.take_all()).select(
+        ["doc_id", "n_chars", "key_micro"]
+    )
+
+
 QUERIES = {
     # ── lake-state / CDC family (the north rule) — 1..15 ──
     "cdc_replay": q_cdc_replay,
@@ -4622,6 +4647,7 @@ QUERIES = {
     "kmeans_train": q_kmeans_train,
     "bigram_logprob": q_bigram_logprob,
     "hll_distinct": q_hll_distinct,
+    "weighted_sample": q_weighted_sample,
 }
 
 
@@ -5319,6 +5345,17 @@ ORACLE_SQL["unigram_logprob"] = """
            round(coalesce(-per.lp / per.n, 0), 3) AS avg_nll
     FROM documents d LEFT JOIN per USING (doc_id)
     ORDER BY d.doc_id
+"""
+
+ORACLE_SQL["weighted_sample"] = """
+    SELECT doc_id, n_chars,
+           CAST(floor(
+             ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) + 0.5) / 4294967296.0)
+             / n_chars * 1000000000 + 0.5) AS BIGINT) AS key_micro
+    FROM documents
+    ORDER BY key_micro DESC, doc_id
+    LIMIT 16
 """
 
 ORACLE_SQL["bigram_logprob"] = """

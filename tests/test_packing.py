@@ -87,3 +87,34 @@ def test_temperature_mix_weights_balance_sources():
     # expected kept mass c_s * w_s = c_min^(1-a) * c_s^a grows sublinearly
     kept = {s: counts[s] * w[s] for s in counts}
     assert kept["head"] / kept["rare"] < counts["head"] / counts["rare"] / 10
+
+
+def test_weighted_sample_key_matches_scalar_and_prunes():
+    import hashlib
+
+    import numpy as np
+
+    from nifi_ray.stages.packing import weighted_sample_key_fn
+
+    ids = list(range(40))
+    w = [10 + (i % 7) * 50 for i in ids]
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "n_chars": pa.array(w, pa.int64())})
+    out = weighted_sample_key_fn("n_chars", "doc_id", k=5)(t)
+    # local prune: only k rows survive the block
+    assert out.num_rows == 5
+    # scalar replay of the A-ES key for every input row
+    def key(i, wi):
+        h = int.from_bytes(hashlib.md5(str(i).encode()).digest()[:4], "big")
+        u = (h + 0.5) / 2.0**32
+        import math
+        return math.floor(math.log(u) / wi * 1e9 + 0.5)
+    keys = sorted(((key(i, wi), -i) for i, wi in zip(ids, w)), reverse=True)[:5]
+    expect = sorted(-neg_i for _, neg_i in keys)
+    assert sorted(out["doc_id"].to_pylist()) == expect
+    assert out["key_micro"].to_pylist() == [key(i, dict(zip(ids, w))[i]) for i in out["doc_id"].to_pylist()]
+    # batch-split invariance of the global winner set: union of two
+    # block-local top-5s contains the global top-5
+    a = weighted_sample_key_fn("n_chars", "doc_id", k=5)(t.slice(0, 17))
+    b = weighted_sample_key_fn("n_chars", "doc_id", k=5)(t.slice(17))
+    union = set(a["doc_id"].to_pylist()) | set(b["doc_id"].to_pylist())
+    assert set(expect) <= union
