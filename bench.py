@@ -99,11 +99,20 @@ def host_calibration() -> dict:
       actually degrades in bad windows (per-CPU throughput collapse at
       high parallelism while single-thread looks normal).
 
+    - ``spin_mops_8t``: 8 threads each running a fixed GIL-released
+      numpy integer-ALU kernel over an L1-resident array — bandwidth-
+      INsensitive, so it isolates the CPU axis (frequency scaling /
+      hypervisor steal). Added after a run where both memcpy probes
+      read fast-class while absolute engine throughput sat 2x below the
+      recorded fast-window numbers at every parallelism level: that
+      drift class is invisible to a bandwidth probe.
+
     Classification rule: BASELINE.md records the calibration values
     measured alongside known-fast and known-degraded engine runs; a
     run whose 8t figure sits well below the recorded fast-window value
     is a degraded window and its engine numbers should not be read as
-    regressions."""
+    regressions. A run whose memcpy reads fast but whose spin figure
+    sits low is the CPU-steal class — equally not a code regression."""
     import threading
 
     import numpy as np
@@ -142,9 +151,43 @@ def host_calibration() -> dict:
         t.join()
     elapsed = time.perf_counter() - t0
     multi_t = nt * reps * nm / elapsed / 1e9
+
+    # CPU-axis probe: integer multiply-xor over a 512 KB (L2) array,
+    # fixed iteration count, 8 threads (numpy ufuncs release the GIL).
+    spin_n, spin_reps = 65536, 300
+    bufs = [
+        (np.arange(spin_n, dtype=np.int64), np.empty(spin_n, np.int64))
+        for _ in range(nt)
+    ]
+    start2 = threading.Barrier(nt + 1)
+
+    def spin(b):
+        x, tmp = b  # fully in-place: no allocator / memory-axis noise
+        start2.wait()
+        for _ in range(spin_reps):
+            np.multiply(x, 1103515245, out=x)
+            np.add(x, 12345, out=x)
+            np.right_shift(x, 13, out=tmp)
+            np.bitwise_xor(x, tmp, out=x)
+
+    spin_best = float("inf")
+    for _ in range(3):  # best-of-3: the probe must out-sample the drift
+        start2 = threading.Barrier(nt + 1)
+        threads = [threading.Thread(target=spin, args=(b,)) for b in bufs]
+        for t in threads:
+            t.start()
+        start2.wait()
+        t0 = time.perf_counter()
+        for t in threads:
+            t.join()
+        spin_best = min(spin_best, time.perf_counter() - t0)
+    # 4 ufunc ops per rep per element
+    spin_mops = nt * spin_reps * spin_n * 4 / spin_best / 1e6
+
     return {
         "memcpy_gbps_1t": round(one_t, 2),
         "memcpy_gbps_8t": round(multi_t, 2),
+        "spin_mops_8t": round(spin_mops, 0),
     }
 
 
@@ -267,9 +310,11 @@ def run_bench() -> dict:
         # the window it actually ran in — scaling-mode parity pairing
         # (compare levels only at like-for-like windows) needs this,
         # because this host can swap window class BETWEEN iterations
+        _cal = host_calibration()
         iter_detail.append(
             {"sec": round(t_it, 3),
-             "cal_8t": host_calibration()["memcpy_gbps_8t"]}
+             "cal_8t": _cal["memcpy_gbps_8t"],
+             "spin": _cal["spin_mops_8t"]}
         )
         shutil.rmtree(lake_dir, ignore_errors=True)
 
@@ -372,10 +417,15 @@ def main():
         lo_iters = [d for r in lo_runs for d in r.get("iters_detail", [])]
         hi_iters = [d for r in hi_runs for d in r.get("iters_detail", [])]
         parity = None
-        pairs = [
-            (abs(math.log(max(a["cal_8t"], 1e-9) / max(b["cal_8t"], 1e-9))), a, b)
-            for a in lo_iters for b in hi_iters
-        ]
+        def _gap(a, b):
+            # combined window distance: bandwidth axis + CPU axis (the
+            # spin probe; absent in pre-probe records → bandwidth only)
+            g = abs(math.log(max(a["cal_8t"], 1e-9) / max(b["cal_8t"], 1e-9)))
+            if "spin" in a and "spin" in b:
+                g += abs(math.log(max(a["spin"], 1e-9) / max(b["spin"], 1e-9)))
+            return g
+
+        pairs = [(_gap(a, b), a, b) for a in lo_iters for b in hi_iters]
         if pairs:
             gap, a, b = min(pairs, key=lambda p: p[0])
             parity = {
@@ -384,6 +434,8 @@ def main():
                 f"sec_{hi_cpus}": b["sec"],
                 f"cal_8t_{lo_cpus}": a["cal_8t"],
                 f"cal_8t_{hi_cpus}": b["cal_8t"],
+                f"spin_{lo_cpus}": a.get("spin"),
+                f"spin_{hi_cpus}": b.get("spin"),
                 "cal_gap_x": round(math.exp(gap), 2),
             }
         print(
