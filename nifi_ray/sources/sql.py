@@ -113,6 +113,11 @@ def generate_table_fetch(
 
     def lit(v):
         if isinstance(v, str):
+            # control characters (NUL especially) cannot appear inside a
+            # quoted SQL literal — emit those boundaries as
+            # decode(from_hex(..)) which is parser-safe for ANY content
+            if any(ord(c) < 0x20 or ord(c) == 0x7F for c in v):
+                return f"decode(from_hex('{v.encode('utf-8').hex()}'))"
             return "'" + v.replace("'", "''") + "'"
         return repr(v)
 
