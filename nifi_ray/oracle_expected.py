@@ -1363,7 +1363,74 @@ def expected_hll_distinct(sf_dir: str) -> pa.Table:
     )
 
 
+# ------------------------------------------------- content-defined chunking
+
+
+def expected_cdc_chunking(sf_dir: str) -> pa.Table:
+    """Sequential per-document re-chunking (queries.q_cdc_chunking
+    semantics): chunk each document ALONE via the single-doc kernel
+    (stages/chunking.chunk_spans) — agreement with the engine's
+    flattened-batch kernel proves batch composition cannot move a
+    boundary."""
+    import hashlib
+
+    from .stages.chunking import chunk_spans
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    n_chunks, max_len, sigs = [], [], []
+    for t in tbl["text"].to_pylist():
+        buf = t.encode("utf-8")
+        sp = chunk_spans(buf)
+        digests = b"".join(
+            hashlib.blake2b(buf[s:e], digest_size=8).digest() for s, e in sp
+        )
+        n_chunks.append(len(sp))
+        max_len.append(max((e - s for s, e in sp), default=0))
+        sigs.append(hashlib.blake2b(digests, digest_size=8).hexdigest())
+    return pa.table(
+        {
+            "doc_id": tbl["doc_id"],
+            "n_chunks": pa.array(n_chunks, pa.int64()),
+            "max_chunk_len": pa.array(max_len, pa.int64()),
+            "chunk_sig": pa.array(sigs, pa.string()),
+        }
+    )
+
+
+def expected_chunk_dedup(sf_dir: str) -> pa.Table:
+    """Sequential chunk-store stats: one dict over every chunk of every
+    document, chunked per-document via the single-doc kernel."""
+    import hashlib
+
+    from .stages.chunking import chunk_spans
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    store: dict[str, int] = {}
+    total_chunks = total_bytes = 0
+    for t in tbl["text"].to_pylist():
+        buf = t.encode("utf-8")
+        for s, e in chunk_spans(buf):
+            h = hashlib.blake2b(buf[s:e], digest_size=8).hexdigest()
+            store.setdefault(h, e - s)
+            total_chunks += 1
+            total_bytes += e - s
+    return pa.table(
+        {
+            "total_chunks": pa.array([total_chunks], pa.int64()),
+            "unique_chunks": pa.array([len(store)], pa.int64()),
+            "total_bytes": pa.array([total_bytes], pa.int64()),
+            "unique_bytes": pa.array([sum(store.values())], pa.int64()),
+        }
+    )
+
+
 EXPECTED_BUILDERS = {
+    "cdc_chunking": expected_cdc_chunking,
+    "chunk_dedup": expected_chunk_dedup,
     "kmeans_train": expected_kmeans_train,
     "hll_distinct": expected_hll_distinct,
     "monitor_lag": expected_monitor_lag,

@@ -25,7 +25,7 @@ from ..stages import dedup as dd
 from ..stages import text as tx
 from ..stages.aggregate import pre_aggregate
 from ..stages.attrs import derive
-from ..stages.lookup import BroadcastEnrich, scan_filter
+from ..stages.lookup import BroadcastEnrich, enrich_fn, scan_filter
 from ..stages.lww import lww_latest
 from ..stages.quality import (
     TOKEN_PATTERN,
@@ -4507,6 +4507,287 @@ def q_weighted_sample(sf_dir: str):
     )
 
 
+def q_heavy_hitters(sf_dir: str, *, summary_k: int = 1024, top_k: int = 16):
+    """Exact top-K frequent keys WITHOUT a full-cardinality groupby
+    (stages/sketch.topk_summary_fn — SpaceSaving/Misra–Gries family):
+    each block emits its top-k in-block counts plus a truncation bound
+    eps_b; partials merge by per-key sum (one tiny exchange, O(k) per
+    block regardless of block size). When Σeps = 0 the merged partials
+    ARE exact (every block held ≤ k distinct — the lossless regime) and
+    top-K reads straight off them. Otherwise a candidate recount pass +
+    certificate (K-th recounted count must exceed the best possible
+    uncounted key = boundary partial + Σeps) decides exactness, falling
+    back to the full exact groupby only when the data is too flat to
+    certify — the honest behavior when there ARE no heavy hitters.
+    Contrast topk_users: that is the pre-aggregate-then-exchange exact
+    path, which ships one row per DISTINCT key; this ships one row per
+    (block × k) and is the only shape when distinct keys themselves
+    exceed cluster memory (10^9 users)."""
+    import ray as _ray
+
+    from ..stages.sketch import TOPK_EPS_KEY, topk_summary_fn
+
+    K, SUMMARY_K = top_k, summary_k
+    COLS = ["user_id", "event_type"]
+    ds = _t(sf_dir, "events", columns=COLS)
+    parts = ds.map_batches(
+        topk_summary_fn(COLS, SUMMARY_K), batch_format="pyarrow"
+    )
+    agg = pre_aggregate(parts, "key", {"cnt": ("cnt", "sum")})
+
+    def split_eps(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["key"], TOPK_EPS_KEY))
+
+    def drop_eps(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t["key"], TOPK_EPS_KEY))
+
+    eps_rows = agg.map_batches(split_eps, batch_format="pyarrow").take_all()
+    total_eps = sum(r["cnt"] for r in eps_rows)
+    keys_only = agg.map_batches(drop_eps, batch_format="pyarrow")
+    if total_eps == 0:
+        top = keys_only.sort(["cnt", "key"], descending=[True, False]).limit(K)
+        return pa.Table.from_pylist(top.take_all()).select(["key", "cnt"])
+    # truncated regime: recount a candidate superset exactly, certify
+    M = 8 * K
+    cand = keys_only.sort(
+        ["cnt", "key"], descending=[True, False]
+    ).limit(M + 1).take_all()
+    boundary = cand[M]["cnt"] if len(cand) > M else 0
+    cand_keys = {r["key"] for r in cand[:M]}
+    ref = _ray.put(cand_keys)
+
+    def recount(t: pa.Table) -> pa.Table:
+        key = pc.cast(t[COLS[0]], pa.string())
+        for c in COLS[1:]:
+            key = pc.binary_join_element_wise(key, pc.cast(t[c], pa.string()), ":")
+        m = pc.is_in(key, value_set=pa.array(sorted(_ray.get(ref))))
+        return pa.table({"key": key.filter(m)})
+
+    exact = pre_aggregate(
+        ds.map_batches(recount, batch_format="pyarrow"),
+        "key",
+        {"cnt": ("key", "count")},
+    )
+    top = exact.sort(["cnt", "key"], descending=[True, False]).limit(K).take_all()
+    if len(top) == K and top[-1]["cnt"] > boundary + total_eps:
+        return pa.Table.from_pylist(top).select(["key", "cnt"])
+    # flat data: no certificate possible — exact full groupby fallback
+
+    def full_key(t: pa.Table) -> pa.Table:
+        key = pc.cast(t[COLS[0]], pa.string())
+        for c in COLS[1:]:
+            key = pc.binary_join_element_wise(key, pc.cast(t[c], pa.string()), ":")
+        return pa.table({"key": key})
+
+    exact = pre_aggregate(
+        ds.map_batches(full_key, batch_format="pyarrow"),
+        "key",
+        {"cnt": ("key", "count")},
+    )
+    top = exact.sort(["cnt", "key"], descending=[True, False]).limit(K)
+    return pa.Table.from_pylist(top.take_all()).select(["key", "cnt"])
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """TPC-H Q5-shaped 4-table chain: revenue per customer nation.
+    Join plan by side size — nation (25 rows) folds into customer
+    driver-side; customer→nation (one small dim, broadcast once via
+    ray.put) enriches orders inside map_batches; lineitem pre-aggregates
+    revenue to ONE row per order BEFORE the only real exchange (revenue
+    is additive, ~4x fewer shuffled rows); the surviving big-big edge
+    (lineitem×orders on orderkey) is Ray Data's native hash-shuffle
+    join. At 100 TB the dims stay broadcast (customer ≪ facts) and the
+    single hash exchange is the unavoidable one."""
+    import ray as _ray
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+    idx = pc.index_in(cust["c_nationkey"], value_set=nation["n_nationkey"].combine_chunks())
+    dim = pa.table(
+        {"c_custkey": cust["c_custkey"], "n_name": nation["n_name"].take(idx)}
+    )
+    ref = _ray.put(dim)
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
+        enrich_fn(ref, "o_custkey", "c_custkey", columns=["n_name"]),
+        batch_format="pyarrow",
+    )
+    li = _t(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(
+        derive(
+            {
+                "rev": lambda t: pc.multiply(
+                    t["l_extendedprice"],
+                    pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    li = pre_aggregate(li, "l_orderkey", {"rev": ("rev", "sum")})
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    out = pre_aggregate(
+        joined, "n_name", {"n_orders": ("n_name", "count"), "revenue": ("rev", "sum")}
+    )
+    return _round(out, {"revenue": 2})
+
+
+def q_cdc_chunking(sf_dir: str):
+    """Content-defined chunking per document (stages/chunking.py — Gear
+    rolling hash, FastCDC family): boundaries are a pure function of
+    content, so an insertion shifts only O(edit) chunks where the
+    reference's SegmentContent (fixed byte offsets,
+    SegmentContent.java) re-writes every downstream segment. The
+    rolling-hash array for a whole flattened batch is 32 numpy vector
+    ops; only the sparse candidate walk is per-chunk. Dual-pinned
+    oracle (oracle_expected.expected_cdc_chunking) re-chunks each
+    document independently and sequentially — agreement proves batch
+    composition cannot move a boundary."""
+    from ..stages.chunking import chunk_doc_fn
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(chunk_doc_fn(), batch_format="pyarrow")
+
+
+def q_chunk_dedup(sf_dir: str):
+    """Corpus-level chunk-store dedup stats over the content-defined
+    chunks: each block emits its UNIQUE (chunk_hash, len, occurrences)
+    partials — the exchange carries distinct chunks, not total chunks —
+    then one groupby collapses cross-block duplicates. total vs unique
+    bytes is exactly the dedup win a chunk store realizes; on this
+    corpus the injected near-duplicate documents share most chunks, so
+    unique_bytes < total_bytes. Single-row output; dual-pinned
+    sequential oracle."""
+    from ..stages.chunking import chunk_flat_fn
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    parts = ds.map_batches(chunk_flat_fn(), batch_format="pyarrow")
+    uniq = pre_aggregate(
+        parts,
+        "chunk_hash",
+        {"chunk_len": ("chunk_len", "min"), "occurrences": ("occurrences", "sum")},
+    )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "total_chunks": pa.array(
+                    [int(pc.sum(t["occurrences"]).as_py() or 0)], pa.int64()
+                ),
+                "unique_chunks": pa.array([t.num_rows], pa.int64()),
+                "total_bytes": pa.array(
+                    [
+                        int(
+                            pc.sum(
+                                pc.multiply(t["chunk_len"], t["occurrences"])
+                            ).as_py()
+                            or 0
+                        )
+                    ],
+                    pa.int64(),
+                ),
+                "unique_bytes": pa.array(
+                    [int(pc.sum(t["chunk_len"]).as_py() or 0)], pa.int64()
+                ),
+            }
+        )
+
+    rows = uniq.take_all()  # distinct chunks: small here; at scale this
+    # final rollup is a pre_aggregate over constant-size per-block sums
+    t = pa.Table.from_pylist(rows) if rows else pa.table(
+        {"chunk_hash": pa.array([], pa.string()),
+         "chunk_len": pa.array([], pa.int64()),
+         "occurrences": pa.array([], pa.int64())}
+    )
+    return summarize(t)
+
+
+_SPLIT_T1 = 3435973837  # ~0.8 * 2^32
+_SPLIT_T2 = 3865470566  # ~0.9 * 2^32
+
+
+def q_train_test_split(sf_dir: str):
+    """Deterministic hash-based train/valid/test assignment: u32 = first
+    8 hex digits of md5(doc_id || '#split'), split by fixed integer
+    thresholds (80/10/10). Stable under any reshuffle/re-partition of
+    the corpus and reproducible across runs — the property a training
+    pipeline needs so no document migrates between splits when data is
+    re-read. Same md5 derivation as the deterministic-shuffle key
+    (stages/packing.shuffle_key); thresholds are integer literals in
+    BOTH engines so no float boundary exists."""
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        u = np.array(
+            [
+                int(hashlib.md5(f"{i}#split".encode()).hexdigest()[:8], 16)
+                for i in ids
+            ],
+            np.int64,
+        )
+        split = np.where(
+            u < _SPLIT_T1, "train", np.where(u < _SPLIT_T2, "valid", "test")
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "split": pa.array(split.tolist(), pa.string()),
+            }
+        )
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def q_char_entropy(sf_dir: str):
+    """Per-document character-level Shannon entropy — the classic
+    low-information/boilerplate quality gate. Fully vectorized: the
+    batch's texts flatten to ONE uint8 array, per-doc byte histograms
+    come from a single bincount over doc_index*256+byte, entropy from
+    one vectorized xlogx pass (corpus is ASCII, so codepoint entropy ==
+    byte entropy; the SQL oracle splits per character)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        bufs = [s.encode() for s in texts]
+        lens = np.array([len(b) for b in bufs], np.int64)
+        flat = (
+            np.frombuffer(b"".join(bufs), np.uint8)
+            if bufs
+            else np.empty(0, np.uint8)
+        )
+        doc_idx = np.repeat(np.arange(len(bufs), dtype=np.int64), lens)
+        counts = np.bincount(
+            doc_idx * 256 + flat, minlength=len(bufs) * 256
+        ).reshape(len(bufs), 256)
+        n = lens.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            p = counts / n[:, None]
+            x = np.where(counts > 0, p * np.log2(np.where(p > 0, p, 1.0)), 0.0)
+        ent = -x.sum(axis=1)
+        ent[lens == 0] = 0.0
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "entropy": pa.array(ent, pa.float64()),
+            }
+        )
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return _round(ds.map_batches(fn, batch_format="pyarrow"), {"entropy": 3})
+
+
 QUERIES = {
     # ── lake-state / CDC family (the north rule) — 1..15 ──
     "cdc_replay": q_cdc_replay,
@@ -4648,6 +4929,12 @@ QUERIES = {
     "bigram_logprob": q_bigram_logprob,
     "hll_distinct": q_hll_distinct,
     "weighted_sample": q_weighted_sample,
+    "heavy_hitters": q_heavy_hitters,
+    "revenue_by_nation": q_revenue_by_nation,
+    "cdc_chunking": q_cdc_chunking,
+    "chunk_dedup": q_chunk_dedup,
+    "train_test_split": q_train_test_split,
+    "char_entropy": q_char_entropy,
 }
 
 
@@ -5634,6 +5921,51 @@ ORACLE_SQL["decontaminate_tokens"] = """
     FROM docs d LEFT JOIN hits h ON d.doc_id = h.doc_id
     WHERE NOT d.is_bench
     GROUP BY d.lang
+"""
+
+ORACLE_SQL["heavy_hitters"] = """
+    SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS key,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY 1
+    ORDER BY cnt DESC, key
+    LIMIT 16
+"""
+
+ORACLE_SQL["revenue_by_nation"] = """
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(rev), 2) AS revenue
+    FROM (SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+          FROM lineitem GROUP BY 1) li
+    JOIN orders o ON li.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+"""
+
+ORACLE_SQL["train_test_split"] = """
+    SELECT doc_id,
+           CASE WHEN u < 3435973837 THEN 'train'
+                WHEN u < 3865470566 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 CAST(concat('0x', substr(
+                   md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 8))
+                   AS BIGINT) AS u
+          FROM documents)
+"""
+
+ORACLE_SQL["char_entropy"] = """
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+    freq AS (
+      SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+      FROM chars GROUP BY 1, 2),
+    tot AS (SELECT doc_id, sum(c) AS n FROM freq GROUP BY 1)
+    SELECT f.doc_id, round(-sum((c / n) * log2(c / n)), 3) AS entropy
+    FROM freq f JOIN tot USING (doc_id)
+    GROUP BY f.doc_id
 """
 
 

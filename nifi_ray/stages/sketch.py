@@ -111,3 +111,57 @@ def hll_estimate(regs: np.ndarray) -> int:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)  # linear counting
     return int(round(est))
+
+
+# ---------------------------------------------------------------- top-k
+# Mergeable heavy-hitter summary (SpaceSaving / Misra–Gries family,
+# Metwally et al. 2005): per block emit the exact counts of the block's
+# top-k keys plus the block's truncation bound eps_b = count of the
+# (k+1)-th key (0 when the block holds ≤ k distinct — the summary is
+# then LOSSLESS). Partials merge by per-key SUM (associative /
+# commutative), eps_b's merge by sum. Guarantees after the merge:
+#   partial(key) ≤ true(key) ≤ partial(key) + Σ eps_b
+#   any key absent from every summary has true(key) ≤ Σ eps_b
+# so when Σ eps = 0 the merged partials ARE the exact counts, and
+# otherwise a candidate recount + certificate decides exactness
+# (see pipelines/queries.q_heavy_hitters). The driver-side state is
+# O(k) per block regardless of block size — the shape that replaces a
+# full-cardinality groupby at 10^10 rows.
+
+TOPK_EPS_KEY = ""  # sentinel key carrying the per-block truncation bound
+
+
+def topk_summary_fn(cols: list[str], k: int):
+    """Per-batch summary: composite key = cols joined with ':', exact
+    in-block counts, top-k rows kept, one sentinel row (TOPK_EPS_KEY,
+    eps_b). Requires non-empty composite keys (sentinel collision)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("key", pa.string()), ("cnt", pa.int64())])
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        import pyarrow.compute as pc
+
+        parts = [pc.cast(batch[c], pa.string()) for c in cols]
+        key = parts[0]
+        for p in parts[1:]:
+            key = pc.binary_join_element_wise(key, p, ":")
+        vc = key.value_counts()
+        keys = vc.field("values")
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False)
+        order = np.argsort(-cnts, kind="stable")  # top by count
+        top, rest = order[:k], order[k:]
+        eps = int(cnts[rest].max()) if rest.size else 0
+        return pa.table(
+            {
+                "key": pa.concat_arrays(
+                    [keys.take(pa.array(top)), pa.array([TOPK_EPS_KEY])]
+                ),
+                "cnt": pa.array(
+                    np.concatenate([cnts[top], [eps]]), pa.int64()
+                ),
+            },
+            schema=schema,
+        )
+
+    return fn
