@@ -4788,6 +4788,33 @@ def q_char_entropy(sf_dir: str):
     return _round(ds.map_batches(fn, batch_format="pyarrow"), {"entropy": 3})
 
 
+def q_late_data(sf_dir: str):
+    """Watermark + allowed-lateness accounting per event-time day
+    (stages/windows.watermark_late_flags): the streaming-semantics gap
+    NiFi 1.1.2 has no answer for (§2.10) — the watermark at each
+    arrival is the running max of event time over all PRIOR arrivals
+    (a distributed global prefix-max scan: per-bucket maxima exchange +
+    driver exclusive prefix over ≤256 buckets + in-bucket vectorized
+    scan; no global sort), and an event is late when it trails the
+    watermark by > 1 h. Arrival order is the deterministic md5 key the
+    SQL oracle reproduces with a window function."""
+    from ..stages.windows import stamp_tumbling_window, watermark_late_flags
+
+    ds = _t(sf_dir, "events", columns=["event_id", "ts"])
+    flagged = watermark_late_flags(ds, "ts", "event_id", lateness_sec=3600)
+    win = flagged.map_batches(
+        stamp_tumbling_window("ts", 86400), batch_format="pyarrow"
+    ).map_batches(
+        lambda t: t.append_column("late_i", pc.cast(t["late"], pa.int64())),
+        batch_format="pyarrow",
+    )
+    return pre_aggregate(
+        win,
+        "window_start",
+        {"n_events": ("window_start", "count"), "n_late": ("late_i", "sum")},
+    )
+
+
 QUERIES = {
     # ── lake-state / CDC family (the north rule) — 1..15 ──
     "cdc_replay": q_cdc_replay,
@@ -4935,6 +4962,7 @@ QUERIES = {
     "chunk_dedup": q_chunk_dedup,
     "train_test_split": q_train_test_split,
     "char_entropy": q_char_entropy,
+    "late_data": q_late_data,
 }
 
 
@@ -5954,6 +5982,24 @@ ORACLE_SQL["train_test_split"] = """
                    md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 8))
                    AS BIGINT) AS u
           FROM documents)
+"""
+
+ORACLE_SQL["late_data"] = """
+    WITH a AS (
+      SELECT event_id, ts,
+             md5(CAST(event_id AS VARCHAR) || '#wm') AS k
+      FROM events),
+    w AS (
+      SELECT ts,
+             max(ts) OVER (ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+      FROM a)
+    SELECT date_trunc('day', ts) AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN wm IS NOT NULL
+                         AND ts < wm - INTERVAL 1 HOUR
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+    FROM w GROUP BY 1
 """
 
 ORACLE_SQL["char_entropy"] = """

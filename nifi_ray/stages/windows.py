@@ -213,3 +213,88 @@ def funnel_stage_fn(
         )
 
     return fn
+
+
+def watermark_late_flags(
+    ds,
+    ts_col: str,
+    id_col: str,
+    lateness_sec: float,
+    seed: str = "wm",
+    bucket_hex: int = 2,
+):
+    """Beam/Flink-style watermark + allowed-lateness flagging — built on
+    a DISTRIBUTED GLOBAL PREFIX-MAX SCAN, the primitive Ray Data has no
+    native operator for. The watermark at each arrival is the running
+    max of event time over all PRIOR arrivals; an event is late when
+    ``ts < watermark - lateness``.
+
+    Arrival order is the deterministic md5 key md5(id '#' seed) (the
+    repo's shuffle-key convention — the fixture's stand-in for a real
+    out-of-order stream; on live data the key would be the arrival
+    LSN). The scan decomposes by key-prefix bucket:
+
+      pass 1  per-block per-bucket max(ts) partials → one tiny
+              pre-aggregated exchange (≤ 16^bucket_hex rows per block);
+      driver  exclusive prefix-max over the ≤256 sorted bucket maxima
+              (constant-size state, never the corpus);
+      pass 2  groupby(bucket).map_groups — sort INSIDE the bucket only,
+              vectorized running max seeded with the bucket's prefix.
+
+    Total order by key == order by (bucket, key) since the bucket is a
+    key prefix, so the two-level scan is exactly the sequential scan.
+    No global sort, no O(corpus) driver state — the shape that survives
+    10^10 events. Returns the dataset with ``arr_k``/``arr_bucket``/
+    ``ts_us``/``late`` appended."""
+    import hashlib
+
+    import ray as _ray
+
+    from .aggregate import pre_aggregate
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        k = [hashlib.md5(f"{i}#{seed}".encode()).hexdigest() for i in ids]
+        b = [x[:bucket_hex] for x in k]
+        return (
+            batch.append_column("arr_k", pa.array(k, pa.string()))
+            .append_column("arr_bucket", pa.array(b, pa.string()))
+            .append_column("ts_us", pc.cast(batch[ts_col], pa.int64()))
+        )
+
+    stamped = ds.map_batches(stamp, batch_format="pyarrow")
+    bmax = pre_aggregate(
+        stamped, "arr_bucket", {"bmax": ("ts_us", "max")}
+    ).take_all()  # ≤ 16^bucket_hex rows — constant, never the corpus
+    bmax.sort(key=lambda r: r["arr_bucket"])
+    prefix: dict[str, int | None] = {}
+    cur: int | None = None
+    for r in bmax:
+        prefix[r["arr_bucket"]] = cur
+        cur = r["bmax"] if cur is None else max(cur, r["bmax"])
+    ref = _ray.put(prefix)
+    late_us = int(lateness_sec * 1_000_000)
+
+    def flag(group: pa.Table) -> pa.Table:
+        pre = _ray.get(ref).get(group["arr_bucket"][0].as_py())
+        g = group.take(
+            pc.sort_indices(group, sort_keys=[("arr_k", "ascending")])
+        )
+        ts = pc.cast(g["ts_us"], pa.int64()).to_numpy(zero_copy_only=False)
+        run = np.maximum.accumulate(ts)
+        excl = np.empty_like(run)
+        excl[1:] = run[:-1]
+        valid = np.ones(ts.size, bool)
+        if pre is None:
+            valid[0] = False  # globally first arrival: no watermark yet
+            excl[0] = 0
+        else:
+            excl[0] = pre
+            np.maximum(excl, np.int64(pre), out=excl)
+        late = np.zeros(ts.size, bool)
+        late[valid] = (excl[valid] - ts[valid]) > late_us
+        return g.append_column("late", pa.array(late))
+
+    return stamped.groupby("arr_bucket").map_groups(
+        flag, batch_format="pyarrow"
+    )

@@ -387,3 +387,33 @@ def test_bigram_lm_matches_reference(rd):
     # doc 0: -[ln(2/2) + ln(1/2)]/2 = ln2/2
     assert math.isclose(out["avg_nll"][0].as_py(), math.log(2) / 2, rel_tol=1e-12)
     assert out["avg_nll"][2].as_py() == 0.0
+
+
+def test_watermark_late_flags_matches_sequential(rd):
+    import hashlib
+
+    import ray
+
+    from nifi_ray.stages.windows import watermark_late_flags
+
+    # shuffled event times: sequential watermark reference
+    rng = np.random.default_rng(5)
+    n = 400
+    ts = rng.integers(0, 10**9, n) * 1_000_000  # µs
+    ids = np.arange(n)
+    tbl = pa.table(
+        {"event_id": ids, "ts": pa.array(ts, pa.timestamp("us"))}
+    )
+    ds = ray.data.from_arrow(tbl).repartition(7)
+    out = watermark_late_flags(
+        ds, "ts", "event_id", lateness_sec=3600
+    ).take_all()
+    got = {r["event_id"]: r["late"] for r in out}
+    # sequential reference over the same md5 arrival order
+    order = sorted(range(n), key=lambda i: hashlib.md5(f"{i}#wm".encode()).hexdigest())
+    wm = None
+    late_us = 3600 * 1_000_000
+    for i in order:
+        expect = wm is not None and int(ts[i]) < wm - late_us
+        assert got[ids[i]] == expect, f"event {i}"
+        wm = int(ts[i]) if wm is None else max(wm, int(ts[i]))
