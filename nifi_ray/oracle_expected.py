@@ -1428,6 +1428,95 @@ def expected_chunk_dedup(sf_dir: str) -> pa.Table:
     )
 
 
+def expected_count_min(sf_dir: str) -> pa.Table:
+    """Sequential Count-Min (queries.q_count_min semantics): build ONE
+    counter matrix in a single pass over the whole column — the
+    engine's per-block sum-merged partials must equal it exactly
+    (elementwise sum is associative/commutative), so the min-over-depth
+    estimates coincide bit-for-bit. Exact counts come from a plain
+    Python Counter, independent of the engine's combiner groupby."""
+    from collections import Counter
+
+    from .stages.sketch import cms_counts, cms_estimate
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type"]
+    )
+    counts = cms_counts(tbl["event_type"], 4096)
+    exact = Counter(v for v in tbl["event_type"].to_pylist() if v is not None)
+    keys = sorted(exact)
+    karr = pa.array(keys, pa.string())
+    est = cms_estimate(counts, karr, 4096)
+    return pa.table(
+        {
+            "event_type": karr,
+            "n_exact": pa.array([exact[k] for k in keys], pa.int64()),
+            "n_est": pa.array(est, pa.int64()),
+        }
+    )
+
+
+def expected_dsir_resample(sf_dir: str, k: int = 32) -> pa.Table:
+    """Sequential DSIR replay (queries.q_dsir_resample semantics): the
+    bucket counts are re-derived one document at a time with the scalar
+    hashing chain (zlib.crc32 → _mix64 mod B — independent of the
+    engine's vectorized crc32_of_strings/mix_u64), the per-doc weights
+    by a scalar Python sum. The log-ratio table and the Gumbel keys are
+    the repo's shared deterministic conventions (one 4096-wide numpy
+    expression / md5-uniform), identical on both sides by design."""
+    import hashlib
+    import re
+
+    from .stages.packing import DSIR_B, dsir_log_ratio_micro
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    # scalar word fold: Arrow utf8_lower (the ONE shared fold) applied
+    # per document, ASCII regex split identical to split_pattern_regex
+    import pyarrow.compute as _pc
+
+    def doc_buckets(text: str) -> list[int]:
+        low = _pc.utf8_lower(pa.scalar(text or "", pa.string())).as_py()
+        return [
+            _mix64(zlib.crc32(w.encode()) & 0xFFFFFFFF) % DSIR_B
+            for w in re.split(r"[^a-z0-9]+", low)
+            if w
+        ]
+
+    docs = tbl.to_pylist()
+    per_doc = [doc_buckets(d["text"]) for d in docs]
+    tgt = np.zeros(DSIR_B, np.int64)
+    raw = np.zeros(DSIR_B, np.int64)
+    for d, bks in zip(docs, per_doc):
+        for b in bks:
+            raw[b] += 1
+            if d["lang"] == "en":
+                tgt[b] += 1
+    lr = dsir_log_ratio_micro(tgt, raw)
+
+    ids = [d["doc_id"] for d in docs]
+    w = np.array([sum(int(lr[b]) for b in bks) for bks in per_doc], np.int64)
+    hu = np.array(
+        [int.from_bytes(hashlib.md5(str(v).encode()).digest()[:4], "big")
+         for v in ids],
+        np.float64,
+    )
+    u = (hu + 0.5) / 2.0**32
+    g = -np.log(-np.log(u)) * 1e6
+    g_int = (np.sign(g) * np.floor(np.abs(g) + 0.5)).astype(np.int64)
+    key = w + g_int
+    order = sorted(range(len(ids)), key=lambda i: (-int(key[i]), ids[i]))[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array([ids[i] for i in order], pa.int64()),
+            "dsir_w": pa.array([int(w[i]) for i in order], pa.int64()),
+            "dsir_key": pa.array([int(key[i]) for i in order], pa.int64()),
+        }
+    )
+
+
 EXPECTED_BUILDERS = {
     "cdc_chunking": expected_cdc_chunking,
     "chunk_dedup": expected_chunk_dedup,
@@ -1461,6 +1550,8 @@ EXPECTED_BUILDERS = {
     "semdedup": expected_semdedup,
     "bpe_train": expected_bpe_train,
     "bpe_encode": expected_bpe_encode,
+    "count_min": expected_count_min,
+    "dsir_resample": expected_dsir_resample,
 }
 
 

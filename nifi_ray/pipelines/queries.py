@@ -4815,6 +4815,161 @@ def q_late_data(sf_dir: str):
     )
 
 
+def q_bloom_semijoin(sf_dir: str):
+    """Bloom-prefiltered big-big equi-join (runtime-filter semi-join,
+    stages/joins.bloom_semijoin_filter — the Spark "bloom join" shape
+    absent from both NiFi and Ray Data). The selective predicate
+    (o_orderpriority = '1-URGENT', ~1/5 of orders) shrinks the build
+    side; its key set reduces to per-block Bloom bit-array partials
+    (OR-mergeable, fixed geometry), the merged ~KB filter broadcasts
+    once via ray.put, and ~4/5 of lineitem rows are dropped BEFORE the
+    join exchange. Bloom false positives are removed by the join
+    itself, so the result is exact at any fp_rate."""
+    from ..stages.joins import bloom_semijoin_filter
+
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    n_orders = orders.count()  # parquet metadata only
+
+    def only_urgent(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+
+    urgent = orders.map_batches(only_urgent, batch_format="pyarrow")
+
+    li = _t(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+    li = bloom_semijoin_filter(
+        li, urgent, "l_orderkey", "o_orderkey",
+        n_items_hint=max(1024, n_orders // 4), fp_rate=0.01,
+    )
+    li = li.map_batches(
+        derive({"rev": lambda t: pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))}),
+        batch_format="pyarrow",
+    )
+    # collapse survivors to one row per (order, flag) before the join
+    # shuffle — same pre-aggregation discipline as q_hash_join
+    li = pre_aggregate(
+        li, ["l_orderkey", "l_returnflag"],
+        {"rev": ("rev", "sum"), "n": ("l_returnflag", "count")},
+    )
+    joined = li.join(
+        urgent.select_columns(["o_orderkey"]),
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    out = pre_aggregate(
+        joined, "l_returnflag",
+        {"n_items": ("n", "sum"), "revenue": ("rev", "sum")},
+    )
+    return _round(out, {"revenue": 2})
+
+
+def q_dsir_resample(sf_dir: str):
+    """DSIR — Data Selection with Importance Resampling (Xie et al.,
+    NeurIPS 2023) over hashed unigram features (stages/packing.py):
+    the published recipe for tilting a raw corpus toward a target
+    distribution (here lang='en' docs). One streaming pass reduces the
+    corpus to two 4096-bucket count vectors (constant-size partials,
+    sum-merged); the per-bucket log-ratio table (micro-ints — integer
+    per-doc sums, no libm-associativity in the grade) broadcasts once
+    via ray.put; an actor pool scores every doc and Gumbel-top-k
+    (deterministic md5-uniform gumbels) selects k docs ∝ exp(weight)
+    WITHOUT replacement — resampling as one local-prune + tiny global
+    sort, no corpus shuffle. Oracle: sequential scalar re-derivation
+    (oracle_expected.expected_dsir_resample)."""
+    import ray
+
+    from ..stages.packing import (
+        DSIR_B, DsirScore, dsir_count_partials_fn, dsir_log_ratio_micro,
+    )
+
+    k = 32
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    tagged = docs.map_batches(
+        lambda t: t.append_column("is_tgt", pc.equal(t["lang"], "en")),
+        batch_format="pyarrow",
+    )
+    tgt = np.zeros(DSIR_B, np.int64)
+    raw = np.zeros(DSIR_B, np.int64)
+    for r in tagged.map_batches(
+        dsir_count_partials_fn("text", "is_tgt"), batch_format="pyarrow"
+    ).take_all():
+        tgt += np.asarray(r["tgt"], np.int64)
+        raw += np.asarray(r["raw"], np.int64)
+    lr_ref = ray.put(dsir_log_ratio_micro(tgt, raw))
+
+    scored = tagged.map_batches(
+        DsirScore,
+        fn_constructor_args=(lr_ref,),
+        batch_format="pyarrow",
+        concurrency=_pool(),
+    )
+
+    def local_prune(t: pa.Table) -> pa.Table:
+        if t.num_rows > k:
+            keys = t["dsir_key"].to_numpy(zero_copy_only=False)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, -keys))[:k]
+            t = t.take(pa.array(np.sort(order)))
+        return t.select(["doc_id", "dsir_w", "dsir_key"])
+
+    return (
+        scored.map_batches(local_prune, batch_format="pyarrow")
+        .sort(["dsir_key", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def q_count_min(sf_dir: str):
+    """Count-Min point-frequency sketch (stages/sketch.py, Cormode &
+    Muthukrishnan 2005) — the constant-size answer to "how often did
+    this key occur" at 10^10 rows: per-block (depth × width) counter
+    partials merged by elementwise sum (order/batch-composition
+    independent), estimates = min over depth rows, one-sided error
+    est ≥ exact. Output pairs each estimate with the exact count (from
+    the combiner-style groupby over the same low-cardinality domain) so
+    the bound is graded, not just asserted. Oracle: sequential
+    single-pass sketch (oracle_expected.expected_count_min) — merge
+    associativity means the two counter matrices agree bit-for-bit."""
+    from ..stages.sketch import cms_estimate, cms_merge, cms_partials_fn
+
+    ds = _t(sf_dir, "events", columns=["event_type"])
+    parts = ds.map_batches(cms_partials_fn("event_type"), batch_format="pyarrow")
+    counts = cms_merge([r["counts"] for r in parts.take_all()])
+
+    exact = pre_aggregate(
+        ds, "event_type", {"n_exact": ("event_type", "count")}
+    ).to_pandas().sort_values("event_type").reset_index(drop=True)
+    keys = pa.array(exact["event_type"].tolist(), pa.string())
+    est = cms_estimate(counts, keys)
+    return pa.table(
+        {
+            "event_type": keys,
+            "n_exact": pa.array(exact["n_exact"].astype("int64")),
+            "n_est": pa.array(est, pa.int64()),
+        }
+    )
+
+
+def q_footer_stats(sf_dir: str):
+    """Footer-only statistics scan (sources/footer.py): COUNT/MIN/MAX
+    over lineitem numerics computed purely from parquet row-group
+    statistics — zero data pages read, one footer per file, partials
+    merged driver-side. The zone-map read that makes table-level stats
+    O(files) instead of O(bytes) at 100 TB."""
+    from ..sources.footer import footer_stats
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    out = footer_stats([path], ["l_quantity", "l_extendedprice"])
+    return _round(out, {"min_l_quantity": 2, "max_l_quantity": 2,
+                        "min_l_extendedprice": 2, "max_l_extendedprice": 2})
+
+
 QUERIES = {
     # ── lake-state / CDC family (the north rule) — 1..15 ──
     "cdc_replay": q_cdc_replay,
@@ -4963,6 +5118,10 @@ QUERIES = {
     "train_test_split": q_train_test_split,
     "char_entropy": q_char_entropy,
     "late_data": q_late_data,
+    "bloom_semijoin": q_bloom_semijoin,
+    "footer_stats": q_footer_stats,
+    "count_min": q_count_min,
+    "dsir_resample": q_dsir_resample,
 }
 
 
@@ -5256,6 +5415,21 @@ ORACLE_SQL = {
               FROM lineitem GROUP BY l_orderkey) li
         JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
+    """,
+    "bloom_semijoin": """
+        SELECT l_returnflag, count(*) AS n_items,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY l_returnflag
+    """,
+    "footer_stats": """
+        SELECT count(*) AS n_rows,
+               round(min(l_quantity), 2) AS min_l_quantity,
+               round(max(l_quantity), 2) AS max_l_quantity,
+               round(min(l_extendedprice), 2) AS min_l_extendedprice,
+               round(max(l_extendedprice), 2) AS max_l_extendedprice
+        FROM lineitem
     """,
     "quality_stats": """
         SELECT source, count(*) AS n,

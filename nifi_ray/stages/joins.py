@@ -240,3 +240,114 @@ def lookup_join(left, right, left_key: str, right_key: str, how: str = "inner"):
     return drop_schemaless_empties(
         both.groupby("__k").map_groups(attach, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------- bloom join
+
+
+def _key_hashes(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """u64 hashes of a string or integer join-key column (nulls dropped
+    — a null key matches nothing in an equi-join)."""
+    from ..util.hashing import crc32_of_strings, mix_u64
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = col.drop_null()
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        return mix_u64(crc32_of_strings(col).astype(np.uint64))
+    return mix_u64(col.to_numpy(zero_copy_only=False).astype(np.uint64))
+
+
+def bloom_semijoin_filter(
+    probe,
+    build,
+    probe_key: str,
+    build_key: str,
+    *,
+    n_items_hint: int,
+    fp_rate: float = 0.01,
+):
+    """Bloom-prefiltered semi-join: drop probe rows whose key cannot
+    exist on the (already filtered) build side BEFORE any join shuffle.
+
+    The standard engine trick (Spark's "bloom join" / runtime filter;
+    absent from both NiFi and Ray Data): when a selective predicate
+    shrinks the build side, most probe rows will never find a partner,
+    yet a plain ``Dataset.join`` still ships every one of them through
+    the all-to-all exchange. Instead:
+
+    1. per-block Bloom partials over ``build[build_key]`` — each block
+       reduces to ONE fixed-size bit-array row (geometry fixed up front
+       from ``n_items_hint``/``fp_rate`` so partials are mergeable by
+       bitwise OR, exactly like the HLL register merge);
+    2. driver ORs the tiny partials (one per block) and ``ray.put``s
+       the merged filter ONCE;
+    3. ``probe`` is filtered in ``map_batches`` with the vectorized
+       early-exit probe (`BloomFilter.contains_hashes`).
+
+    False positives only let extra probe rows through — the real join
+    afterwards removes them, so the END RESULT IS EXACT at any
+    ``fp_rate``; false negatives are impossible (same hash pipeline on
+    both sides). At 100 TB this turns "shuffle 100 TB of probe rows"
+    into "broadcast ~1.2 MB per 10^6 build keys, shuffle only matches".
+
+    Returns the filtered probe Dataset (lazy; same schema).
+    """
+    from .bloom import BloomFilter
+
+    geom = BloomFilter(n_items_hint, fp_rate)
+    m_bits, k, n_words = geom.m_bits, geom.k, geom.words.size
+
+    def partial(t: pa.Table) -> pa.Table:
+        bf = BloomFilter(n_items_hint, fp_rate)
+        assert bf.m_bits == m_bits and bf.k == k  # mergeable geometry
+        h = _key_hashes(t[build_key])
+        if h.size:
+            bf.add_hashes(np.unique(h))
+        return pa.table({"words": pa.array([bf.words.tobytes()], pa.binary())})
+
+    rows = build.select_columns([build_key]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take_all()
+    merged = BloomFilter(n_items_hint, fp_rate)
+    for r in rows:
+        merged.words |= np.frombuffer(r["words"], np.uint64)
+
+    # ship the bit array through the object store ONCE (zero-copy numpy
+    # read in every task); the probe stage is an actor pool so the
+    # filter object is rebuilt once per actor, not once per batch
+    ref = ray.put(merged.words)
+
+    return probe.map_batches(
+        BloomKeyFilter,
+        fn_constructor_args=(ref, probe_key, n_items_hint, fp_rate),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+class BloomKeyFilter:
+    """Actor-pool probe stage for :func:`bloom_semijoin_filter` — the
+    merged Bloom words deref once per actor in ``__init__``."""
+
+    def __init__(self, words_ref, probe_key: str, n_items_hint: int,
+                 fp_rate: float):
+        from .bloom import BloomFilter
+
+        self.bf = BloomFilter(n_items_hint, fp_rate)
+        words = ray.get(words_ref) if isinstance(
+            words_ref, ray.ObjectRef) else words_ref
+        self.bf.words = np.asarray(words, np.uint64)
+        self.key = probe_key
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t[self.key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # null keys never match: hash a null-filled copy, then force
+        # those rows out with the validity mask
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        h = _key_hashes(pc.fill_null(col, "" if pa.types.is_string(
+            col.type) or pa.types.is_large_string(col.type) else 0))
+        mask = self.bf.contains_hashes(h) & valid
+        return t.filter(pa.array(mask))

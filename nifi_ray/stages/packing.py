@@ -245,3 +245,112 @@ def weighted_sample_key_fn(w_col: str = "n_chars", id_col: str = "doc_id",
         return out
 
     return fn
+
+
+# ----------------------------------------------------------------- DSIR
+
+
+DSIR_B = 4096  # hashed-feature buckets (Xie et al. use 10^4; 4096 keeps
+#                the broadcast at 32 KB and collisions are part of the
+#                method's contract, not an error)
+
+
+def dsir_bucket_ids(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """(flat bucket ids, words-per-doc lengths) for a text column —
+    hashed unigram features: bucket = splitmix(crc32(word)) mod B, on
+    the repo's shared word fold (bloom._words_per_doc: utf8_lower +
+    ``[^a-z0-9]+`` split, identical on engine and oracle sides)."""
+    from ..util.hashing import crc32_of_strings, mix_u64
+    from .bloom import _words_per_doc
+
+    words, lens = _words_per_doc(texts)
+    if len(words) == 0:
+        return np.zeros(0, np.int64), lens
+    h = mix_u64(crc32_of_strings(words).astype(np.uint64))
+    return (h % np.uint64(DSIR_B)).astype(np.int64), lens
+
+
+def dsir_count_partials_fn(text_col: str, is_target_col: str):
+    """Stateless map_batches body: ONE row per batch with the batch's
+    (target, raw) hashed-unigram bucket count vectors — constant 2·B·8
+    bytes, never data-sized. ``is_target_col`` is a bool column marking
+    rows of the target distribution (e.g. lang == 'en'); raw counts
+    cover every row."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        buckets, lens = dsir_bucket_ids(batch[text_col])
+        tgt_mask_doc = pc.fill_null(
+            pc.cast(batch[is_target_col], pa.bool_()), False
+        ).to_numpy(zero_copy_only=False)
+        raw = np.bincount(buckets, minlength=DSIR_B).astype(np.int64)
+        word_is_tgt = np.repeat(tgt_mask_doc, lens)
+        tgt = np.bincount(
+            buckets[word_is_tgt], minlength=DSIR_B
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "tgt": pa.array([tgt.tolist()], pa.list_(pa.int64())),
+                "raw": pa.array([raw.tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    return fn
+
+
+def dsir_log_ratio_micro(tgt: np.ndarray, raw: np.ndarray,
+                         alpha: float = 1.0) -> np.ndarray:
+    """Per-bucket importance log-ratio log p_tgt(b) − log p_raw(b) with
+    Laplace smoothing, as MICRO-INTS (×10⁶, half-away rounding) so the
+    per-doc weight is an exact integer sum — the graded ordering never
+    rides on libm associativity. One 4096-wide vectorized expression;
+    the oracle recomputes it with the identical numpy call."""
+    tgt = np.asarray(tgt, np.float64)
+    raw = np.asarray(raw, np.float64)
+    lt = np.log((tgt + alpha) / (tgt.sum() + alpha * DSIR_B))
+    lr = np.log((raw + alpha) / (raw.sum() + alpha * DSIR_B))
+    d = (lt - lr) * 1e6
+    return (np.sign(d) * np.floor(np.abs(d) + 0.5)).astype(np.int64)
+
+
+class DsirScore:
+    """Actor-pool stage: per-doc DSIR importance weight + Gumbel key.
+
+    weight(doc) = Σ_words lr_micro[bucket(word)] (exact int64 — empty
+    docs get 0 via bincount, immune to the trailing-empty reduceat
+    class); key = weight + gumbel_micro where gumbel = −ln(−ln(u)) and
+    u is the repo's deterministic md5-uniform of the doc id, so
+    top-k(key) IS a Gumbel-top-k sample ∝ exp(weight/10⁶) without
+    replacement — the published DSIR resampling rule, replayable. The
+    micro-int log-ratio table arrives via ray.put, deref'd once per
+    actor."""
+
+    def __init__(self, lr_ref, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        import ray
+
+        self.lr = np.asarray(
+            ray.get(lr_ref) if isinstance(lr_ref, ray.ObjectRef) else lr_ref,
+            np.int64,
+        )
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        buckets, lens = dsir_bucket_ids(batch[self.text_col])
+        n = batch.num_rows
+        doc_idx = np.repeat(np.arange(n), lens)
+        # bincount sums int64 micro-weights exactly (|Σ| << 2^53)
+        w = np.bincount(
+            doc_idx, weights=self.lr[buckets].astype(np.float64), minlength=n
+        ).astype(np.int64)
+        ids = batch[self.id_col].to_pylist()
+        hu = np.array(
+            [int.from_bytes(hashlib.md5(str(v).encode()).digest()[:4], "big")
+             for v in ids],
+            np.float64,
+        )
+        u = (hu + 0.5) / 2.0**32
+        g = -np.log(-np.log(u)) * 1e6
+        g_int = (np.sign(g) * np.floor(np.abs(g) + 0.5)).astype(np.int64)
+        return batch.append_column(
+            "dsir_w", pa.array(w, pa.int64())
+        ).append_column("dsir_key", pa.array(w + g_int, pa.int64()))

@@ -165,3 +165,72 @@ def topk_summary_fn(cols: list[str], k: int):
         )
 
     return fn
+
+
+# ------------------------------------------------------------- count-min
+# Count-Min sketch (Cormode & Muthukrishnan 2005): point-frequency
+# estimates from a CONSTANT-size counter matrix. Where the SpaceSaving
+# summary above answers "which keys are the heaviest", CMS answers
+# "how often did THIS key occur" for any key, with one-sided error:
+#   exact(key) ≤ est(key) ≤ exact(key) + ε·N   (ε = e/width, w.h.p.)
+# Per-block partials are the same (depth × width) int64 matrix built
+# with np.add.at; merging is elementwise SUM — associative and
+# commutative, so estimates are exact functions of the multiset of
+# values (order- and batch-composition-independent, replayable).
+# Probe positions use the same double-hashing chain as stages/bloom.py:
+# pos_i = (h1 + i·h2) mod width, h1 = splitmix(crc32(v)), h2 odd.
+
+CMS_DEPTH = 4
+_CMS_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def cms_positions(h: np.ndarray, width: int) -> np.ndarray:
+    """(depth, n) counter positions for u64 hashes."""
+    h1 = np.asarray(h, np.uint64)
+    h2 = mix_u64(h1 ^ _CMS_GOLDEN) | np.uint64(1)
+    ks = np.arange(CMS_DEPTH, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + ks * h2[None, :]) % np.uint64(width)).astype(np.int64)
+
+
+def cms_counts(col, width: int) -> np.ndarray:
+    """(depth, width) int64 counter matrix for one column of one batch."""
+    counts = np.zeros((CMS_DEPTH, width), np.int64)
+    h = _hash_column(col)
+    if len(h):
+        pos = cms_positions(h, width)
+        for d in range(CMS_DEPTH):
+            np.add.at(counts[d], pos[d], 1)
+    return counts
+
+
+def cms_partials_fn(col: str, width: int = 4096):
+    """Stateless map_batches body: ONE row per batch carrying the
+    batch's flattened counter matrix (depth·width·8 bytes — constant,
+    never data-sized)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        c = cms_counts(batch[col], width)
+        return pa.table(
+            {"counts": pa.array([c.ravel().tolist()], pa.list_(pa.int64()))}
+        )
+
+    return fn
+
+
+def cms_merge(count_rows, width: int = 4096) -> np.ndarray:
+    """Merge partial counter matrices by elementwise sum."""
+    out = np.zeros((CMS_DEPTH, width), np.int64)
+    for r in count_rows:
+        out += np.asarray(r, np.int64).reshape(CMS_DEPTH, width)
+    return out
+
+
+def cms_estimate(counts: np.ndarray, col, width: int = 4096) -> np.ndarray:
+    """Point estimates (min over depth rows) for the values in an Arrow
+    column — vectorized gather, one row per input value."""
+    h = _hash_column(col)
+    if not len(h):
+        return np.zeros(0, np.int64)
+    pos = cms_positions(h, width)
+    ests = counts[np.arange(CMS_DEPTH)[:, None], pos]
+    return ests.min(axis=0)

@@ -124,3 +124,74 @@ def test_range_lookup_contiguous_defaults(ray_session):
     batch = pa.table({"v": pa.array([-1, 0, 9, 10, 19, 20, 10_000], pa.int64())})
     out = RangeLookup(ranges, "v")(batch)
     assert out["g"].to_pylist() == [None, "a", "a", "b", "b", "c", "c"]
+
+
+# ------------------------------------------------------- bloom semi-join
+
+
+def test_bloom_semijoin_no_false_negatives(ray_session):
+    import ray
+
+    from nifi_ray.stages.joins import bloom_semijoin_filter
+
+    build = ray.data.from_arrow(
+        pa.table({"k": pa.array([2, 4, 6, 8, 1000], pa.int64())})
+    )
+    probe = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(list(range(20)) + [1000, None], pa.int64()),
+                "v": pa.array([f"r{i}" for i in range(22)]),
+            }
+        )
+    )
+    kept = bloom_semijoin_filter(
+        probe, build, "k", "k", n_items_hint=16, fp_rate=0.01
+    ).take_all()
+    kept_keys = {r["k"] for r in kept}
+    # every true match survives (no false negatives), null key dropped
+    assert {2, 4, 6, 8, 1000} <= kept_keys
+    assert None not in kept_keys
+    # the filter is selective: most non-matching keys are gone
+    assert len(kept_keys) < 20
+
+
+def test_bloom_semijoin_string_keys(ray_session):
+    import ray
+
+    from nifi_ray.stages.joins import bloom_semijoin_filter
+
+    build = ray.data.from_arrow(pa.table({"name": ["alice", "carol"]}))
+    probe = ray.data.from_arrow(
+        pa.table({"name": ["alice", "bob", "carol", "dan", None]})
+    )
+    kept = bloom_semijoin_filter(
+        probe, build, "name", "name", n_items_hint=8, fp_rate=0.001
+    ).take_all()
+    names = sorted(r["name"] for r in kept)
+    assert "alice" in names and "carol" in names and None not in names
+
+
+def test_footer_stats_matches_full_scan(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from nifi_ray.sources.footer import footer_stats
+
+    t = pa.table(
+        {
+            "a": pa.array([5.5, -2.0, 7.25, 0.0], pa.float64()),
+            "b": pa.array([10, 3, 99, -4], pa.int64()),
+            "s": pa.array(["x", "y", "z", "w"]),
+        }
+    )
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(t, p, row_group_size=2)  # multiple row groups
+    out = footer_stats([p], ["a", "b"]).take_all()[0]
+    assert out["n_rows"] == 4
+    assert out["min_a"] == -2.0 and out["max_a"] == 7.25
+    assert out["min_b"] == -4 and out["max_b"] == 99
+    # string stats are refused loudly (writer truncation hazard)
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError):
+        footer_stats([p], ["s"])

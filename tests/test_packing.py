@@ -118,3 +118,61 @@ def test_weighted_sample_key_matches_scalar_and_prunes():
     b = weighted_sample_key_fn("n_chars", "doc_id", k=5)(t.slice(17))
     union = set(a["doc_id"].to_pylist()) | set(b["doc_id"].to_pylist())
     assert set(expect) <= union
+
+
+# ----------------------------------------------------------------- DSIR
+
+
+def test_dsir_weights_batch_composition_invariant():
+    import numpy as np
+    import pyarrow as pa
+
+    from nifi_ray.stages.packing import (
+        DSIR_B,
+        DsirScore,
+        dsir_count_partials_fn,
+        dsir_log_ratio_micro,
+    )
+
+    texts = [
+        "the quick brown fox", "le renard brun", "hello world hello",
+        "", "the the the", None, "zz9 top",
+    ]
+    langs = ["en", "fr", "en", "en", "fr", "en", "fr"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(7), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": langs,
+        }
+    ).append_column(
+        "is_tgt", pa.array([l == "en" for l in langs])
+    )
+
+    fn = dsir_count_partials_fn("text", "is_tgt")
+    whole = fn(tbl)
+    tgt_w = np.asarray(whole["tgt"][0].as_py(), np.int64)
+    raw_w = np.asarray(whole["raw"][0].as_py(), np.int64)
+    # any split merges to the same counts (incl. trailing empty/null doc)
+    for cut in (1, 3, 5, 6):
+        a, b = fn(tbl.slice(0, cut)), fn(tbl.slice(cut))
+        assert np.array_equal(
+            np.asarray(a["tgt"][0].as_py()) + np.asarray(b["tgt"][0].as_py()),
+            tgt_w,
+        )
+        assert np.array_equal(
+            np.asarray(a["raw"][0].as_py()) + np.asarray(b["raw"][0].as_py()),
+            raw_w,
+        )
+
+    lr = dsir_log_ratio_micro(tgt_w, raw_w)
+    score = DsirScore(lr)
+    w_whole = score(tbl)["dsir_w"].to_pylist()
+    for cut in (1, 4, 6):
+        w_split = (
+            score(tbl.slice(0, cut))["dsir_w"].to_pylist()
+            + score(tbl.slice(cut))["dsir_w"].to_pylist()
+        )
+        assert w_split == w_whole
+    # empty and null docs weigh exactly 0
+    assert w_whole[3] == 0 and w_whole[5] == 0

@@ -53,3 +53,46 @@ def test_hll_partials_fn_shapes():
     assert out.column_names == ["column", "registers"]
     assert out.num_rows == 2
     assert len(out["registers"][0].as_py()) == 1 << HLL_P
+
+
+# ----------------------------------------------------------- count-min
+
+
+def test_cms_upper_bound_and_exact_on_sparse():
+    from collections import Counter
+
+    from nifi_ray.stages.sketch import cms_counts, cms_estimate
+
+    rng = np.random.default_rng(7)
+    vals = [f"k{int(v)}" for v in rng.zipf(1.5, 20_000) % 500]
+    exact = Counter(vals)
+    counts = cms_counts(pa.array(vals), 4096)
+    keys = sorted(exact)
+    est = cms_estimate(counts, pa.array(keys), 4096)
+    for k, e in zip(keys, est.tolist()):
+        assert e >= exact[k]  # one-sided error, always
+        assert e <= exact[k] + (np.e / 4096) * len(vals) * 4  # loose ε·N
+
+
+def test_cms_merge_equals_single_pass_any_split():
+    from nifi_ray.stages.sketch import cms_counts, cms_merge
+
+    vals = [f"v{i % 300}" for i in range(10_000)]
+    whole = cms_counts(pa.array(vals), 4096)
+    for cut in (1, 333, 5_000, 9_999):
+        merged = cms_merge(
+            [
+                cms_counts(pa.array(vals[:cut]), 4096).ravel().tolist(),
+                cms_counts(pa.array(vals[cut:]), 4096).ravel().tolist(),
+            ]
+        )
+        assert np.array_equal(merged, whole)
+
+
+def test_cms_absent_key_bounded():
+    from nifi_ray.stages.sketch import cms_counts, cms_estimate
+
+    vals = [f"k{i % 50}" for i in range(5_000)]
+    counts = cms_counts(pa.array(vals), 4096)
+    est = cms_estimate(counts, pa.array(["never-seen"]), 4096)
+    assert est[0] <= (np.e / 4096) * 5_000 * 4
