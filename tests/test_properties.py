@@ -185,7 +185,8 @@ def test_radix_roundtrip(vals, base):
 @given(
     st.lists(
         st.tuples(
-            st.text(alphabet=st.characters(blacklist_characters="\x00"),
+            st.text(alphabet=st.characters(blacklist_characters="\x00",
+                                           blacklist_categories=("Cs",)),
                     max_size=20),               # destination (escapable)
             st.binary(max_size=40),              # body (may contain NULs)
             st.booleans(),                       # carry a receipt header
