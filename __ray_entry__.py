@@ -17,6 +17,13 @@ from collections.abc import Callable
 from typing import Any
 
 from nifi_ray.pipelines.queries import QUERIES, oracle_sql_dict
+from nifi_ray.util.io import silence_mixed_schema_warnings
+
+# Ray's hash-shuffle aggregate/join emits EMPTY hash partitions as
+# schema-less blocks; drop_schemaless_empties strips them one operator
+# later, but the executor logs the boundary first. Expected + handled —
+# filter that one message class in driver runs too (bench.py already does).
+silence_mixed_schema_warnings()
 
 
 def entry() -> Any:
