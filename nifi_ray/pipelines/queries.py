@@ -3081,6 +3081,87 @@ def q_filtered_read(sf_dir: str):
     )
 
 
+def q_compact_read(sf_dir: str):
+    """Compaction correctness, graded: the same stream replayed as
+    three merge-on-read delta ticks, then ``compact()`` folds EVERY
+    delta back into copy-on-write base parts (one manifest version,
+    one Ray task per dirty partition — cdc.py:1896); the compacted
+    lake is read with no overlay work left, and the manifest is
+    asserted delta-free so the grade can't silently pass on an
+    un-compacted lake. Oracle: the same final-state SQL as cdc_replay,
+    so the driver proves delta-apply ∘ compact ≡ straight COW replay
+    (NiFi analog: content-repo claim consolidation, reference
+    nifi-docs/src/main/asciidoc/nifi-in-depth.adoc content claims)."""
+    from .cdc import CDCLake
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    cfg, base_dir, ev_dir, lake_dir = cdc_fixture(sf_tag)
+    lake_dir = lake_dir + "_cmp"
+
+    def build():
+        lake = CDCLake(lake_dir)
+        if lake.manifest() is None:
+            lake.init_from(base_dir, num_partitions=16)
+        n = cfg.n_events
+        for hi in (n // 3, 2 * n // 3, n):
+            lake.replay(ev_dir, lsn_hi=hi, mode="delta")
+        lake.compact()
+        return lake
+
+    try:
+        lake = build()
+    except Exception:
+        import shutil
+
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        lake = build()
+    m = lake.manifest()
+    leftover = [k for k, e in m.partitions.items() if e.get("deltas")]
+    if leftover:
+        raise AssertionError(f"compact left deltas in partitions {leftover}")
+    return lake.read().map_batches(_cdc_summarize, batch_format="pyarrow")
+
+
+def q_gc_read(sf_dir: str):
+    """Retention + garbage collection safety, graded: build the
+    delta lake, compact, ``expire_versions(keep_last=1)`` drops every
+    historical manifest, ``gc_orphans`` then physically deletes each
+    part file only those expired versions referenced — and a full read
+    of the survivor must STILL equal the final-state oracle, proving
+    GC reclaims only dead generations and never touches live data
+    (state/manifest.py:314,330; NiFi analog: orphaned content-claim
+    cleanup on restart, nifi-in-depth.adoc:52). The 200-commit
+    long-horizon test covers reclamation *amounts*; this row makes the
+    read-after-gc *state* driver-graded."""
+    from .cdc import CDCLake
+    from ..state.manifest import expire_versions, gc_orphans
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    cfg, base_dir, ev_dir, lake_dir = cdc_fixture(sf_tag)
+    lake_dir = lake_dir + "_gc"
+
+    def build():
+        lake = CDCLake(lake_dir)
+        if lake.manifest() is None:
+            lake.init_from(base_dir, num_partitions=16)
+        n = cfg.n_events
+        for hi in (n // 3, 2 * n // 3, n):
+            lake.replay(ev_dir, lsn_hi=hi, mode="delta")
+        lake.compact()
+        expire_versions(lake_dir, keep_last=1)
+        gc_orphans(lake_dir)
+        return lake
+
+    try:
+        lake = build()
+    except Exception:
+        import shutil
+
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        lake = build()
+    return lake.read().map_batches(_cdc_summarize, batch_format="pyarrow")
+
+
 def q_incremental_agg(sf_dir: str):
     """Materialized GROUP BY maintained INCREMENTALLY (matview.py):
     per-source doc/token accounting created at lake version 1 (the only
@@ -4981,6 +5062,8 @@ QUERIES = {
     "filtered_read": q_filtered_read,
     "quarantine": q_quarantine,
     "time_travel": q_time_travel,
+    "compact_read": q_compact_read,
+    "gc_read": q_gc_read,
     "doc_history": q_doc_history,
     "cdc_changes": q_cdc_changes,
     "cdc_consume": q_cdc_consume,
@@ -6340,6 +6423,10 @@ def _build_cdc_oracles(out: dict, sf_tag: str) -> None:
     _cfg, base_dir, ev_dir, _lake = cdc_fixture(sf_tag)
     out["cdc_replay"] = _cdc_replay_oracle_sql(base_dir, ev_dir)
     out["cdc_replay_delta"] = out["cdc_replay"]
+    # compaction folds deltas to COW; GC drops only expired generations —
+    # both must leave state identical to a straight replay
+    out["compact_read"] = out["cdc_replay"]
+    out["gc_read"] = out["cdc_replay"]
     out["cdc_consume"] = out["cdc_replay"]
     # crash + resume must converge to the exact straight-replay state
     out["crash_resume"] = out["cdc_replay"]
