@@ -48,11 +48,11 @@ def _read_docs(sf_dir: str) -> list[dict]:
 # ------------------------------------------------------------- simhash
 
 
-def expected_simhash(sf_dir: str) -> pa.Table:
-    """Per-doc 64-bit SimHash of word tokens (stages/dedup.SimHasher
-    semantics): h(word) = mix64(crc32(word)); bit j of the signature is
-    set iff sum over words of (2*bit_j(h) - 1) > 0."""
-    rows = _read_docs(sf_dir)
+def _scalar_simhashes(rows: list[dict]) -> tuple[list[str], list[int]]:
+    """Sequential SimHash (stages/dedup.SimHasher semantics): h(word) =
+    mix64(crc32(word)); bit j set iff sum over words of (2*bit_j(h)-1)
+    > 0; empty doc → 0. Shared by expected_simhash and
+    expected_simhash_pairs so both grades pin one kernel."""
     ids, sims = [], []
     for r in rows:
         words = (r["text"] or "").lower().split()
@@ -68,12 +68,43 @@ def expected_simhash(sf_dir: str) -> pa.Table:
                     val |= 1 << j
         ids.append(str(r["doc_id"]))
         sims.append(val)
+    return ids, sims
+
+
+def expected_simhash(sf_dir: str) -> pa.Table:
+    """Per-doc 64-bit SimHash of word tokens (stages/dedup.SimHasher
+    semantics): h(word) = mix64(crc32(word)); bit j of the signature is
+    set iff sum over words of (2*bit_j(h) - 1) > 0."""
+    ids, sims = _scalar_simhashes(_read_docs(sf_dir))
     # hex string, not uint64: graded outputs must avoid full-range
     # uint64 (driver hash coerces >2^63 values; r3 VERDICT ask #1)
     return pa.table(
         {
             "doc_id": pa.array(ids),
             "simhash": pa.array([format(v, "016x") for v in sims]),
+        }
+    )
+
+
+def expected_simhash_pairs(sf_dir: str, max_ham: int = 3) -> pa.Table:
+    """All-pairs O(n²) Hamming scan over the sequential SimHash
+    signatures — the exact-recall dual of queries.q_simhash_pairs'
+    banded plan (4×16-bit bands cannot miss a pair at Hamming ≤ 3 by
+    pigeonhole, so the two must agree exactly)."""
+    ids, sims = _scalar_simhashes(_read_docs(sf_dir))
+    out = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            h = bin(sims[i] ^ sims[j]).count("1")
+            if h <= max_ham:
+                a, b = sorted((ids[i], ids[j]))
+                out.append((a, b, h))
+    out.sort()
+    return pa.table(
+        {
+            "a": pa.array([p[0] for p in out], pa.string()),
+            "b": pa.array([p[1] for p in out], pa.string()),
+            "hamming": pa.array([p[2] for p in out], pa.int64()),
         }
     )
 
@@ -1536,6 +1567,7 @@ EXPECTED_BUILDERS = {
     "ann_maintained": expected_ann_search,
     "export_shards": expected_export_shards,
     "simhash": expected_simhash,
+    "simhash_pairs": expected_simhash_pairs,
     "winnow_fingerprints": expected_winnow,
     "lang_id": expected_lang_id,
     "embedding_neardup": expected_embedding_neardup,

@@ -2327,6 +2327,34 @@ def q_winnow_fingerprints(sf_dir: str):
     )
 
 
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs at Hamming ≤ 3 via 4×16-bit band
+    bucketing — EXACT recall at that radius by pigeonhole, so the
+    all-pairs oracle and this sharded plan must agree bit-for-bit.
+
+    100-TB shape: the only all-to-all is a groupby over slim band rows
+    (int32, int64, id, u64 ≈ 30 B/row × 4 per doc); signatures ride in
+    the band rows so Hamming verification is a within-bucket popcount —
+    no join back to the corpus, nothing driver-side. Oracle =
+    sequential O(n²) scalar dual (oracle_expected
+    .expected_simhash_pairs)."""
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        # string ids up front: pair order (a < b) is lexicographic on
+        # both sides of the grade (oracle uses str ids throughout)
+        lambda t: t.set_column(0, "doc_id", pc.cast(t["doc_id"], pa.string())),
+        batch_format="pyarrow",
+    )
+    sigs = ds.map_batches(dd.SimHasher, batch_format="pyarrow", concurrency=_pool())
+    bands = sigs.map_batches(
+        lambda t: dd.simhash_band_rows(bands=4)(t.select(["doc_id", "simhash"])),
+        batch_format="pyarrow",
+    )
+    pairs = dd.simhash_bucket_pairs(bands, max_ham=3)
+    # a pair within radius can share up to 4 bands → distinct, keeping
+    # the (deterministic-per-pair) hamming column through the grouped pass
+    return dd.distinct_pairs(pairs, cols=("a", "b", "hamming"))
+
+
 def q_embedding_neardup(sf_dir: str):
     """Embedding LSH bucketing + within-bucket cosine pairs (rows-only).
 
@@ -5075,6 +5103,7 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "minhash_dup_groups": q_minhash_dup_groups,
     "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
     "winnow_fingerprints": q_winnow_fingerprints,
     "embedding_neardup": q_embedding_neardup,
     "detect_duplicate": q_detect_duplicate,

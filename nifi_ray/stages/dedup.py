@@ -457,19 +457,21 @@ def lsh_candidate_pairs(band_rows, id_col: str = "doc_id", max_bucket: int = 256
     )
 
 
-def distinct_pairs(pairs_ds):
-    """Distinct (a, b) rows: per-batch Arrow group_by pre-distinct (no
-    Python callable), then one grouped count over the already-shrunk
-    pair stream — strictly cheaper than groupby().map_groups(slice)."""
+def distinct_pairs(pairs_ds, cols: tuple = ("a", "b")):
+    """Distinct rows over ``cols``: per-batch Arrow group_by
+    pre-distinct (no Python callable), then one grouped count over the
+    already-shrunk pair stream — strictly cheaper than
+    groupby().map_groups(slice)."""
+    cols = list(cols)
 
     def local_distinct(batch: pa.Table) -> pa.Table:
-        return batch.group_by(["a", "b"]).aggregate([])
+        return batch.group_by(cols).aggregate([])
 
     return (
         pairs_ds.map_batches(local_distinct, batch_format="pyarrow")
-        .groupby(["a", "b"])
+        .groupby(cols)
         .count()
-        .map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+        .map_batches(lambda t: t.select(cols), batch_format="pyarrow")
     )
 
 
@@ -617,6 +619,97 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         if not nz:
             break
     return cnt
+
+
+def simhash_band_rows(bands: int = 4):
+    """Batch fn: (doc_id, simhash) rows → ``bands`` band rows each,
+    carrying the full signature so within-bucket Hamming verification
+    never joins back to the corpus. With 4 bands of 16 bits, any pair
+    at Hamming distance ≤ 3 agrees exactly on ≥ 1 band (pigeonhole), so
+    band-bucketing has EXACT recall at that radius — the standard
+    SimHash near-dup sharding (Manku et al., WWW'07; reference
+    HashContent/DetectDuplicate give only exact-hash dedup,
+    nifi-standard-processors/.../DetectDuplicate.java)."""
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sig = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(sig)
+        idx = np.tile(np.arange(n, dtype=np.int64), bands)
+        band_id = np.repeat(np.arange(bands, dtype=np.int32), n)
+        shift = np.repeat(
+            np.arange(bands, dtype=np.uint64) * np.uint64(width), n
+        )
+        tiled = np.tile(sig, bands)
+        band_hash = ((tiled >> shift) & mask).astype(np.int64)  # ≤16 bits
+        return pa.table(
+            {
+                "band_id": pa.array(band_id, pa.int32()),
+                "band_hash": pa.array(band_hash, pa.int64()),
+                "doc_id": pc.take(batch["doc_id"], pa.array(idx, pa.int64())),
+                "simhash": pa.array(tiled, pa.uint64()),
+            }
+        )
+
+    return fn
+
+
+def simhash_bucket_pairs(band_rows, max_ham: int = 3, max_bucket: int = 1024):
+    """groupby (band_id, band_hash) → Hamming-verified pairs (a < b,
+    with the distance). Signatures ride in the band rows, so the verify
+    is a within-bucket popcount — no second corpus pass. Degenerate
+    buckets (e.g. every empty doc at signature 0) are capped and logged
+    like lsh_candidate_pairs."""
+
+    def pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.string()),
+                "b": pa.array([], pa.string()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+        g = (
+            group.group_by("doc_id")
+            .aggregate([("simhash", "min")])  # one row per doc; sig is per-doc constant
+            .sort_by("doc_id")
+        )
+        n = g.num_rows
+        if n < 2:
+            return empty
+        if n > max_bucket:
+            import logging
+
+            dropped = n * (n - 1) // 2 - max_bucket * (max_bucket - 1) // 2
+            logging.getLogger(__name__).warning(
+                "simhash bucket of %d ids capped to %d (%d candidate pairs dropped)",
+                n, max_bucket, dropped,
+            )
+            g = g.slice(0, max_bucket)
+            n = max_bucket
+        ids = pc.cast(g["doc_id"], pa.string())
+        sig = g["simhash_min"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ii, jj = np.triu_indices(n, k=1)
+        ham = hamming64(sig[ii], sig[jj])
+        keep = ham <= max_ham
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "a": ids.take(pa.array(ii[keep], pa.int64())),
+                "b": ids.take(pa.array(jj[keep], pa.int64())),
+                "hamming": pa.array(ham[keep], pa.int64()),
+            }
+        )
+
+    # sort-based groupby over slim (int32, int64, id, u64) rows — same
+    # measured tradeoff as lsh_candidate_pairs above
+    return band_rows.groupby(["band_id", "band_hash"]).map_groups(
+        pairs, batch_format="pyarrow"
+    )
 
 
 # --------------------------------------------------- embedding near-dup

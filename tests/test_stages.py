@@ -411,3 +411,48 @@ def test_unigram_lm_and_tfidf(ray_session):
     # doc 0: a(tf2) > b(tf1); doc 1: c (idf ln3) > a = b (tie → term asc)
     assert rows == [(0, 1, "a"), (0, 2, "b"),
                     (1, 1, "c"), (1, 2, "a"), (1, 3, "b")]
+
+
+def test_simhash_band_pairs_exact_recall():
+    """4×16-bit banding + bucket Hamming verify must equal the O(n²)
+    all-pairs scan at radius 3 (pigeonhole recall), including empty docs
+    (signature 0) and pairs differing in a single band."""
+    import itertools
+
+    import ray.data as rd
+
+    from nifi_ray.stages.dedup import (
+        SimHasher, distinct_pairs, hamming64, simhash_band_rows,
+        simhash_bucket_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    texts = []
+    for i in range(40):
+        base = [words[j] for j in rng.integers(0, len(words), 12)]
+        texts.append(" ".join(base))
+    texts += ["", "", texts[0] + " alpha", texts[1]]  # dups + empties
+    ids = [f"d{i:03d}" for i in range(len(texts))]
+    t = pa.table({"doc_id": ids, "text": texts})
+
+    sig_t = SimHasher()(t)
+    sigs = np.array(sig_t["simhash"].to_pylist(), np.uint64)
+    want = set()
+    for i, j in itertools.combinations(range(len(ids)), 2):
+        h = int(hamming64(sigs[i : i + 1], sigs[j : j + 1])[0])
+        if h <= 3:
+            a, b = sorted((ids[i], ids[j]))
+            want.add((a, b, h))
+    assert want, "fixture must produce at least one near pair"
+
+    bands = rd.from_arrow(sig_t.select(["doc_id", "simhash"])).map_batches(
+        simhash_band_rows(bands=4), batch_format="pyarrow"
+    )
+    pairs = distinct_pairs(
+        simhash_bucket_pairs(bands, max_ham=3), cols=("a", "b", "hamming")
+    )
+    got = {
+        (r["a"], r["b"], r["hamming"]) for r in pairs.take_all()
+    }
+    assert got == want
