@@ -109,6 +109,41 @@ def expected_simhash_pairs(sf_dir: str, max_ham: int = 3) -> pa.Table:
     )
 
 
+def expected_dedup_spans(sf_dir: str, n: int = 5) -> pa.Table:
+    """Sequential dual of queries.q_dedup_spans: Counter census of
+    whitespace word n-grams (occurrences, within-doc repeats count),
+    then per-doc cover-mask excision of every word under a gram with
+    total count ≥ 2. Whitespace normalized by split/join on both
+    sides."""
+    from collections import Counter
+
+    rows = _read_docs(sf_dir)
+    census: Counter = Counter()
+    for r in rows:
+        ws = (r["text"] or "").split()
+        for i in range(len(ws) - n + 1):
+            census[" ".join(ws[i : i + n])] += 1
+    ids, clean, removed = [], [], []
+    for r in rows:
+        ws = (r["text"] or "").split()
+        m = len(ws)
+        cov = [False] * m
+        for i in range(m - n + 1):
+            if census[" ".join(ws[i : i + n])] >= 2:
+                for j in range(i, i + n):
+                    cov[j] = True
+        ids.append(int(r["doc_id"]))
+        clean.append(" ".join(w for w, c in zip(ws, cov) if not c))
+        removed.append(sum(cov))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text_clean": pa.array(clean, pa.string()),
+            "n_removed": pa.array(removed, pa.int64()),
+        }
+    )
+
+
 # ------------------------------------------------------------ winnowing
 
 
@@ -1568,6 +1603,7 @@ EXPECTED_BUILDERS = {
     "export_shards": expected_export_shards,
     "simhash": expected_simhash,
     "simhash_pairs": expected_simhash_pairs,
+    "dedup_spans": expected_dedup_spans,
     "winnow_fingerprints": expected_winnow,
     "lang_id": expected_lang_id,
     "embedding_neardup": expected_embedding_neardup,

@@ -4241,6 +4241,103 @@ def q_dup_ngrams(sf_dir: str):
     ).limit(20)
 
 
+def q_dedup_spans(sf_dir: str):
+    """Exact substring dedup by SPAN EXCISION — the rewrite half of Lee
+    et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"): every word covered by a 5-gram that occurs ≥ 2 times in
+    the corpus (within-doc repeats count) is removed from the document.
+
+    100-TB shape: pass A is a combiner-pre-aggregated gram census (the
+    only all-to-all, and it carries (gram, count) rows already collapsed
+    per batch); the duplicated-gram set then either broadcasts via ONE
+    ray.put (byte-budget gated, fetched once per actor) or — when it
+    exceeds the budget — the positions are resolved by partitioned
+    sort-exchange semi-joins that move only covered (doc_id, pos) rows
+    plus the corpus once (logged, same policy as minhash_pairs). Oracle:
+    sequential Counter dual (oracle_expected.expected_dedup_spans)."""
+    N = 5
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    grams = docs.map_batches(
+        dd.span_gram_counts("text", n=N), batch_format="pyarrow"
+    )
+    census = pre_aggregate(grams, "gram", {"n_occ": ("occ", "sum")})
+    dup = census.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_occ"], 2)).select(["gram"]),
+        batch_format="pyarrow",
+    ).materialize()  # tiny relative to corpus; ends the census execution
+
+    from ..util.scale import broadcast_budget_bytes
+
+    n_dup = dup.count()
+    # ~word bytes per gram word × N words; 4× headroom like minhash_pairs
+    est_bytes = int(n_dup * (N * 8) * 4)
+    if est_bytes <= broadcast_budget_bytes():
+        dup_set: set = set()
+        for b in dup.iter_batches(batch_format="pyarrow", batch_size=65536):
+            dup_set.update(b["gram"].to_pylist())
+        import ray as _ray
+
+        ref = _ray.put(dup_set)
+        return docs.map_batches(
+            dd.SpanScrubber,
+            fn_constructor_kwargs={"dup_ref": ref, "n": N},
+            batch_format="pyarrow",
+            concurrency=_pool(),
+        )
+
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "dedup_spans: %d duplicated grams (~%d MB) exceed the broadcast "
+        "byte budget; falling back to partitioned semi-joins", n_dup,
+        est_bytes >> 20,
+    )
+    from ..stages.joins import lookup_join
+
+    def explode_pos(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(pc.cast(t["text"], pa.string()), "").to_pylist()
+        ids = t["doc_id"].to_pylist()
+        g, d, p = [], [], []
+        for did, v in zip(ids, texts):
+            ws = v.split()
+            for i in range(len(ws) - N + 1):
+                g.append(" ".join(ws[i : i + N]))
+                d.append(did)
+                p.append(i)
+        return pa.table(
+            {
+                "gram": pa.array(g, pa.string()),
+                "doc_id": pa.array(d, pa.int64()),
+                "pos": pa.array(p, pa.int32()),
+            }
+        )
+
+    exploded = docs.map_batches(explode_pos, batch_format="pyarrow")
+    hits = lookup_join(exploded, dup.map_batches(
+        lambda t: t.append_column("__dup", pa.array(np.ones(t.num_rows, np.int8))),
+        batch_format="pyarrow",
+    ), "gram", "gram", how="inner")
+
+    def collect_starts(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array([group["doc_id"][0].as_py()], pa.int64()),
+                "dup_starts": pa.array(
+                    [sorted(group["pos"].to_pylist())], pa.list_(pa.int32())
+                ),
+            }
+        )
+
+    starts = hits.groupby("doc_id").map_groups(collect_starts, batch_format="pyarrow")
+    joined = lookup_join(docs, starts, "doc_id", "doc_id", how="left")
+    return joined.map_batches(
+        dd.SpanScrubber,
+        fn_constructor_kwargs={"n": N, "starts_col": "dup_starts"},
+        batch_format="pyarrow",
+        concurrency=_pool(),
+    )
+
+
 def q_semdedup(sf_dir: str):
     """SemDeDup semantic dedup (stages/similarity.semdedup_group_fn):
     k-means cells assigned by the broadcast-centroid actor pool
@@ -5210,6 +5307,7 @@ QUERIES = {
     "rollup_agg": q_rollup_agg,
     "quantiles": q_quantiles,
     "dup_ngrams": q_dup_ngrams,
+    "dedup_spans": q_dedup_spans,
     "semdedup": q_semdedup,
     "hopping_window": q_hopping_window,
     "dense_rank": q_dense_rank,

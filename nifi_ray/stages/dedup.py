@@ -712,6 +712,106 @@ def simhash_bucket_pairs(band_rows, max_ham: int = 3, max_bucket: int = 1024):
     )
 
 
+# ------------------------------------- exact substring dedup (span excise)
+
+
+def span_gram_counts(col: str = "text", n: int = 5):
+    """Batch fn: whitespace word n-grams → (gram, occ) LOCAL pre-counts
+    (one Arrow group_by per batch), the combiner half of the global
+    duplicated-gram census. RAW tokens, no case folding: span removal
+    (Lee et al. 2022, 'Deduplicating Training Data Makes Language
+    Models Better') excises the literal repeated text, so both sides of
+    the grade compare exact strings."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(pc.cast(batch[col], pa.string()), "").to_pylist()
+        flat: list[str] = []
+        for v in texts:
+            ws = v.split()
+            flat.extend(" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1))
+        if not flat:
+            return pa.table(
+                {"gram": pa.array([], pa.string()), "occ": pa.array([], pa.int64())}
+            )
+        g = (
+            pa.table({"gram": pa.array(flat, pa.string())})
+            .group_by(["gram"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["gram", "occ"])
+
+    return fn
+
+
+def _scrub_words(ws: list[str], starts, n: int) -> tuple[str, int]:
+    """Remove every word covered by a duplicated n-gram starting at any
+    position in ``starts`` (difference-array cover mask)."""
+    m = len(ws)
+    if not starts:
+        return " ".join(ws), 0
+    diff = np.zeros(m + 1, np.int32)
+    for i in starts:
+        diff[i] += 1
+        diff[i + n] -= 1
+    cov = np.cumsum(diff[:-1]) > 0
+    kept = [w for w, c in zip(ws, cov) if not c]
+    return " ".join(kept), int(cov.sum())
+
+
+class SpanScrubber:
+    """Actor-pool stage: excise every word covered by a corpus-level
+    duplicated n-gram. Two modes sharing one kernel:
+
+    - broadcast (``dup_ref``): the duplicated-gram set rides the object
+      store once (`ray.put`), fetched per ACTOR in ``__init__`` — the
+      membership probe is local, no second exchange;
+    - precomputed (``starts_col``): covered start positions arrive as a
+      list column (from the partitioned semi-join fallback when the dup
+      set exceeds the broadcast byte budget).
+
+    Output schema: (id_col, text_clean, n_removed). Whitespace is
+    normalized (single spaces) — the oracle applies the identical
+    split/join."""
+
+    def __init__(self, dup_ref=None, col: str = "text", id_col: str = "doc_id",
+                 n: int = 5, starts_col: str | None = None):
+        if dup_ref is not None and not isinstance(dup_ref, (set, frozenset)):
+            import ray
+
+            dup_ref = ray.get(dup_ref)
+        self.dup = dup_ref
+        self.col, self.id_col, self.n = col, id_col, n
+        self.starts_col = starts_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = self.n
+        texts = pc.fill_null(pc.cast(batch[self.col], pa.string()), "").to_pylist()
+        starts_lists = (
+            batch[self.starts_col].to_pylist() if self.starts_col else None
+        )
+        out_txt, out_rm = [], []
+        for k, v in enumerate(texts):
+            ws = v.split()
+            if starts_lists is not None:
+                starts = starts_lists[k] or []
+            else:
+                starts = [
+                    i
+                    for i in range(len(ws) - n + 1)
+                    if " ".join(ws[i : i + n]) in self.dup
+                ]
+            txt, rm = _scrub_words(ws, starts, n)
+            out_txt.append(txt)
+            out_rm.append(rm)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "text_clean": pa.array(out_txt, pa.string()),
+                "n_removed": pa.array(out_rm, pa.int64()),
+            }
+        )
+
+
 # --------------------------------------------------- embedding near-dup
 
 

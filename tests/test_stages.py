@@ -456,3 +456,26 @@ def test_simhash_band_pairs_exact_recall():
         (r["a"], r["b"], r["hamming"]) for r in pairs.take_all()
     }
     assert got == want
+
+
+def test_dedup_spans_fallback_matches_broadcast(ray_session, monkeypatch):
+    """The partitioned semi-join fallback (budget exceeded) must produce
+    byte-identical output to the broadcast-set path."""
+    from nifi_ray.oracle_expected import expected_dedup_spans
+    from nifi_ray.pipelines.queries import q_dedup_spans
+
+    sf = "/root/testdata/sf0.001"
+    want = (
+        expected_dedup_spans(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    monkeypatch.setenv("NIFI_RAY_BROADCAST_BUDGET", "1")  # force fallback
+    got = (
+        q_dedup_spans(sf)
+        .to_pandas()[["doc_id", "text_clean", "n_removed"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want[["doc_id", "text_clean", "n_removed"]])
