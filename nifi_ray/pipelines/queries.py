@@ -4338,6 +4338,118 @@ def q_dedup_spans(sf_dir: str):
     )
 
 
+_BM25_QUERIES = [
+    (0, ("hash", "join", "merge")),
+    (1, ("scan", "filter", "column")),
+    (2, ("customer", "order", "table")),
+    (3, ("vector", "batch", "stream")),
+]
+
+
+def q_bm25_topk(sf_dir: str, k1: float = 1.2, b: float = 0.75, topk: int = 10):
+    """BM25 ranked retrieval: top-10 docs per query (4 fixed multi-term
+    queries), output (query_id, rank, doc_id) — rank-only output keeps
+    the grade integer-exact while the scores themselves are float.
+
+    100-TB shape: pass 1 is a tree-aggregated corpus census (n_docs,
+    Σlen, per-term document frequencies — ONE tiny row per batch, no
+    shuffle); the idf table (a dozen floats) ships in the scoring
+    closure, so pass 2 scores each doc locally and pre-prunes to top-k
+    per query PER BLOCK before the final small groupby — the corpus
+    never shuffles. Ordering ties break by doc_id on both sides."""
+    from ..stages.packing import _folded_pylist
+
+    terms = sorted({t for _, ts in _BM25_QUERIES for t in ts})
+    t_idx = {t: i for i, t in enumerate(terms)}
+
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def census(t: pa.Table) -> pa.Table:
+        row = {"n_docs": [t.num_rows], "sum_len": [0]}
+        dfs = np.zeros(len(terms), np.int64)
+        total = 0
+        for v in _folded_pylist(t["text"]):
+            ws = v.split()
+            total += len(ws)
+            seen = set(ws) & t_idx.keys()
+            for w in seen:
+                dfs[t_idx[w]] += 1
+        row["sum_len"] = [total]
+        for i, term in enumerate(terms):
+            row[f"df_{i}"] = [int(dfs[i])]
+        return pa.table(row)
+
+    stats = docs.map_batches(census, batch_format="pyarrow").sum(
+        ["n_docs", "sum_len"] + [f"df_{i}" for i in range(len(terms))]
+    )
+    n_docs = stats["sum(n_docs)"]
+    avgdl = stats["sum(sum_len)"] / max(n_docs, 1)
+    idf = {
+        t: float(np.log((n_docs - stats[f"sum(df_{i})"] + 0.5)
+                        / (stats[f"sum(df_{i})"] + 0.5) + 1.0))
+        for t, i in t_idx.items()
+    }
+
+    def score(t: pa.Table) -> pa.Table:
+        qids, dids, scores = [], [], []
+        ids = t["doc_id"].to_pylist()
+        for did, v in zip(ids, _folded_pylist(t["text"])):
+            ws = v.split()
+            dl = len(ws)
+            if not dl:
+                continue
+            tf: dict = {}
+            for w in ws:
+                if w in t_idx:
+                    tf[w] = tf.get(w, 0) + 1
+            if not tf:
+                continue
+            norm = k1 * (1.0 - b + b * dl / avgdl)
+            for qid, qterms in _BM25_QUERIES:
+                s = 0.0
+                for qt in qterms:  # fixed sorted-tuple order per query
+                    f = tf.get(qt, 0)
+                    if f:
+                        s += idf[qt] * f * (k1 + 1.0) / (f + norm)
+                if s > 0.0:
+                    qids.append(qid)
+                    dids.append(did)
+                    scores.append(s)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.int64()),
+                "doc_id": pa.array(dids, pa.int64()),
+                "score": pa.array(scores, pa.float64()),
+            }
+        )
+
+    def block_prune(t: pa.Table) -> pa.Table:
+        # keep top-k per query per block — bounds what the final
+        # exchange carries to topk × n_queries × n_blocks rows
+        t = t.sort_by([("query_id", "ascending"), ("score", "descending"),
+                       ("doc_id", "ascending")])
+        qv = t["query_id"].to_numpy(zero_copy_only=False)
+        pos = np.arange(len(qv))
+        first = np.searchsorted(qv, qv, side="left")
+        return t.take(pa.array(pos[(pos - first) < topk], pa.int64()))
+
+    def rank_topk(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("score", "descending"), ("doc_id", "ascending")])
+        n = min(topk, g.num_rows)
+        return pa.table(
+            {
+                "query_id": g["query_id"].slice(0, n),
+                "rank": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+                "doc_id": g["doc_id"].slice(0, n),
+            }
+        )
+
+    scored = docs.map_batches(score, batch_format="pyarrow").map_batches(
+        block_prune, batch_format="pyarrow"
+    )
+    return scored.groupby("query_id").map_groups(rank_topk, batch_format="pyarrow")
+
+
 def q_semdedup(sf_dir: str):
     """SemDeDup semantic dedup (stages/similarity.semdedup_group_fn):
     k-means cells assigned by the broadcast-centroid actor pool
@@ -5308,6 +5420,7 @@ QUERIES = {
     "quantiles": q_quantiles,
     "dup_ngrams": q_dup_ngrams,
     "dedup_spans": q_dedup_spans,
+    "bm25_topk": q_bm25_topk,
     "semdedup": q_semdedup,
     "hopping_window": q_hopping_window,
     "dense_rank": q_dense_rank,
@@ -5336,6 +5449,50 @@ QUERIES = {
 
 
 ORACLE_SQL = {
+    "bm25_topk": """
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+          FROM documents
+        ),
+        dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+        st AS (
+          SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT CAST(sum(len) AS DOUBLE) FROM dl)
+                   / (SELECT count(*) FROM documents) AS avgdl
+        ),
+        qt AS (
+          SELECT * FROM (VALUES
+            (0,'hash'),(0,'join'),(0,'merge'),
+            (1,'scan'),(1,'filter'),(1,'column'),
+            (2,'customer'),(2,'order'),(2,'table'),
+            (3,'vector'),(3,'batch'),(3,'stream')) q(query_id, term)
+        ),
+        tf AS (
+          SELECT t.doc_id, q.query_id, q.term, count(*) AS tf
+          FROM tok t JOIN qt q ON t.w = q.term
+          GROUP BY t.doc_id, q.query_id, q.term
+        ),
+        df AS (
+          SELECT w AS term, count(DISTINCT doc_id) AS df FROM tok
+          WHERE w IN (SELECT DISTINCT term FROM qt) GROUP BY w
+        ),
+        scored AS (
+          SELECT tf.query_id, tf.doc_id,
+                 sum( ln((st.n_docs - df.df + 0.5)/(df.df + 0.5) + 1.0)
+                      * tf.tf*(1.2+1.0)
+                      / (tf.tf + 1.2*(1.0-0.75+0.75*dl.len/st.avgdl)) ) AS score
+          FROM tf
+          JOIN df ON tf.term = df.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN st
+          GROUP BY tf.query_id, tf.doc_id
+        )
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id FROM (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id) AS rank
+          FROM scored) WHERE rank <= 10
+    """,
     "lww_upsert": """
         SELECT user_id, event_type, value FROM (
           SELECT user_id, event_type, value,
