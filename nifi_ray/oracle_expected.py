@@ -109,6 +109,66 @@ def expected_simhash_pairs(sf_dir: str, max_ham: int = 3) -> pa.Table:
     )
 
 
+def expected_pagerank(
+    sf_dir: str, iters: int = 5, d: float = 0.85, dp: int = 12
+) -> pa.Table:
+    """Sequential PageRank dual of queries.q_pagerank: identical graph
+    (distinct customer→supplier purchase edges), identical
+    order-canonical float path — per-dst contribution sums sorted by
+    src, dangling mass summed in node order, rank vector rounded with
+    the shared round-half-away helper every iteration."""
+    import duckdb
+
+    from .stages.components import round_away
+
+    con = duckdb.connect()
+    edges = con.sql(
+        f"""SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+            FROM read_parquet('{sf_dir}/orders.parquet') o
+            JOIN read_parquet('{sf_dir}/lineitem.parquet') l
+              ON l.l_orderkey = o.o_orderkey"""
+    ).fetchall()
+    con.close()
+    outdeg: dict[int, int] = {}
+    src_by_dst: dict[int, list[int]] = {}
+    nodes_set: set[int] = set()
+    for s, t in edges:
+        s, t = int(s), int(t)
+        nodes_set.add(s)
+        nodes_set.add(t)
+        outdeg[s] = outdeg.get(s, 0) + 1
+        src_by_dst.setdefault(t, []).append(s)
+    nodes = sorted(nodes_set)
+    N = len(nodes)
+    dangling = [n for n in nodes if n not in outdeg]
+    r = {n: float(round_away(1.0 / N, dp)) for n in nodes}
+    for _ in range(iters):
+        dangling_sum = (
+            float(np.sum(np.array([r[n] for n in dangling]))) if dangling else 0.0
+        )
+        sums: dict[int, float] = {}
+        for t, ss in src_by_dst.items():
+            ss_sorted = sorted(ss)
+            contrib = np.array([r[s] for s in ss_sorted]) / np.array(
+                [float(outdeg[s]) for s in ss_sorted]
+            )
+            sums[t] = float(np.sum(contrib))
+        r = {
+            n: float(
+                round_away((1.0 - d) / N + d * (sums.get(n, 0.0) + dangling_sum / N), dp)
+            )
+            for n in nodes
+        }
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "pr": pa.array(
+                [float(round_away(r[n], 9)) for n in nodes], pa.float64()
+            ),
+        }
+    )
+
+
 def expected_dedup_spans(sf_dir: str, n: int = 5) -> pa.Table:
     """Sequential dual of queries.q_dedup_spans: Counter census of
     whitespace word n-grams (occurrences, within-doc repeats count),
@@ -1604,6 +1664,7 @@ EXPECTED_BUILDERS = {
     "simhash": expected_simhash,
     "simhash_pairs": expected_simhash_pairs,
     "dedup_spans": expected_dedup_spans,
+    "pagerank": expected_pagerank,
     "winnow_fingerprints": expected_winnow,
     "lang_id": expected_lang_id,
     "embedding_neardup": expected_embedding_neardup,

@@ -4338,6 +4338,48 @@ def q_dedup_spans(sf_dir: str):
     )
 
 
+def q_pagerank(sf_dir: str):
+    """PageRank over the customer→supplier purchase graph (distinct
+    o_custkey → l_suppkey edges; suppliers offset to a disjoint node
+    space), 5 iterations, damping 0.85, dangling mass redistributed.
+
+    Iterative distributed shape (stages/components.pagerank_ds): per
+    round one sort-exchange join (ranks→edges by src) and one
+    groupby(dst) reduction, each moving O(edges) slim rows; the float
+    path is order-canonical (per-dst sums sorted by src, ranks rounded
+    12 dp between rounds) so the sequential oracle
+    (oracle_expected.expected_pagerank) reproduces it bit-for-bit."""
+    from ..stages.components import pagerank_ds, round_away
+    from ..stages.joins import lookup_join
+
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    j = lookup_join(li, orders, "l_orderkey", "o_orderkey", how="inner")
+    raw = j.map_batches(
+        lambda t: pa.table(
+            {
+                "src": pc.cast(t["o_custkey"], pa.int64()),
+                "dst": pc.add(pc.cast(t["l_suppkey"], pa.int64()), 10_000_000),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    edges = dd.distinct_pairs(raw, cols=("src", "dst"))
+    ranks = pagerank_ds(edges, iters=5, damping=0.85, dp=12)
+    return ranks.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"],
+                "pr": pa.array(
+                    round_away(t["r"].to_numpy(zero_copy_only=False), 9),
+                    pa.float64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 _BM25_QUERIES = [
     (0, ("hash", "join", "merge")),
     (1, ("scan", "filter", "column")),
@@ -5421,6 +5463,7 @@ QUERIES = {
     "dup_ngrams": q_dup_ngrams,
     "dedup_spans": q_dedup_spans,
     "bm25_topk": q_bm25_topk,
+    "pagerank": q_pagerank,
     "semdedup": q_semdedup,
     "hopping_window": q_hopping_window,
     "dense_rank": q_dense_rank,

@@ -177,3 +177,120 @@ def dedup_keep_component_min(ds, pairs, id_col: str):
         return batch.filter(mask)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------- PageRank
+
+
+def round_away(v, dp: int):
+    """DuckDB-exact decimal rounding (round-half-away, one fp divide).
+    np-vectorized; used by BOTH the distributed PageRank and its
+    sequential oracle so every iteration's rank vector is
+    bit-identical across the two implementations."""
+    import numpy as np
+
+    s = 10.0 ** dp
+    return np.sign(v) * np.floor(np.abs(v) * s + 0.5) / s
+
+
+def pagerank_ds(edges, iters: int = 5, damping: float = 0.85, dp: int = 12):
+    """Distributed PageRank over an edge Dataset {src, dst} (edges must
+    be distinct; uniform out-edge weights, dangling mass redistributed
+    to all nodes). Returns a Dataset of {node, r}.
+
+    Determinism contract (the kmeans_full pattern): each per-dst
+    contribution reduction sorts by src before one np.sum, the dangling
+    mass sums over dangling nodes in node order, and the rank vector is
+    rounded to ``dp`` decimals (round-half-away) between iterations —
+    so the float path is order-canonical and the sequential oracle
+    reproduces it bit-for-bit.
+
+    Scale shape: per iteration ONE sort-exchange join (ranks onto
+    edges by src) and ONE groupby(dst) reduction — both move O(edges)
+    slim rows; ranks/nodes/degrees stay Datasets. The dangling-node
+    rank fetch is the one driver-side touch: it collects ranks for
+    no-out-edge nodes only (sorted-order canonical sum); at web scale
+    that set is small relative to the corpus, and the seam would become
+    a sorted-segment tree reduction.
+    """
+    import numpy as np
+    import ray.data as rd  # noqa: F401
+
+    from .joins import lookup_join
+
+    def flat_nodes(t: pa.Table) -> pa.Table:
+        both = pa.concat_tables(
+            [pa.table({"node": t["src"]}), pa.table({"node": t["dst"]})]
+        )
+        return both.group_by(["node"]).aggregate([])
+
+    nodes = drop_schemaless_empties(
+        edges.map_batches(flat_nodes, batch_format="pyarrow")
+        .groupby("node")
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    ).materialize()
+    N = nodes.count()
+
+    outdeg = drop_schemaless_empties(
+        edges.groupby("src")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {"node": t["src"], "deg": pc.cast(t["count()"], pa.float64())}
+            ),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+
+    # dangling set: nodes with no out-edges (canonical node order)
+    dang_t = (
+        lookup_join(nodes, outdeg, "node", "node", how="left")
+        .map_batches(
+            lambda t: t.filter(pc.is_null(t["deg"])).select(["node"]),
+            batch_format="pyarrow",
+        )
+    )
+    dangling = sorted(r["node"] for r in dang_t.take_all())
+    dang_set = set(dangling)
+
+    r0 = float(round_away(1.0 / N, dp))
+    ranks = nodes.map_batches(
+        lambda t: t.append_column("r", pa.array([r0] * t.num_rows, pa.float64())),
+        batch_format="pyarrow",
+    ).materialize()
+
+    edges_deg = lookup_join(edges, outdeg, "src", "node", how="inner").materialize()
+    d = damping
+
+    def dst_sum(g: pa.Table) -> pa.Table:
+        g = g.sort_by("src")
+        contrib = (
+            g["r"].to_numpy(zero_copy_only=False)
+            / g["deg"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table({"node": g["dst"].slice(0, 1), "s": [float(np.sum(contrib))]})
+
+    for _ in range(iters):
+        if dang_set:
+            dvals = {
+                row["node"]: row["r"]
+                for b in ranks.iter_batches(batch_format="pyarrow", batch_size=65536)
+                for row in b.to_pylist()
+                if row["node"] in dang_set
+            }
+            dangling_sum = float(np.sum(np.array([dvals[n] for n in dangling])))
+        else:
+            dangling_sum = 0.0
+        j = lookup_join(edges_deg, ranks, "src", "node", how="inner")
+        sums = drop_schemaless_empties(
+            j.groupby("dst").map_groups(dst_sum, batch_format="pyarrow")
+        )
+        merged = lookup_join(nodes, sums, "node", "node", how="left")
+
+        def new_rank(t: pa.Table, _N=N, _ds=dangling_sum) -> pa.Table:
+            s = pc.fill_null(t["s"], 0.0).to_numpy(zero_copy_only=False)
+            r = round_away((1.0 - d) / _N + d * (s + _ds / _N), dp)
+            return pa.table({"node": t["node"], "r": pa.array(r, pa.float64())})
+
+        ranks = merged.map_batches(new_rank, batch_format="pyarrow").materialize()
+    return ranks

@@ -479,3 +479,29 @@ def test_dedup_spans_fallback_matches_broadcast(ray_session, monkeypatch):
         .reset_index(drop=True)
     )
     assert got.equals(want[["doc_id", "text_clean", "n_removed"]])
+
+
+def test_pagerank_tiny_graph(ray_session):
+    """3-node cycle + 1 dangling sink: ranks must sum to ~1 and the
+    sink (receiving from every node's dangling redistribution plus one
+    in-edge) must outrank the cycle members feeding it."""
+    import ray.data as rd
+
+    from nifi_ray.stages.components import pagerank_ds
+
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([1, 2, 3, 1], pa.int64()),
+                "dst": pa.array([2, 3, 1, 4], pa.int64()),
+            }
+        )
+    )
+    out = {r["node"]: r["r"] for r in pagerank_ds(edges, iters=10).take_all()}
+    assert set(out) == {1, 2, 3, 4}
+    assert abs(sum(out.values()) - 1.0) < 1e-6
+    # 2 and 4 each receive exactly half of 1's vote → identical ranks;
+    # 1 receives 3's whole vote → strictly above both
+    assert out[4] == out[2]
+    assert out[1] > out[2]
+    assert all(v > 0 for v in out.values())
