@@ -3190,6 +3190,59 @@ def q_gc_read(sf_dir: str):
     return lake.read().map_batches(_cdc_summarize, batch_format="pyarrow")
 
 
+def q_rescale_read(sf_dir: str):
+    """Online repartitioning correctness, graded: replay a third of the
+    stream as merge-on-read deltas, ``rescale`` 16→12 partitions (a
+    NON-multiple count — exercises the hash-congruence remap — and the
+    pre-rescale compaction fold of live deltas), replay another third,
+    rescale 12→5 (shrink), replay the rest COW, then read. The grade
+    can't pass without the rescales: the manifest is asserted to end at
+    P=5 with two RESCALE lineage records and an unchanged watermark
+    path. Oracle: the same final-state SQL as cdc_replay, so the driver
+    proves rescale ∘ replay ≡ straight replay at fixed P (the
+    scale-out/in story a 100-TB lake needs when partitions outgrow a
+    task's memory; cdc.py:1640)."""
+    from .cdc import CDCLake
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    cfg, base_dir, ev_dir, lake_dir = cdc_fixture(sf_tag)
+    lake_dir = lake_dir + "_rsc"
+
+    def build():
+        lake = CDCLake(lake_dir)
+        if lake.manifest() is None:
+            lake.init_from(base_dir, num_partitions=16)
+        n = cfg.n_events
+        lake.replay(ev_dir, lsn_hi=n // 3, mode="delta")
+        lake.rescale(12)
+        lake.replay(ev_dir, lsn_hi=2 * n // 3, mode="delta")
+        lake.rescale(5)
+        lake.replay(ev_dir, lsn_hi=n)
+        # checks INSIDE build: a cached lake from a previous run would
+        # accrue extra RESCALE lineage — failing here routes to the
+        # rmtree-and-rebuild path instead of failing the query
+        m = lake.manifest()
+        if m.num_partitions != 5:
+            raise AssertionError(
+                f"expected P=5 after rescales, got {m.num_partitions}"
+            )
+        n_rescales = sum(1 for e in m.lineage if e.get("kind") == "RESCALE")
+        if n_rescales != 2:
+            raise AssertionError(
+                f"expected 2 RESCALE lineage records, got {n_rescales}"
+            )
+        return lake
+
+    try:
+        lake = build()
+    except Exception:
+        import shutil
+
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        lake = build()
+    return lake.read().map_batches(_cdc_summarize, batch_format="pyarrow")
+
+
 def q_incremental_agg(sf_dir: str):
     """Materialized GROUP BY maintained INCREMENTALLY (matview.py):
     per-source doc/token accounting created at lake version 1 (the only
@@ -5343,6 +5396,7 @@ QUERIES = {
     "time_travel": q_time_travel,
     "compact_read": q_compact_read,
     "gc_read": q_gc_read,
+    "rescale_read": q_rescale_read,
     "doc_history": q_doc_history,
     "cdc_changes": q_cdc_changes,
     "cdc_consume": q_cdc_consume,
@@ -6754,6 +6808,8 @@ def _build_cdc_oracles(out: dict, sf_tag: str) -> None:
     # both must leave state identical to a straight replay
     out["compact_read"] = out["cdc_replay"]
     out["gc_read"] = out["cdc_replay"]
+    # rescale ∘ replay must equal straight replay at fixed P
+    out["rescale_read"] = out["cdc_replay"]
     out["cdc_consume"] = out["cdc_replay"]
     # crash + resume must converge to the exact straight-replay state
     out["crash_resume"] = out["cdc_replay"]
