@@ -1706,6 +1706,42 @@ class CDCLake:
         commit_manifest(self.lake_dir, m2)
         return m2
 
+    def restore(self, version: int) -> Manifest:
+        """Roll the lake back to an earlier RETAINED version as a NEW
+        commit (the Delta Lake RESTORE shape): the new manifest copies
+        the target's partitions / schema / watermark under
+        ``latest + 1``, so history stays linear and a later
+        ``replay`` resumes from the restored watermark (re-ingesting
+        the rolled-back LSN range idempotently). Zero data movement —
+        part files are shared by reference; ``gc_orphans`` keeps them
+        live because the restored manifest references them. Lineage
+        gains a RESTORE record on top of the CURRENT history (roll
+        forward, not erase)."""
+        cur = self.manifest()
+        if cur is None:
+            raise FileNotFoundError("lake not initialized")
+        tgt = self.manifest(version)
+        if tgt is None:
+            raise FileNotFoundError(f"version {version} is not retained")
+        m2 = Manifest(
+            version=cur.version + 1,
+            num_partitions=tgt.num_partitions,
+            schema_version=tgt.schema_version,
+            schema=tgt.schema,
+            applied_through=tgt.applied_through,
+            partitions=tgt.partitions,
+            lineage=append_lineage(
+                cur.lineage,
+                {
+                    "kind": "RESTORE",
+                    "to_version": version,
+                    "applied_through": tgt.applied_through,
+                },
+            ),
+        )
+        commit_manifest(self.lake_dir, m2)
+        return m2
+
     # ------------------------------------------------------- exchanges
     def _exchange_dataset(
         self, files, m: Manifest, target: pa.Schema, next_version: int,

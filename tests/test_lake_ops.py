@@ -335,3 +335,40 @@ def test_doc_history_provenance(ray_session, tmp_path):
     he = lake.doc_history("never_existed")
     assert he.num_rows == 0
     assert he.schema.names[:3] == ["version", "watermark", "change_op"]
+
+
+def test_restore_rolls_head_and_catches_up(ray_session, tmp_path):
+    """RESTORE re-publishes an old snapshot as the new head (version
+    grows, watermark reverts), a subsequent replay re-ingests the
+    rolled-back range idempotently, and GC after restore keeps the
+    shared part files alive."""
+    from nifi_ray.state.manifest import expire_versions, gc_orphans
+
+    base_dir, ev_dir, lake_dir = (str(tmp_path / d) for d in ("b", "e", "l"))
+    write_base(CFG, base_dir, shards=1)
+    write_events(CFG, ev_dir, shards=2)
+    lake = CDCLake(lake_dir)
+    lake.init_from(base_dir, num_partitions=4)
+    lake.replay(ev_dir, lsn_hi=450)
+    v_mid = lake.manifest().version
+    mid_table = lake.read_table()
+    lake.replay(ev_dir)
+    full_table = lake.read_table()
+
+    m = lake.restore(v_mid)
+    assert m.version > v_mid + 1  # roll forward, not erase
+    assert m.applied_through == 450
+    assert m.lineage[-1]["kind"] == "RESTORE"
+    assert lake.read_table().equals(mid_table)
+
+    # catch-up replay re-applies (450, n] and converges to full state
+    st = lake.replay(ev_dir)
+    assert st is not None and st.lo == 450
+    assert lake.read_table().equals(full_table)
+    assert lake.replay(ev_dir) is None  # exactly-once after catch-up
+
+    # GC with only the head retained must keep files the restored
+    # lineage still references
+    expire_versions(lake_dir, keep_last=1)
+    gc_orphans(lake_dir)
+    assert lake.read_table().equals(full_table)
