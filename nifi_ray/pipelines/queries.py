@@ -3290,6 +3290,77 @@ def q_restore_read(sf_dir: str):
     return lake.read().map_batches(_cdc_summarize, batch_format="pyarrow")
 
 
+def q_scd2_history(sf_dir: str):
+    """Slowly-changing-dimension TYPE 2 history from the change stream:
+    one row per document VERSION with its validity interval
+    [lsn_from, lsn_to) — the classic warehouse materialization of a CDC
+    feed (each base row opens at lsn 0 with op 'B'; every I/U opens a
+    new version; ANY next record — including a delete — closes the
+    previous one; open versions carry lsn_to = -1; deletes open
+    nothing). Integer-exact output.
+
+    100-TB shape: ONE doc_id-keyed exchange (groupby), the interval
+    kernel is a vectorized shift inside each group, and only
+    (doc_id, lsn, op, source, n_tok) slim rows move — token payloads
+    are projected out at the read. Oracle: lead() window over the same
+    base ∪ events UNION in DuckDB."""
+    from ..util.io import read_parquet_clean
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    _cfg, base_dir, ev_dir, _lake = cdc_fixture(sf_tag)
+
+    base = read_parquet_clean(
+        base_dir, columns=["doc_id", "n_tok", "source"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lsn": pa.array(np.zeros(t.num_rows, np.int64)),
+                "op": pa.array(["B"] * t.num_rows, pa.string()),
+                "source": t["source"],
+                "n_tok": pc.cast(t["n_tok"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    ev = read_parquet_clean(
+        ev_dir, columns=["doc_id", "lsn", "op", "source", "n_tok"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lsn": pc.cast(t["lsn"], pa.int64()),
+                "op": t["op"],
+                "source": t["source"],
+                "n_tok": pc.cast(t["n_tok"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def intervals(g: pa.Table) -> pa.Table:
+        g = g.sort_by("lsn")
+        lsn = g["lsn"].to_numpy(zero_copy_only=False)
+        lsn_to = np.full(len(lsn), -1, np.int64)
+        if len(lsn) > 1:
+            lsn_to[:-1] = lsn[1:]
+        out = pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "lsn_from": pa.array(lsn, pa.int64()),
+                "lsn_to": pa.array(lsn_to, pa.int64()),
+                "op": g["op"],
+                "source": g["source"],
+                "n_tok": g["n_tok"],
+            }
+        )
+        return out.filter(pc.not_equal(out["op"], "D"))
+
+    return base.union(ev).groupby("doc_id").map_groups(
+        intervals, batch_format="pyarrow"
+    )
+
+
 def q_incremental_agg(sf_dir: str):
     """Materialized GROUP BY maintained INCREMENTALLY (matview.py):
     per-source doc/token accounting created at lake version 1 (the only
@@ -5445,6 +5516,7 @@ QUERIES = {
     "gc_read": q_gc_read,
     "rescale_read": q_rescale_read,
     "restore_read": q_restore_read,
+    "scd2_history": q_scd2_history,
     "doc_history": q_doc_history,
     "cdc_changes": q_cdc_changes,
     "cdc_consume": q_cdc_consume,
@@ -6873,6 +6945,21 @@ def _build_cdc_oracles(out: dict, sf_tag: str) -> None:
     out["restore_read"] = _cdc_replay_oracle_sql(
         base_dir, ev_dir, lsn_hi=2 * _cfg.n_events // 3
     )
+    out["scd2_history"] = f"""
+        WITH hist AS (
+          SELECT doc_id, 0 AS lsn, 'B' AS op, source, CAST(n_tok AS BIGINT) AS n_tok
+          FROM read_parquet('{base_dir}/*.parquet')
+          UNION ALL
+          SELECT doc_id, lsn, op, source, CAST(n_tok AS BIGINT) AS n_tok
+          FROM read_parquet('{ev_dir}/*.parquet')
+        )
+        SELECT doc_id, CAST(lsn AS BIGINT) AS lsn_from,
+               CAST(coalesce(lead(lsn) OVER (PARTITION BY doc_id ORDER BY lsn), -1)
+                    AS BIGINT) AS lsn_to,
+               op, source, n_tok
+        FROM hist
+        QUALIFY op <> 'D'
+    """
     ids_sql = ", ".join(f"'{i}'" for i in _lookup_ids(_cfg))
     out["point_lookup"] = (
         f"SELECT * FROM ({out['cdc_replay']}) WHERE doc_id IN ({ids_sql})"
