@@ -23,7 +23,7 @@ import pyarrow.parquet as pq
 
 # Bump when any expected-value implementation (or the engine semantics
 # it mirrors) changes — keys the /tmp cache.
-_REV = 6  # r4: + jpeg dequant zigzag-permutation fix (decoder & dual)
+_REV = 7  # r4: + compression_ratio (per-doc zlib quality gate)
 
 _M64 = (1 << 64) - 1
 
@@ -1643,7 +1643,32 @@ def expected_dsir_resample(sf_dir: str, k: int = 32) -> pa.Table:
     )
 
 
+def expected_compression_ratio(sf_dir: str) -> pa.Table:
+    """Per-doc zlib compression-ratio gate
+    (stages/quality.compression_stats semantics): n_bytes = utf8 byte
+    length, n_zlib = len(zlib.compress(bytes, 6)), keep = 1 iff
+    10*n_zlib >= 3*n_bytes or n_bytes < 64. Sequential scalar loop;
+    both sides call the one deterministic zlib C library."""
+    ids, n_bytes, n_zlib, keep = [], [], [], []
+    for r in _read_docs(sf_dir):
+        raw = (r["text"] or "").encode()
+        nb, nz = len(raw), len(zlib.compress(raw, 6))
+        ids.append(str(r["doc_id"]))
+        n_bytes.append(nb)
+        n_zlib.append(nz)
+        keep.append(1 if (10 * nz >= 3 * nb or nb < 64) else 0)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.string()),
+            "n_bytes": pa.array(n_bytes, pa.int64()),
+            "n_zlib": pa.array(n_zlib, pa.int64()),
+            "keep": pa.array(keep, pa.int32()),
+        }
+    )
+
+
 EXPECTED_BUILDERS = {
+    "compression_ratio": expected_compression_ratio,
     "cdc_chunking": expected_cdc_chunking,
     "chunk_dedup": expected_chunk_dedup,
     "kmeans_train": expected_kmeans_train,

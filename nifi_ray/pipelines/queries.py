@@ -714,6 +714,23 @@ def q_repetition_stats(sf_dir: str):
     )
 
 
+def q_compression_ratio(sf_dir: str):
+    """Per-document zlib compression-ratio quality gate
+    (stages/quality.compression_stats) — the Gopher/FineWeb
+    "too-compressible = boilerplate" filter a 100 TB curation run
+    applies to every document. Graded on the raw integers (utf8 byte
+    length, DEFLATE-compressed length) plus the integer cross-multiply
+    gate, per doc across the whole corpus; the oracle recomputes the
+    same with sequential scalar Python over the same zlib (both sides
+    call one deterministic C library, a la the md5 grades). Embarrass-
+    ingly parallel map_batches — no shuffle, streams at any scale."""
+    from ..stages.quality import compression_stats
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(compression_stats("text"), batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_bytes", "n_zlib", "keep"])
+
+
 def q_line_dedup(sf_dir: str):
     """Corpus-level line deduplication (the CCNet/RefinedWeb paragraph
     dedup step): re-chunk each doc's tokens into fixed 8-token lines
@@ -5624,6 +5641,7 @@ QUERIES = {
     "vocab_df": q_vocab_df,
     "jaccard_pairs": q_jaccard_pairs,
     "repetition_stats": q_repetition_stats,
+    "compression_ratio": q_compression_ratio,
     "line_dedup": q_line_dedup,
     "unigram_logprob": q_unigram_logprob,
     "tfidf_top_terms": q_tfidf_top_terms,

@@ -239,6 +239,53 @@ def ngram_repetition(col: str = "text"):
     return fn
 
 
+def compression_stats(col: str = "text", level: int = 6):
+    """Stateless map_batches body: per-document zlib compression-ratio
+    quality signal (the Gopher/FineWeb "too compressible = boilerplate
+    or repetition" gate, Rae et al. 2021 §A1.1 family). Emits the raw
+    integers — utf8 byte length and DEFLATE(level)-compressed length —
+    plus the integer-arithmetic gate `keep` (1 iff 10*n_zlib >=
+    3*n_bytes, i.e. ratio >= 0.3; short docs under 64 bytes always
+    keep — the ratio is meaningless below one DEFLATE block). Integer
+    output only, and the threshold compares by cross-multiplication,
+    so no float rounding can flip a graded value.
+
+    zlib.compress is one C call per row over the row's own bytes (same
+    shape as the long-string CRC path in util/hashing.py); the byte
+    lengths come zero-copy from Arrow offsets. Per-doc statistic →
+    correct per batch, no shuffle."""
+    import zlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col_arr = batch[col]
+        if isinstance(col_arr, pa.ChunkedArray):
+            col_arr = col_arr.combine_chunks()
+        n_bytes = pc.binary_length(
+            col_arr.cast(pa.binary())
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = col_arr.to_pylist()
+        n_zlib = np.fromiter(
+            (
+                len(zlib.compress((t or "").encode(), level))
+                for t in texts
+            ),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        keep = ((10 * n_zlib >= 3 * n_bytes) | (n_bytes < 64)).astype(
+            np.int32
+        )
+        for name, arr, typ in (
+            ("n_bytes", n_bytes, pa.int64()),
+            ("n_zlib", n_zlib, pa.int64()),
+            ("keep", keep, pa.int32()),
+        ):
+            batch = batch.append_column(name, pa.array(arr, typ))
+        return batch
+
+    return fn
+
+
 def term_frequency(col: str = "text"):
     """Stateless map_batches body: per-term corpus TOKEN-frequency
     partials (multiplicity counted, unlike document_frequency) — pass 1

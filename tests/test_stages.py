@@ -342,6 +342,34 @@ def test_ngram_repetition_edge_cases():
     assert solo["top2_count"].to_pylist() == [3]
 
 
+def test_compression_stats_gate():
+    import zlib
+
+    from nifi_ray.stages.quality import compression_stats
+
+    rep = "spam " * 200                  # highly compressible → drop
+    nat = "The quick brown fox jumps over the lazy dog. " * 3  # keep-ish
+    t = pa.table(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [rep, nat, "", "short doc"],
+        }
+    )
+    out = compression_stats("text")(t)
+    assert out["n_bytes"].to_pylist() == [1000, 135, 0, 9]
+    assert out["n_zlib"].to_pylist() == [
+        len(zlib.compress(s.encode(), 6)) for s in t["text"].to_pylist()
+    ]
+    keep = out["keep"].to_pylist()
+    assert keep[0] == 0                  # repetitive doc gated out
+    assert keep[2] == 1 and keep[3] == 1  # sub-64-byte docs always keep
+    # gate is pure integer arithmetic on the emitted columns
+    nb, nz = out["n_bytes"].to_pylist(), out["n_zlib"].to_pylist()
+    assert keep == [
+        1 if (10 * z >= 3 * b or b < 64) else 0 for b, z in zip(nb, nz)
+    ]
+
+
 def test_explode_fixed_lines_and_reassemble():
     from nifi_ray.stages.dedup import (
         explode_fixed_lines,
