@@ -656,14 +656,13 @@ def q_jaccard_pairs(sf_dir: str):
     pairs = pa.table({"a": pa.array(a, pa.string()), "b": pa.array(b, pa.string())})
     import ray.data as rd
 
-    ref = _ray.put(texts)
     ds = rd.from_arrow(pairs)
+    # bounded slice → the texts dict is ≤256 docs; task-fn closure, no
+    # actor spawn (see q_minhash_pairs for the measured A/B)
     out = ds.map_batches(
-        dd.NgramJaccardPairs,
-        fn_constructor_args=(ref,),
+        dd.NgramJaccardPairs(texts),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=_pool(),
     )
     surv = out.sort(["a", "b"]).take_all()  # ≤ |passing pairs| — small
     return pa.table(
@@ -2207,11 +2206,16 @@ def q_minhash_pairs(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    bands = docs.map_batches(MinHasherCompat, batch_format="pyarrow", concurrency=_pool())
-    # materialize the candidate pairs (tiny by design — LSH-reduced) so
-    # the join does not share one streaming execution with the actor
-    # pool: at low CPU counts that co-residency deadlocks the executor
-    # (pool actors + join aggregators pin every slot)
+    # Task-fn stage, NOT an actor pool: MinHasher state is two
+    # 64-element uint64 permutation arrays (~1 KB, built in µs), so the
+    # instance ships in the task closure once per worker — an actor
+    # pool here only adds spawn latency (measured A/B at sf0.1/32
+    # CPUs, warm: whole query 4.5 s with pools vs 2.3 s task-fn; pools
+    # pay off when __init__ is genuinely expensive — LangId, models,
+    # connections — not for seed tables).
+    bands = docs.map_batches(MinHasherCompat(), batch_format="pyarrow")
+    # materialize the candidate pairs (tiny by design — LSH-reduced):
+    # count / ids-collect / verify below reuse one execution
     pairs = dd.distinct_pairs(dd.lsh_candidate_pairs(bands)).materialize()
 
     # Semi-join fast path: the candidate-pair set is LSH-reduced and
@@ -2250,13 +2254,25 @@ def q_minhash_pairs(sf_dir: str):
         texts: dict = {}
         for b in cand.iter_batches(batch_format="pyarrow", batch_size=65536):
             texts.update(zip(b["doc_id"].to_pylist(), b["text"].to_pylist()))
-        ref = _ray.put(texts)
-        verified = pairs.map_batches(
-            dd.PairVerifier,
-            fn_constructor_kwargs={"texts_ref": ref, "threshold": 0.5},
-            batch_format="pyarrow",
-            concurrency=_pool(),
-        )
+        # Verifier stage shape by dict size: a small dict rides in the
+        # task closure (Ray serializes the fn once per execution; each
+        # worker fetches it once — the same once-per-worker traffic as
+        # actor __init__, without the spawn; measured 1.25 s → 0.14 s
+        # warm). A large dict keeps the actor pool: per-ACTOR ray.get
+        # deserializes it once, where a per-task closure at 100s of MB
+        # would re-pickle on the driver and bloat the fn blob.
+        if est_bytes <= (16 << 20):
+            verified = pairs.map_batches(
+                dd.PairVerifier(texts, threshold=0.5), batch_format="pyarrow"
+            )
+        else:
+            ref = _ray.put(texts)
+            verified = pairs.map_batches(
+                dd.PairVerifier,
+                fn_constructor_kwargs={"texts_ref": ref, "threshold": 0.5},
+                batch_format="pyarrow",
+                concurrency=_pool(),
+            )
         return verified.map_batches(
             lambda t: t.select(["a", "b"]), batch_format="pyarrow"
         )
