@@ -181,7 +181,14 @@ def q_curation_pipeline(sf_dir: str):
         lambda t: t.filter(t["passes"]).select(["doc_id", "lang", "text"]),
         batch_format="pyarrow",
     )
-    winners = dd.exact_dedup(passing, "text", "doc_id", project=True)
+    # est_rows from parquet metadata (no execution): lets exact_dedup
+    # pick the broadcast winner-filter when the winner set fits the
+    # budget, the distributed hash join when it cannot
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+    winners = dd.exact_dedup(passing, "text", "doc_id", project=True,
+                             est_rows=n_docs)
     toks = winners.map_batches(token_count("text"), batch_format="pyarrow")
     return pre_aggregate(
         toks,

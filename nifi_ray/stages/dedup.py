@@ -61,14 +61,21 @@ def first_per_key(ds, key: str, order: str):
 
 
 def exact_dedup(ds, col: str, order: str, out_hash: str = "content_hash",
-                project: bool = False, num_partitions: int = 8):
+                project: bool = False, num_partitions: int = 8,
+                est_rows: int | None = None):
     """Full exact-dedup pipeline: hash → groupby → first.
 
     project=True (the 100 TB shape): the keyed shuffle carries only
     (hash, order) — never document payloads — to pick each group's
-    winner, then an inner hash join on (hash, order) restores the
-    winners' full rows. Payload rows move once through a hash join
-    (no sort), slim rows through the groupby.
+    winner, then the winners' full rows are restored by EITHER a
+    broadcast semi-filter (when the caller's ``est_rows`` bound says
+    the winner set fits the cluster's broadcast byte budget — one
+    take_all of slim (hash, order) pairs, one dict shipped once per
+    worker, zero extra exchange; the classic broadcast-hash-join plan
+    for a small build side) OR an inner hash join on (hash, order)
+    (the corpus-scale path: winners ≈ distinct docs, far over any
+    broadcast budget). Payload rows move at most once either way; slim
+    rows through the groupby.
     """
     hashed = ds.map_batches(content_hash(col, out_hash), batch_format="pyarrow")
     if not project:
@@ -81,6 +88,26 @@ def exact_dedup(ds, col: str, order: str, out_hash: str = "content_hash",
     # two-level min: batch-local combine shrinks the shuffle to ≤ one
     # row per (hash, batch); winner = first writer = min(order)
     winners = pre_aggregate(slim, out_hash, {order: (order, "min")})
+    if est_rows is not None:
+        from ..util.scale import broadcast_budget_bytes
+
+        # ~32 B per (hash, order) dict entry incl. Python overhead
+        if est_rows * 32 * 4 <= min(broadcast_budget_bytes(), 64 << 20):
+            win = {}
+            for b in winners.iter_batches(
+                batch_format="pyarrow", batch_size=65536
+            ):
+                win.update(
+                    zip(b[out_hash].to_pylist(), b[order].to_pylist())
+                )
+
+            def keep_winners(t: pa.Table) -> pa.Table:
+                h = t[out_hash].to_pylist()
+                o = t[order].to_pylist()
+                mask = [win.get(x) == y for x, y in zip(h, o)]
+                return t.filter(pa.array(mask, pa.bool_()))
+
+            return hashed.map_batches(keep_winners, batch_format="pyarrow")
     return hashed.join(
         winners, "inner", num_partitions=num_partitions, on=(out_hash, order),
         # fractional-CPU aggregators: a full CPU per join partition can
