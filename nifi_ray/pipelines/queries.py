@@ -591,8 +591,9 @@ def q_tokenize(sf_dir: str):
     token totals and the sum of token ids, which pins every id (the
     oracle recomputes md5-hash ids in SQL)."""
     ds = _t(sf_dir, "documents", columns=["lang", "text"])
-    ds = ds.map_batches(Tokenizer, fn_constructor_args=("text",),
-                        batch_format="pyarrow", concurrency=_pool())
+    # task-fn stage: Tokenizer state is one compiled regex (µs) — no
+    # actor-pool spawn needed (see q_minhash_pairs for the measured A/B)
+    ds = ds.map_batches(Tokenizer("text"), batch_format="pyarrow")
 
     def tok_sum(t: pa.Table) -> pa.Table:
         flat = pc.list_flatten(t["tokens"])
@@ -625,8 +626,9 @@ def q_pack_sequences(sf_dir: str):
     from ..stages.packing import pack_group
 
     ds = _t(sf_dir, "documents", columns=["doc_id", "lang", "text"])
-    ds = ds.map_batches(Tokenizer, fn_constructor_args=("text",),
-                        batch_format="pyarrow", concurrency=_pool())
+    # task-fn stage: Tokenizer state is one compiled regex (µs) — no
+    # actor-pool spawn needed (see q_minhash_pairs for the measured A/B)
+    ds = ds.map_batches(Tokenizer("text"), batch_format="pyarrow")
     ds = ds.select_columns(["doc_id", "lang", "tokens"])
     packed = ds.groupby("lang").map_groups(
         pack_group(256, order_key="doc_id"), batch_format="pyarrow"
