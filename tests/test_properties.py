@@ -516,3 +516,67 @@ def test_amqp_put_frame_sizes_roundtrip(tmp_path_factory, payloads, frame_max):
     assert [p.encode() if isinstance(p, str) else p for _o, p in by_offset] == [
         p for p in payloads
     ]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8"),
+            max_size=200,
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    split=st.integers(min_value=0, max_value=12),
+)
+def test_compression_stats_batch_composition_invariant(texts, split):
+    """Per-doc statistics must not depend on which rows share a batch
+    (the reduceat-clip bug class from the r3 verdict, pinned here for
+    the zlib gate): stats of a table equal the concatenated stats of
+    any split of it."""
+    from nifi_ray.stages.quality import compression_stats
+
+    fn = compression_stats("text")
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    whole = fn(t)
+    split = min(split, len(texts))
+    parts = [
+        p
+        for p in (fn(t.slice(0, split)), fn(t.slice(split)))
+        if p.num_rows
+    ]
+    for col in ("n_bytes", "n_zlib", "keep"):
+        want = [v for p in parts for v in p[col].to_pylist()]
+        assert whole[col].to_pylist() == want
+
+
+def test_exact_dedup_broadcast_equals_join_path(ray_session):
+    """exact_dedup(project=True) must pick identical winners whether
+    the winner set is restored by the budget-gated broadcast filter
+    (est_rows given, small) or the distributed hash join (no
+    est_rows) — same dataset, both paths, row-set equality."""
+    import ray.data as rd
+
+    from nifi_ray.stages.dedup import exact_dedup
+
+    texts = [f"doc {i % 7}" for i in range(40)] + ["", "", "unique"]
+    ids = list(range(len(texts)))
+    ds = rd.from_arrow(
+        pa.table({"doc_id": ids, "text": texts})
+    ).repartition(5)
+
+    def rows(d):
+        got = d.take_all()
+        return sorted((r["doc_id"], r["text"]) for r in got)
+
+    via_bcast = rows(
+        exact_dedup(ds, "text", "doc_id", project=True, est_rows=len(texts))
+    )
+    via_join = rows(exact_dedup(ds, "text", "doc_id", project=True))
+    assert via_bcast == via_join
+    # winner = min doc_id per distinct text, every distinct text present
+    want = {}
+    for i, tx in zip(ids, texts):
+        want.setdefault(tx, i)
+    assert via_bcast == sorted((v, k) for k, v in want.items())
