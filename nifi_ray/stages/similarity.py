@@ -78,15 +78,27 @@ def global_topk(candidates, k: int, id_col: str = "vec_id"):
 
 def knn_brute_force(ds, queries: dict, k: int = 5, id_col: str = "vec_id", col: str = "embedding"):
     """queries = {"query_id": [...], "matrix": 2D array}. Returns Dataset
-    of (query_id, id, sim, rank), exact."""
-    ref = ray.put(queries)
-    cands = ds.map_batches(
-        LocalTopK,
-        fn_constructor_args=(ref,),
-        fn_constructor_kwargs={"id_col": id_col, "col": col, "k": k},
-        batch_format="pyarrow",
-        concurrency=actor_pool_size(),
-    )
+    of (query_id, id, sim, rank), exact.
+
+    Stage shape by query-matrix size: a small matrix rides in the task
+    closure (shipped once per worker, no actor spawn); a large one
+    (≥16 MiB — big query fleets) keeps the actor pool so each actor
+    ray.gets the broadcast ONCE instead of the closure re-pickling it."""
+    q_bytes = int(np.asarray(queries["matrix"]).nbytes)
+    if q_bytes < (16 << 20):
+        cands = ds.map_batches(
+            LocalTopK(queries, id_col=id_col, col=col, k=k),
+            batch_format="pyarrow",
+        )
+    else:
+        ref = ray.put(queries)
+        cands = ds.map_batches(
+            LocalTopK,
+            fn_constructor_args=(ref,),
+            fn_constructor_kwargs={"id_col": id_col, "col": col, "k": k},
+            batch_format="pyarrow",
+            concurrency=actor_pool_size(),
+        )
     return global_topk(cands, k, id_col)
 
 
