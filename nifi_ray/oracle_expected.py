@@ -23,7 +23,7 @@ import pyarrow.parquet as pq
 
 # Bump when any expected-value implementation (or the engine semantics
 # it mirrors) changes — keys the /tmp cache.
-_REV = 7  # r4: + compression_ratio (per-doc zlib quality gate)
+_REV = 8  # r4: + neardup_keep (canonical doc per near-dup cluster)
 
 _M64 = (1 << 64) - 1
 
@@ -666,6 +666,33 @@ def expected_minhash_dup_groups(sf_dir: str) -> pa.Table:
 
 
 # ------------------------------------------------------------------ IVF
+
+
+def expected_neardup_keep(sf_dir: str) -> pa.Table:
+    """Canonical selection per near-dup component (q_neardup_keep
+    semantics): keep = max utf8 byte length, tie → min doc_id; plus
+    member count and the keeper's byte length."""
+    comps = expected_minhash_dup_groups(sf_dir)
+    size = {
+        str(r["doc_id"]): len((r["text"] or "").encode())
+        for r in _read_docs(sf_dir)
+    }
+    members: dict[str, list[str]] = {}
+    for n, c in zip(comps["node"].to_pylist(), comps["component"].to_pylist()):
+        members.setdefault(c, []).append(n)
+    rows = []
+    for c in sorted(members):
+        ms = members[c]
+        keep = min(ms, key=lambda d: (-size.get(d, 0), d))
+        rows.append((c, keep, len(ms), size.get(keep, 0)))
+    return pa.table(
+        {
+            "component": pa.array([r[0] for r in rows]),
+            "keep_doc_id": pa.array([r[1] for r in rows]),
+            "n_members": pa.array([r[2] for r in rows], pa.int64()),
+            "keep_bytes": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
 
 
 def expected_knn_ivf(sf_dir: str, n_cells: int = 8, nprobe: int = 3, k: int = 5) -> pa.Table:
@@ -1700,6 +1727,7 @@ EXPECTED_BUILDERS = {
     "video_frames": expected_video_frames,
     "minhash_pairs": expected_minhash_pairs,
     "minhash_dup_groups": expected_minhash_dup_groups,
+    "neardup_keep": expected_neardup_keep,
     "knn_ivf": expected_knn_ivf,
     "semdedup": expected_semdedup,
     "bpe_train": expected_bpe_train,

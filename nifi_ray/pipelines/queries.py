@@ -1886,6 +1886,66 @@ def q_minhash_dup_groups(sf_dir: str):
     return connected_components_ds(pairs)
 
 
+def q_neardup_keep(sf_dir: str):
+    """Canonical-document selection per near-dup cluster — the step a
+    curation run applies AFTER grouping (FineWeb/RefinedWeb keep one
+    representative per duplicate cluster): for every connected
+    component of the MinHash near-dup graph, keep the LARGEST member
+    (utf8 byte length; tie → lexicographically smallest doc_id) and
+    report the cluster's size and the keeper's bytes. Deterministic
+    integers + ids only.
+
+    100-TB shape: the component table is O(dup docs); member sizes are
+    attached by a sort-exchange lookup join against a two-column
+    projection of the corpus (stages/joins.lookup_join — no corpus
+    broadcast), and the argmax runs inside a component-keyed
+    map_groups. Oracle: sequential union-find + the same argmax
+    (oracle_expected.expected_neardup_keep)."""
+    from ..stages.joins import lookup_join
+
+    comps = q_minhash_dup_groups(sf_dir)  # (node, component)
+    sizes = _t(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.string()),
+                "n_bytes": pc.cast(
+                    pc.binary_length(pc.cast(t["text"], pa.binary())),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = lookup_join(
+        comps.map_batches(
+            lambda t: t.rename_columns(
+                ["doc_id" if c == "node" else c for c in t.schema.names]
+            ),
+            batch_format="pyarrow",
+        ),
+        sizes,
+        "doc_id",
+        "doc_id",
+    )
+
+    def pick(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group,
+            sort_keys=[("n_bytes", "descending"), ("doc_id", "ascending")],
+        )
+        top = group.take(order.slice(0, 1))
+        return pa.table(
+            {
+                "component": top["component"],
+                "keep_doc_id": top["doc_id"],
+                "n_members": pa.array([group.num_rows], pa.int64()),
+                "keep_bytes": top["n_bytes"],
+            }
+        )
+
+    return joined.groupby("component").map_groups(pick, batch_format="pyarrow")
+
+
 def q_syslog_roundtrip(sf_dir: str):
     """ParseSyslog end-to-end: render events as RFC3164 lines, parse
     back with the actor-pool parser, aggregate severity counts — oracle
@@ -5667,6 +5727,7 @@ QUERIES = {
     "jaccard_pairs": q_jaccard_pairs,
     "repetition_stats": q_repetition_stats,
     "compression_ratio": q_compression_ratio,
+    "neardup_keep": q_neardup_keep,
     "line_dedup": q_line_dedup,
     "unigram_logprob": q_unigram_logprob,
     "tfidf_top_terms": q_tfidf_top_terms,
