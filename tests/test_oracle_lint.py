@@ -25,6 +25,70 @@ def test_no_uint64_in_expected_tables():
     assert not bad, f"unsigned-wide columns in expected tables: {bad}"
 
 
+def _canon_type(t: pa.DataType) -> str:
+    """Collapse an Arrow type to its driver-visible hash class. The
+    driver stringifies values after a native-dtype row sort, so the
+    classes that can flip its hash are exactly: string-vs-numeric
+    (sort order), float-vs-int ("5.0" vs "5"), bool-vs-int ("True" vs
+    "1"), and temporal-vs-string. Width within a class (int32/int64,
+    string/large_string) is a non-event and is collapsed so this lint
+    stays noise-free."""
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "str"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "bin"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t) or pa.types.is_decimal(t):
+        return "float"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return f"list<{_canon_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{_canon_type(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    if pa.types.is_dictionary(t):
+        return _canon_type(t.value_type)
+    return str(t)
+
+
+def _canon_schema(schema: pa.Schema) -> dict:
+    return {f.name: _canon_type(f.type) for f in schema}
+
+
+def _result_schema(res) -> pa.Schema:
+    import pandas as pd
+
+    if isinstance(res, pa.Table):
+        return res.schema
+    if isinstance(res, pd.DataFrame):
+        return pa.Schema.from_pandas(res)
+    return res.schema().base_schema  # ray Dataset
+
+
+def test_expected_query_schema_parity(ray_session):
+    """Every ☆-query (expected-table oracle) must emit EXACTLY its
+    expected table's schema, canonicalized to driver-visible classes.
+    The r4 driver failed `simhash`/`winnow_fingerprints` on a
+    str-oracle-vs-int64-query doc_id that the value checkers coerced
+    away — schema parity is the static catch for that whole class
+    (r4 VERDICT ask #2b)."""
+    from nifi_ray.pipelines.queries import QUERIES
+
+    bad = {}
+    for name, builder in EXPECTED_BUILDERS.items():
+        want = _canon_schema(builder(SF).schema)
+        got = _canon_schema(_result_schema(QUERIES[name](SF)))
+        if got != want:
+            bad[name] = {"query": got, "expected": want}
+    assert not bad, f"query/expected schema drift: {bad}"
+
+
 def test_no_duplicate_toplevel_defs_or_dict_keys():
     """A same-named top-level def/class silently shadows the earlier
     one (this broke session_windows/lag_prev_value in round 4 when a

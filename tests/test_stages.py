@@ -486,6 +486,56 @@ def test_simhash_band_pairs_exact_recall():
     assert got == want
 
 
+def test_simhash_degenerate_bucket_exact(ray_session):
+    """A bucket larger than the old 1024 cap but made of IDENTICAL
+    signatures (the 'every empty doc at signature 0' case) must emit
+    ALL intra-cluster pairs — the signature-collapse path never drops
+    candidates (r4 ADVICE: capping silently broke the exact-recall
+    claim)."""
+    import ray.data as rd
+
+    from nifi_ray.stages.dedup import simhash_band_rows, simhash_bucket_pairs
+
+    n = 1200  # > the old max_bucket=1024
+    t = pa.table(
+        {
+            "doc_id": [f"d{i:05d}" for i in range(n)],
+            "simhash": pa.array([0] * n, pa.uint64()),
+        }
+    )
+    # one band → one bucket; no distinct pass needed (each pair appears
+    # once), so the test is O(output) and checks the bucket kernel alone
+    bands = rd.from_arrow(t).map_batches(
+        simhash_band_rows(bands=1), batch_format="pyarrow"
+    )
+    pairs = simhash_bucket_pairs(bands, max_ham=3)
+    assert pairs.count() == n * (n - 1) // 2
+    one = pairs.take(1)[0]
+    assert one["hamming"] == 0
+
+
+def test_simhash_unique_sig_overflow_raises(ray_session):
+    """>max_bucket UNIQUE signatures in one band bucket must raise
+    loudly, never silently drop candidate pairs."""
+    import pytest
+    import ray.data as rd
+
+    from nifi_ray.stages.dedup import simhash_band_rows, simhash_bucket_pairs
+
+    n = 12  # distinct high bits, identical band 0 (low 16 bits)
+    t = pa.table(
+        {
+            "doc_id": [f"d{i:03d}" for i in range(n)],
+            "simhash": pa.array([i << 16 for i in range(n)], pa.uint64()),
+        }
+    )
+    bands = rd.from_arrow(t).map_batches(
+        simhash_band_rows(bands=4), batch_format="pyarrow"
+    )
+    with pytest.raises(Exception, match="unique signatures"):
+        simhash_bucket_pairs(bands, max_ham=3, max_bucket=8).take_all()
+
+
 def test_dedup_spans_fallback_matches_broadcast(ray_session, monkeypatch):
     """The partitioned semi-join fallback (budget exceeded) must produce
     byte-identical output to the broadcast-set path."""

@@ -33,12 +33,25 @@ def normalize(df):
 
 
 def value_hash(df):
-    """Driver-style hash: stringify every value (so dtype artifacts like
-    int64 5 vs float64 5.0 DO flip the hash), sort rows, md5."""
+    """Driver-style hash: sort rows on NATIVE dtypes FIRST, then
+    stringify and md5. Sorting natively is what makes the hash
+    dtype-faithful: an int64 id column sorts numerically (1, 2, 10)
+    while its str(oracle) twin sorts lexically ("1", "10", "2"), so a
+    str-vs-int mismatch flips row order and the hash — exactly the
+    class the r4 driver failed on `simhash`/`winnow_fingerprints`
+    that the old stringify-then-sort hash could not see. Stringify
+    artifacts (int64 5 vs float64 5.0) still flip the hash too."""
     import hashlib
 
-    df = df[sorted(df.columns)].astype(str)
-    rows = sorted("\x1f".join(r) for r in df.itertuples(index=False, name=None))
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            nn = df[c].dropna()
+            if len(nn) and not isinstance(nn.iloc[0], str):
+                # lists/arrays aren't totally ordered — stringify those
+                df[c] = df[c].astype(str)
+    df = df.sort_values(list(df.columns), kind="mergesort").astype(str)
+    rows = ("\x1f".join(r) for r in df.itertuples(index=False, name=None))
     return hashlib.md5("\x1e".join(rows).encode()).hexdigest()
 
 
@@ -107,9 +120,20 @@ def main():
             try:
                 import pandas.testing as pdt
 
+                import numpy as np
+
                 w = want.copy()
-                for c in want.columns:  # align dtypes where lossless
-                    if got[c].dtype != w[c].dtype:
+                for c in want.columns:
+                    # align dtypes where lossless — NUMERIC↔NUMERIC only
+                    # (int32 oracle vs int64 query is a non-event in the
+                    # driver's stringified hash, but string↔int is NOT:
+                    # it flips native sort order, so it must not be
+                    # rescued here; see value_hash docstring)
+                    if (
+                        got[c].dtype != w[c].dtype
+                        and np.issubdtype(got[c].dtype, np.number)
+                        and np.issubdtype(w[c].dtype, np.number)
+                    ):
                         try:
                             w[c] = w[c].astype(got[c].dtype)
                         except Exception:
