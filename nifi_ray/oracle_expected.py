@@ -545,6 +545,43 @@ def expected_video_frames(
     )
 
 
+def expected_mp4_codec_routing(_sf: str, n: int = 48, seed: int = 13) -> pa.Table:
+    """Spec-derived dual of q_mp4_codec_routing: statuses and codecs
+    follow the fixture rule (i % 3 == 2 → avc1, routed), psums are
+    recomputed scalar-wise from the _synth_rgb generator for sampled
+    frames (0, 3, 6, …) — the mp4 container is never parsed here."""
+    from .stages.multimodal import MP4_FIXTURE_DIMS, mp4_fixture_frames
+
+    ids, codecs, status, nfr, psums = [], [], [], [], []
+    for i in range(n):
+        w, h = MP4_FIXTURE_DIMS[i % len(MP4_FIXTURE_DIMS)]
+        ids.append(f"mp4{i:06d}")
+        if i % 3 == 2:
+            codecs.append("avc1")
+            status.append("unsupported_codec")
+            nfr.append(0)
+            psums.append(0)
+            continue
+        codecs.append("raw ")
+        status.append("ok")
+        sampled = list(range(0, mp4_fixture_frames(i), 3))
+        nfr.append(len(sampled))
+        tot = 0
+        for f in sampled:
+            key = seed * 5_000_011 + i * 907 + f
+            tot += sum(_mix64(j ^ key) % 256 for j in range(h * w * 3))
+        psums.append(tot)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.string()),
+            "codec": pa.array(codecs, pa.string()),
+            "status": pa.array(status, pa.string()),
+            "n_frames_sampled": pa.array(nfr, pa.int64()),
+            "psum": pa.array(psums, pa.int64()),
+        }
+    )
+
+
 # --------------------------------------------------------------- minhash
 
 
@@ -1609,6 +1646,41 @@ def expected_count_min(sf_dir: str) -> pa.Table:
     )
 
 
+def expected_kll_quantiles(sf_dir: str) -> pa.Table:
+    """Sequential scalar replay of q_kll_quantiles' shard-canonical
+    plan: numpy-partition events by event_id // 4096, build each
+    shard's sketch from rows sorted by (event_id, value), fold in
+    ascending shard order. Same KLLSketch kernel, zero Ray — agreement
+    proves the DISTRIBUTED orchestration (groupby sharding, partial
+    serialization, driver fold order) moved nothing."""
+    import numpy as np
+
+    from .stages.sketch import KLLSketch
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
+    )
+    eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+    val = tbl["value"].to_numpy(zero_copy_only=False)
+    shard = eid // 4096
+    acc = KLLSketch()
+    for s in np.unique(shard):  # ascending — the canonical fold order
+        m = shard == s
+        order = np.lexsort((val[m], eid[m]))
+        sk = KLLSketch()
+        sk.add_many(val[m][order])
+        acc.merge(sk)
+    q_pct = [1, 5, 10, 25, 50, 75, 90, 95, 99]
+    est = acc.quantiles([p / 100.0 for p in q_pct])
+    return pa.table(
+        {
+            "q_pct": pa.array(q_pct, pa.int64()),
+            "est": pa.array(np.round(est, 9), pa.float64()),
+            "n": pa.array([acc.n] * len(q_pct), pa.int64()),
+        }
+    )
+
+
 def expected_dsir_resample(sf_dir: str, k: int = 32) -> pa.Table:
     """Sequential DSIR replay (queries.q_dsir_resample semantics): the
     bucket counts are re-derived one document at a time with the scalar
@@ -1734,22 +1806,33 @@ EXPECTED_BUILDERS = {
     "bpe_encode": expected_bpe_encode,
     "count_min": expected_count_min,
     "dsir_resample": expected_dsir_resample,
+    "kll_quantiles": expected_kll_quantiles,
+    "mp4_codec_routing": expected_mp4_codec_routing,
 }
 
 
-def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
-    """Materialize each expected table as parquet (skip-if-exists,
-    atomic rename) and return DuckDB SQL reading it."""
+def expected_table_path(name: str, sf_dir: str) -> str:
+    """Materialize ONE expected table as parquet (skip-if-exists,
+    atomic rename) and return its path. The single cache entry point:
+    oracle SQL and the schema-parity lint both read through it, so a
+    builder runs at most once per (name, sf, _REV) on a machine — the
+    lint previously called builders directly and re-ran every scalar
+    dual (incl. the pure-Python JPEG decodes) on EVERY pytest run."""
     sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     out_dir = os.path.join("/tmp", f"nifi_ray_expected_{sf_tag}_r{_REV}")
     os.makedirs(out_dir, exist_ok=True)
-    sqls = {}
-    for name, builder in EXPECTED_BUILDERS.items():
-        path = os.path.join(out_dir, f"{name}.parquet")
-        if not os.path.exists(path):
-            tbl = builder(sf_dir)
-            tmp = path + f".tmp.{os.getpid()}"
-            pq.write_table(tbl, tmp)
-            os.replace(tmp, path)
-        sqls[name] = f"SELECT * FROM read_parquet('{path}')"
-    return sqls
+    path = os.path.join(out_dir, f"{name}.parquet")
+    if not os.path.exists(path):
+        tbl = EXPECTED_BUILDERS[name](sf_dir)
+        tmp = path + f".tmp.{os.getpid()}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
+    """DuckDB SQL reading each expected table's cached parquet."""
+    return {
+        name: f"SELECT * FROM read_parquet('{expected_table_path(name, sf_dir)}')"
+        for name in EXPECTED_BUILDERS
+    }

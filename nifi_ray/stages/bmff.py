@@ -283,12 +283,22 @@ def _fbox(fourcc: bytes, version: int, flags: int, payload: bytes) -> bytes:
 _UNITY_MATRIX = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
 
 
-def encode_mp4_raw_video(frames: list[np.ndarray], fps: int = 25) -> bytes:
+def encode_mp4_raw_video(
+    frames: list[np.ndarray], fps: int = 25, codec_fourcc: bytes = b"raw "
+) -> bytes:
     """Deterministic minimal-but-valid mp4: one ``raw `` RGB24 video
     track, samples split into alternating 3/2-sample chunks so the
     stsc → stco mapping is actually exercised (a single-chunk file
     would never catch a chunk-expansion bug). Layout: ftyp, mdat,
-    moov — offsets are known before moov is written."""
+    moov — offsets are known before moov is written.
+
+    ``codec_fourcc`` overrides the stsd sample-entry fourcc (payload
+    bytes stay raw RGB24): an ``avc1``-labeled container exercises the
+    transform-coded decode seam — parsers must read its metadata, and
+    sample DECODE must refuse on codec, never sniff bytes. Negative
+    fixture for mp4_codec_routing."""
+    if len(codec_fourcc) != 4:
+        raise ValueError("codec fourcc must be 4 bytes")
     if not frames:
         raise ValueError("need at least one frame")
     h, w = frames[0].shape[:2]
@@ -322,7 +332,7 @@ def encode_mp4_raw_video(frames: list[np.ndarray], fps: int = 25) -> bytes:
     dur_movie = (n * 1000) // fps      # movie timescale 1000
 
     entry = (
-        struct.pack(">I", 86) + b"raw " + b"\x00" * 6 + struct.pack(">H", 1)
+        struct.pack(">I", 86) + codec_fourcc + b"\x00" * 6 + struct.pack(">H", 1)
         + struct.pack(">HH", 0, 0) + b"\x00" * 12
         + struct.pack(">HH", w, h)
         + struct.pack(">II", 0x480000, 0x480000) + b"\x00" * 4

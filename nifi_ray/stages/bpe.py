@@ -63,7 +63,19 @@ def segment(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     merging all non-overlapping occurrences left-to-right (the GPT-2
     style application, equivalent to in-order replay — see module
     docstring)."""
-    syms = list(word)
+    return _converge(list(word), ranks)
+
+
+def _converge(syms: list[str], ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Run the lowest-rank-first merge loop to fixpoint from an
+    arbitrary symbol state. segment() starts it from characters; the
+    incremental trainer restarts it from a previous round's CONVERGED
+    state after applying one new merge — correct because convergence
+    is a fixpoint property of the state, not of how it was reached:
+    lowest-rank-first selection means the from-characters replay under
+    the extended rank table makes exactly the old replay's choices
+    until the old fixpoint, then continues — i.e. it passes THROUGH
+    the old converged state."""
     while len(syms) > 1:
         best_rank = None
         best_pair = None
@@ -124,13 +136,131 @@ def pair_partial_fn(merges: list[tuple[str, str]]):
     return fn
 
 
+def pair_delta_fn(merges: list[tuple[str, str]], new_merge: tuple[str, str]):
+    """map_batches body for INCREMENTAL pair-stat maintenance: after a
+    merge (l, r) is chosen, only words whose segmentation changes can
+    move any pair count, and every such word contains the character
+    sequence ``l + r`` (segments are contiguous in-order spans). The
+    batch is therefore pre-filtered with ONE vectorized
+    pc.match_substring mask — the Python re-segmentation loop runs
+    only over the (usually tiny) matched subset, and the emitted rows
+    are signed (l, r, delta) partials: -old adjacencies +new
+    adjacencies, frequency-weighted. The new segmentation CONTINUES
+    the merge loop from the old converged state (_converge — exact by
+    the fixpoint argument in its docstring) instead of replaying from
+    characters, so the added per-word cost is one continuation, not a
+    second full replay (r4 VERDICT ask #5; mirrors subword-nmt's
+    sequential incremental update_pair_statistics)."""
+    import pyarrow.compute as pc
+
+    ranks_old = {m: i for i, m in enumerate(merges)}
+    ranks_new = dict(ranks_old)
+    ranks_new[new_merge] = len(merges)
+    needle = new_merge[0] + new_merge[1]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.match_substring(batch["word"], needle))
+        cnt: dict[tuple[str, str], int] = {}
+        if t.num_rows:
+            ns = t["n"].to_numpy(zero_copy_only=False)
+            for w, n in zip(t["word"].to_pylist(), ns):
+                old = segment(w, ranks_old)
+                new = _converge(list(old), ranks_new)
+                if old == new:
+                    continue
+                n = int(n)
+                for i in range(len(old) - 1):
+                    p = (old[i], old[i + 1])
+                    cnt[p] = cnt.get(p, 0) - n
+                for i in range(len(new) - 1):
+                    p = (new[i], new[i + 1])
+                    cnt[p] = cnt.get(p, 0) + n
+        cnt = {p: d for p, d in cnt.items() if d}
+        if not cnt:
+            return pa.table(
+                {
+                    "l": pa.array([], pa.string()),
+                    "r": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        ls, rs = zip(*cnt.keys())
+        return pa.table(
+            {
+                "l": pa.array(list(ls), pa.string()),
+                "r": pa.array(list(rs), pa.string()),
+                "cnt": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def _collect_pair_stats(words_ds, fn) -> dict[tuple[str, str], int]:
+    """Reduce a pair-partial map_batches pass to a driver dict. The
+    collected rows are statistics partials (symbol-pair-bounded), never
+    corpus data."""
+    stats: dict[tuple[str, str], int] = {}
+    for row in words_ds.map_batches(fn, batch_format="pyarrow").take_all():
+        p = (row["l"], row["r"])
+        stats[p] = stats.get(p, 0) + int(row["cnt"])
+    return {p: c for p, c in stats.items() if c}
+
+
 def learn_bpe(words_ds, n_merges: int) -> pa.Table:
     """Learn ``n_merges`` BPE merges from a (word, n) Dataset. Returns
-    the merge table (rank 1-based, left, right, freq). Each round: one
-    streaming pass over the materialized word table producing bounded
-    pair partials, reduced with ONE Arrow group_by on the driver
-    (statistics, not data), argmax with (freq desc, (l, r) asc)
-    tie-break, stop early if no pair repeats."""
+    the merge table (rank 1-based, left, right, freq).
+
+    Incremental statistics (r4 VERDICT ask #5): round 0 runs ONE full
+    pair census over the materialized word table; every later round
+    ships only a signed delta pass over the words matching the chosen
+    merge's character sequence (pair_delta_fn) — O(affected words) of
+    Python work per round instead of re-segmenting the whole
+    vocabulary, exactly like subword-nmt's sequential
+    update_pair_statistics, while the argmax stays a driver-side
+    statistics lookup. Property-pinned equal to the full-rescan path
+    (learn_bpe_rescan) in tests/test_bpe.py."""
+    words_ds = words_ds.materialize()
+    merges: list[tuple[str, str]] = []
+    rows: list[dict] = []
+    stats = _collect_pair_stats(words_ds, pair_partial_fn([]))
+    for k in range(n_merges):
+        if not stats:
+            break
+        (left, right), freq = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if freq < 2:
+            break
+        delta = _collect_pair_stats(words_ds, pair_delta_fn(merges, (left, right)))
+        merges.append((left, right))
+        rows.append({"rank": k + 1, "left": left, "right": right, "freq": freq})
+        for p, d in delta.items():
+            v = stats.get(p, 0) + d
+            if v:
+                stats[p] = v
+            else:
+                stats.pop(p, None)
+        # the chosen pair's own adjacencies are all consumed by the
+        # merge, so its delta drives it to exactly 0 — drop defensively
+        stats.pop((left, right), None)
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("rank", pa.int64()),
+                ("left", pa.string()),
+                ("right", pa.string()),
+                ("freq", pa.int64()),
+            ]
+        ),
+    )
+
+
+def learn_bpe_rescan(words_ds, n_merges: int) -> pa.Table:
+    """Full-rescan reference path (the pre-r5 learn_bpe): re-segments
+    every vocab word each round — O(rounds × vocab). Kept as the
+    property-test dual pinning the incremental path's merge table."""
     words_ds = words_ds.materialize()
     merges: list[tuple[str, str]] = []
     rows: list[dict] = []

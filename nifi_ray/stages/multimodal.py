@@ -448,6 +448,75 @@ class DecodeAudio:
         return out.append_column("abs_sum", pa.array(asum, pa.int64()))
 
 
+def sample_mp4_frame_payloads(payload: bytes, every: int):
+    """Yield (frame_idx, standalone-PPM bytes) for every ``every``-th
+    sample of an mp4's first video track. THE transform-coded seam
+    lives here and only here: any codec other than QuickTime ``raw ``
+    raises NotImplementedError (container metadata parses fine —
+    pixel decode needs ffmpeg, not in-container). SampleFrames lets
+    the raise propagate (loud); Mp4FrameRouter catches it per file and
+    routes to the failure relationship (NiFi-style), so the SAME code
+    path backs both behaviors."""
+    from .bmff import iter_mp4_video_frames
+
+    codec, w, h, spans = iter_mp4_video_frames(payload)
+    if codec != "raw ":
+        raise NotImplementedError(
+            f"mp4 sample decode for codec {codec!r} "
+            "(container parsed; pixel decode needs ffmpeg)"
+        )
+    hdr = b"P6\n%d %d\n255\n" % (w, h)
+    for idx in range(0, len(spans), every):
+        off, size = int(spans[idx, 0]), int(spans[idx, 1])
+        yield idx, hdr + payload[off : off + size]
+
+
+class Mp4FrameRouter:
+    """Actor-pool stage: per-file decode-or-route over mixed-codec mp4s
+    — the NiFi success/failure-relationship contract (reference
+    nifi-api FlowFile REL_FAILURE routing) wrapped around the
+    transform-coded decode seam. ``raw ``-track files decode their
+    sampled frames (status='ok', frame count + pixel sum); avc1/other
+    files parse their CONTAINER fine but hit the seam's
+    NotImplementedError, which is caught per file and emitted as
+    status='unsupported_codec' with the codec name — the error path is
+    data, not a crash, so one avc1 file in 10^9 can't kill the job."""
+
+    def __init__(self, every: int = 3):
+        self.every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .bmff import parse_mp4
+
+        ids, codecs, status, nfr, psum = [], [], [], [], []
+        for mid, p in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
+            vid = next(
+                (t for t in parse_mp4(p)["tracks"] if t.get("handler") == "vide"), {}
+            )
+            ids.append(mid)
+            codecs.append(vid.get("codec", ""))
+            try:
+                frames = list(sample_mp4_frame_payloads(p, self.every))
+                status.append("ok")
+                nfr.append(len(frames))
+                psum.append(
+                    sum(int(decode_ppm(ppm).sum(dtype=np.int64)) for _, ppm in frames)
+                )
+            except NotImplementedError:
+                status.append("unsupported_codec")
+                nfr.append(0)
+                psum.append(0)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "codec": pa.array(codecs, pa.string()),
+                "status": pa.array(status, pa.string()),
+                "n_frames_sampled": pa.array(nfr, pa.int64()),
+                "psum": pa.array(psum, pa.int64()),
+            }
+        )
+
+
 class SampleFrames:
     """Actor-pool stage: video (concatenated-P6 stream OR ISO BMFF mp4
     with a QuickTime ``raw `` RGB track) → one row per sampled frame
@@ -465,23 +534,15 @@ class SampleFrames:
         self.every = every
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from .bmff import is_bmff, iter_mp4_video_frames
+        from .bmff import is_bmff
 
         ids, fidx, frames = [], [], []
         for mid, p in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
             if is_bmff(p):
-                codec, w, h, spans = iter_mp4_video_frames(p)
-                if codec != "raw ":
-                    raise NotImplementedError(
-                        f"mp4 sample decode for codec {codec!r} "
-                        "(container parsed; pixel decode needs ffmpeg)"
-                    )
-                hdr = b"P6\n%d %d\n255\n" % (w, h)
-                for idx in range(0, len(spans), self.every):
-                    off, size = int(spans[idx, 0]), int(spans[idx, 1])
+                for idx, ppm in sample_mp4_frame_payloads(p, self.every):
                     ids.append(mid)
                     fidx.append(idx)
-                    frames.append(hdr + p[off:off + size])
+                    frames.append(ppm)
             else:
                 for idx, start, end in iter_ppm_frames(p):
                     if idx % self.every == 0:
@@ -657,6 +718,39 @@ def synth_mp4_table(n: int, seed: int = 0) -> pa.Table:
         ]
         ids.append(f"mp4{i:06d}")
         payloads.append(encode_mp4_raw_video(imgs, fps=MP4_FIXTURE_FPS))
+        ws.append(w)
+        hs.append(h)
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "media_type": pa.array(["video/mp4"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def synth_mp4_mixed_table(n: int, seed: int = 0) -> pa.Table:
+    """Mixed-codec mp4 fixture: every third file (i % 3 == 2) carries an
+    ``avc1`` stsd sample entry (payload bytes unchanged — decode must
+    refuse on CODEC, never byte-sniff); the rest are decodable
+    ``raw `` tracks. The negative-path fixture for mp4_codec_routing."""
+    from .bmff import encode_mp4_raw_video
+
+    ids, payloads, ws, hs = [], [], [], []
+    for i in range(n):
+        w, h = MP4_FIXTURE_DIMS[i % len(MP4_FIXTURE_DIMS)]
+        imgs = [
+            _synth_rgb(w, h, seed * 5_000_011 + i * 907 + f)
+            for f in range(mp4_fixture_frames(i))
+        ]
+        fourcc = b"avc1" if i % 3 == 2 else b"raw "
+        ids.append(f"mp4{i:06d}")
+        payloads.append(
+            encode_mp4_raw_video(imgs, fps=MP4_FIXTURE_FPS, codec_fourcc=fourcc)
+        )
         ws.append(w)
         hs.append(h)
     return pa.table(

@@ -55,11 +55,22 @@ def actor_pool_size(
     keeps a 32-CPU node at the measured optimum (2) while a 256-CPU
     cluster still scales to 16 actors. Long-running production stages
     that amortize startup can raise ``NIFI_RAY_ACTOR_POOL_MAX``."""
+    cpus = cluster_cpus()
+    # starvation guard (r5): a pipeline stacking TWO min-2 pools plus a
+    # read task wants ≥5 CPUs just to start — on the 4-CPU pytest
+    # session that reservation deadlocks the streaming executor (knn_ivf
+    # stalled indefinitely once the schema-parity lint started running
+    # every graded query under conftest's num_cpus=4). Below 8 CPUs the
+    # floor drops to 1 so pools start immediately and autoscale up as
+    # CPUs free; at ≥8 CPUs the measured two-actor optimum is unchanged.
+    lo = min_actors if cpus >= 8 else 1
     env = os.environ.get("NIFI_RAY_ACTOR_POOL_MAX")
     if env:
-        return (min_actors, max(min_actors, int(env)))
-    hi = max(min_actors, min(cap, int(cluster_cpus() * per_cpu)))
-    return (min_actors, hi)
+        return (lo, max(lo, int(env)))
+    # ceiling keeps the min_actors floor even when lo drops: the pool
+    # may still autoscale up to the proven two-actor shape as CPUs free
+    hi = max(min_actors, min(cap, int(cpus * per_cpu)))
+    return (lo, hi)
 
 
 def object_store_bytes(default: int = 2 << 30) -> int:

@@ -172,8 +172,13 @@ def test_scale_knobs_derive_from_cluster(monkeypatch):
 def test_actor_pool_size_scales_with_cluster(monkeypatch):
     from nifi_ray.util import scale
 
+    # r5 starvation guard: below 8 CPUs the MIN drops to 1 so a
+    # pipeline stacking two pools + a read task can still start on the
+    # 4-CPU pytest session (knn_ivf deadlocked the streaming executor
+    # with two idle min-2 pools holding all 4 CPUs); autoscaling can
+    # still reach the two-actor optimum once CPUs free.
     monkeypatch.setattr(scale, "cluster_cpus", lambda default=4: 4)
-    assert scale.actor_pool_size() == (2, 2)  # fixture shape preserved
+    assert scale.actor_pool_size() == (1, 2)
     # measured optimum at single-node 32 CPUs is 2 (BASELINE r4 A/B)
     monkeypatch.setattr(scale, "cluster_cpus", lambda default=4: 32)
     assert scale.actor_pool_size() == (2, 2)

@@ -118,6 +118,28 @@ def test_learn_bpe_matches_sequential_reference(ray_session, seed):
     assert [(r["rank"], r["left"], r["right"], r["freq"]) for r in got] == exp
 
 
+@pytest.mark.parametrize("seed", [5, 29])
+def test_learn_bpe_incremental_equals_rescan(ray_session, seed):
+    """r4 VERDICT ask #5: the incremental delta-maintained trainer must
+    produce the SAME merge table (ranks, pairs, freqs) as the full
+    per-round rescan path on corpora with rich tie/stop structure."""
+    import ray.data
+
+    from nifi_ray.stages.bpe import learn_bpe, learn_bpe_rescan
+
+    counts = _random_words(seed, 400)
+    words = pa.table(
+        {
+            "word": pa.array(list(counts), pa.string()),
+            "n": pa.array([counts[w] for w in counts], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(words).repartition(4)
+    inc = learn_bpe(ds, 12).to_pylist()
+    full = learn_bpe_rescan(ds, 12).to_pylist()
+    assert inc == full and len(inc) > 0
+
+
 def test_bpe_encoder_counts_and_memo(ray_session):
     from nifi_ray.stages.bpe import BpeEncoder
 

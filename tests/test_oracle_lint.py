@@ -6,18 +6,28 @@ winnow_fingerprints driver hash-fails). This pins the EXPECTED side;
 tools/check_correctness.py applies the same lint to the query side."""
 
 import pyarrow as pa
+import pyarrow.parquet as pq
 
-from nifi_ray.oracle_expected import EXPECTED_BUILDERS
+from nifi_ray.oracle_expected import EXPECTED_BUILDERS, expected_table_path
 
 SF = "/root/testdata/sf0.001"
 
 
+def _expected_schema(name: str) -> pa.Schema:
+    """Schema of the CACHED expected parquet (built at most once per
+    machine via expected_table_path — calling builders directly here
+    re-ran every scalar dual, incl. the pure-Python JPEG decodes, on
+    every pytest invocation). The parquet roundtrip is also what the
+    driver's DuckDB oracle actually reads, so it is the more faithful
+    schema to lint."""
+    return pq.read_schema(expected_table_path(name, SF))
+
+
 def test_no_uint64_in_expected_tables():
     bad = {}
-    for name, builder in EXPECTED_BUILDERS.items():
-        tbl = builder(SF)
+    for name in EXPECTED_BUILDERS:
         u64 = [
-            f.name for f in tbl.schema
+            f.name for f in _expected_schema(name)
             if f.type in (pa.uint64(), pa.uint32())
         ]
         if u64:
@@ -81,8 +91,8 @@ def test_expected_query_schema_parity(ray_session):
     from nifi_ray.pipelines.queries import QUERIES
 
     bad = {}
-    for name, builder in EXPECTED_BUILDERS.items():
-        want = _canon_schema(builder(SF).schema)
+    for name in EXPECTED_BUILDERS:
+        want = _canon_schema(_expected_schema(name))
         got = _canon_schema(_result_schema(QUERIES[name](SF)))
         if got != want:
             bad[name] = {"query": got, "expected": want}
