@@ -112,6 +112,36 @@ def test_transform_coded_track_raises_loudly():
         SampleFrames()(batch)
 
 
+def test_codec_fourcc_encoder_param_and_router():
+    """r5: the encoder's codec_fourcc param labels the stsd entry, and
+    Mp4FrameRouter turns the decode seam into routed status rows —
+    raw files decode (frame count + pixel sum), avc1 files come back
+    as data with status='unsupported_codec' instead of raising."""
+    from nifi_ray.stages.multimodal import Mp4FrameRouter, decode_ppm
+
+    frames = _frames(4)
+    raw_p = B.encode_mp4_raw_video(frames)
+    avc_p = B.encode_mp4_raw_video(frames, codec_fourcc=b"avc1")
+    assert B.parse_mp4(avc_p)["tracks"][0]["codec"] == "avc1"
+    with pytest.raises(ValueError):
+        B.encode_mp4_raw_video(frames, codec_fourcc=b"toolong")
+    batch = pa.table(
+        {
+            "media_id": pa.array(["ok1", "bad", "ok2"]),
+            "payload": pa.array([raw_p, avc_p, raw_p], pa.binary()),
+        }
+    )
+    out = Mp4FrameRouter(every=2)(batch)
+    assert out["status"].to_pylist() == ["ok", "unsupported_codec", "ok"]
+    assert out["codec"].to_pylist() == ["raw ", "avc1", "raw "]
+    assert out["n_frames_sampled"].to_pylist() == [2, 0, 2]  # frames 0, 2
+    want = sum(int(f.sum(dtype=np.int64)) for f in (frames[0], frames[2]))
+    assert out["psum"].to_pylist() == [want, 0, want]
+    # SampleFrames on the same avc1 payload still raises (loud seam)
+    with pytest.raises(NotImplementedError):
+        SampleFrames()(batch.slice(1, 1))
+
+
 def test_extract_media_metadata_stage():
     t = synth_mp4_table(7, seed=11)
     out = ExtractMediaMetadata()(t)
