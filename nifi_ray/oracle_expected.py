@@ -1646,6 +1646,45 @@ def expected_count_min(sf_dir: str) -> pa.Table:
     )
 
 
+def expected_rocchio_classify(sf_dir: str) -> pa.Table:
+    """Sequential scalar dual of q_rocchio_classify: per-label members
+    in vec_id order → normalized-row sums (numpy pairwise summation
+    over the same-ordered matrix reproduces the engine's
+    order-canonical groupby reduction bitwise) → unit centroids
+    rounded to 9 dp → full-matrix argmax assignment → (label, pred, n)
+    Counter. No Ray."""
+    from collections import Counter
+
+    import numpy as np
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+    ).sort_by("vec_id")
+    X = np.vstack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    X = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-12, None)
+    y = [int(v) for v in tbl["label"].to_pylist()]
+    labels = sorted(set(y))
+    C = np.zeros((len(labels), X.shape[1]), np.float64)
+    for i, lab in enumerate(labels):
+        m = np.array([v == lab for v in y])
+        S = X[m].sum(axis=0)  # rows already in vec_id order
+        norm = np.linalg.norm(S)
+        if norm > 1e-12:
+            C[i] = S / norm
+    C = np.round(C, 9)
+    pred = np.argmax(X @ C.T, axis=1)
+    counts = Counter(zip(y, (labels[i] for i in pred)))
+    keys = sorted(counts)
+    return pa.table(
+        {
+            "label": pa.array([k[0] for k in keys], pa.int64()),
+            "pred": pa.array([k[1] for k in keys], pa.int64()),
+            "n": pa.array([counts[k] for k in keys], pa.int64()),
+        }
+    )
+
+
 def expected_kll_quantiles(sf_dir: str) -> pa.Table:
     """Sequential scalar replay of q_kll_quantiles' shard-canonical
     plan: numpy-partition events by event_id // 4096, build each
@@ -1808,6 +1847,7 @@ EXPECTED_BUILDERS = {
     "dsir_resample": expected_dsir_resample,
     "kll_quantiles": expected_kll_quantiles,
     "mp4_codec_routing": expected_mp4_codec_routing,
+    "rocchio_classify": expected_rocchio_classify,
 }
 
 
@@ -1831,8 +1871,24 @@ def expected_table_path(name: str, sf_dir: str) -> str:
 
 
 def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
-    """DuckDB SQL reading each expected table's cached parquet."""
-    return {
-        name: f"SELECT * FROM read_parquet('{expected_table_path(name, sf_dir)}')"
-        for name in EXPECTED_BUILDERS
-    }
+    """DuckDB SQL reading each expected table's cached parquet.
+    Failure isolation is PER NAME: one raising builder un-grades only
+    its own query (loud traceback to stderr) — before r5 the whole
+    expected family was one builder group, so a single broken fixture
+    silently downgraded every ☆-query to rows-only grading."""
+    import sys
+    import traceback
+
+    out = {}
+    for name in EXPECTED_BUILDERS:
+        try:
+            out[name] = (
+                f"SELECT * FROM read_parquet('{expected_table_path(name, sf_dir)}')"
+            )
+        except Exception:
+            print(
+                f"[nifi_ray] EXPECTED BUILDER {name!r} FAILED — this query "
+                "will grade without an oracle:\n" + traceback.format_exc(),
+                file=sys.stderr,
+            )
+    return out

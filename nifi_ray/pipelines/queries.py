@@ -5703,6 +5703,54 @@ def q_kll_quantiles(sf_dir: str):
     )
 
 
+def q_rocchio_classify(sf_dir: str):
+    """Nearest-class-mean (Rocchio) classification over the labeled
+    embedding table — the centroid classifier / label-propagation
+    primitive of semi-supervised curation. Train: per-label
+    mean-direction centroids in ONE order-canonical groupby(label)
+    pass (similarity.label_centroids — L sufficient-statistic rows to
+    the driver, centroids 9 dp-rounded unit vectors). Classify: the
+    broadcast-centroid IVFAssign actor pool argmax-assigns every
+    vector, then a combiner pre-aggregate reduces to the (label, pred,
+    n) confusion table — integer output, corpus never collected.
+    Oracle: sequential scalar dual
+    (oracle_expected.expected_rocchio_classify), bit-for-bit via the
+    kmeans_train order-canonical float discipline."""
+    import ray
+
+    from ..stages.similarity import IVFAssign, label_centroids
+
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    labels, C, _ = label_centroids(ds)
+    pred = ds.map_batches(
+        IVFAssign,
+        fn_constructor_kwargs={"centroids_ref": ray.put(C), "out": "pred_idx"},
+        batch_format="pyarrow",
+        concurrency=_pool(),
+    )
+    lbl = pa.array(labels, pa.int64())
+
+    def to_pred(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "label": pc.cast(t["label"], pa.int64()),
+                "pred": lbl.take(t["pred_idx"]),
+            }
+        )
+
+    out = pre_aggregate(
+        pred.map_batches(to_pred, batch_format="pyarrow"),
+        ["label", "pred"],
+        {"n": ("label", "count")},
+    )
+    return pa.Table.from_pylist(
+        sorted(out.take_all(), key=lambda r: (r["label"], r["pred"])),
+        schema=pa.schema(
+            [("label", pa.int64()), ("pred", pa.int64()), ("n", pa.int64())]
+        ),
+    )
+
+
 def q_footer_stats(sf_dir: str):
     """Footer-only statistics scan (sources/footer.py): COUNT/MIN/MAX
     over lineitem numerics computed purely from parquet row-group
@@ -5886,6 +5934,7 @@ QUERIES = {
     "quantiles": q_quantiles,
     "kll_quantiles": q_kll_quantiles,
     "mp4_codec_routing": q_mp4_codec_routing,
+    "rocchio_classify": q_rocchio_classify,
 }
 
 

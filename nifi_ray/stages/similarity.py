@@ -365,3 +365,55 @@ def kmeans_full(ds, init_centroids: np.ndarray, iters: int = 3,
                 newC[int(r["cell"])] = S / norm
         C = np.round(newC, 9)
     return C, _pass(C)
+
+
+def label_centroids(ds, id_col: str = "vec_id", col: str = "embedding",
+                    label_col: str = "label"):
+    """Per-label mean-direction centroids (the training half of a
+    Rocchio / nearest-class-mean classifier — Rocchio 1971, the
+    standard centroid text classifier; also the label-propagation
+    primitive of semi-supervised curation): ONE groupby(label) pass
+    whose per-label reduction sorts members by ``id_col`` first, so the
+    float64 sums run in canonical order and are bitwise-reproducible by
+    a sequential oracle (the kmeans_cell_stats_fn discipline). Only L
+    sufficient-statistic rows reach the driver. Returns (labels sorted,
+    centroid matrix (L, dim) — unit rows rounded to 9 dp so last-ulp
+    BLAS drift can never flip a downstream argmax — and member
+    counts)."""
+    from ..util.io import drop_schemaless_empties
+
+    schema = pa.schema(
+        [
+            (label_col, pa.int64()),
+            ("n", pa.int64()),
+            ("vec_sum", pa.list_(pa.float64())),
+        ]
+    )
+
+    def fn(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return schema.empty_table()
+        g = group.sort_by(id_col)
+        X = _as_matrix(g[col])
+        X = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-12, None)
+        return pa.table(
+            {
+                label_col: pa.array([int(g[label_col][0].as_py())], pa.int64()),
+                "n": pa.array([len(g)], pa.int64()),
+                "vec_sum": pa.array([X.sum(axis=0).tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    rows = drop_schemaless_empties(
+        ds.groupby(label_col).map_groups(fn, batch_format="pyarrow")
+    ).take_all()  # one row per label — statistics, never the corpus
+    rows.sort(key=lambda r: r[label_col])
+    labels = [r[label_col] for r in rows]
+    counts = [int(r["n"]) for r in rows]
+    C = np.zeros((len(rows), len(rows[0]["vec_sum"])), np.float64)
+    for i, r in enumerate(rows):
+        S = np.asarray(r["vec_sum"], np.float64)
+        norm = np.linalg.norm(S)
+        if norm > 1e-12:
+            C[i] = S / norm
+    return labels, np.round(C, 9), counts
