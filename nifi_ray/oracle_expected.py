@@ -1646,6 +1646,35 @@ def expected_count_min(sf_dir: str) -> pa.Table:
     )
 
 
+def expected_windowed_hll(sf_dir: str, window_sec: int = 86400) -> pa.Table:
+    """Sequential dual of q_windowed_hll: bucket events by tumbling
+    window, build ONE register array per window over the whole column,
+    estimate. Max-merge associativity means the engine's per-batch
+    partial registers must equal this single-pass array exactly."""
+    import numpy as np
+
+    from .stages.sketch import hll_estimate, hll_registers
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    epoch = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    size_us = window_sec * 1_000_000
+    wstart = (epoch // size_us) * size_us
+    uid = tbl["user_id"]
+    wins, ests = [], []
+    for w in np.unique(wstart):
+        mask = pa.array(wstart == w)
+        wins.append(int(w) // 1_000_000)
+        ests.append(hll_estimate(hll_registers(uid.filter(mask))))
+    return pa.table(
+        {
+            "window_start": pa.array(wins, pa.int64()),
+            "est_distinct": pa.array(ests, pa.int64()),
+        }
+    )
+
+
 def expected_rocchio_classify(sf_dir: str) -> pa.Table:
     """Sequential scalar dual of q_rocchio_classify: per-label members
     in vec_id order → normalized-row sums (numpy pairwise summation
@@ -1848,6 +1877,7 @@ EXPECTED_BUILDERS = {
     "kll_quantiles": expected_kll_quantiles,
     "mp4_codec_routing": expected_mp4_codec_routing,
     "rocchio_classify": expected_rocchio_classify,
+    "windowed_hll": expected_windowed_hll,
 }
 
 

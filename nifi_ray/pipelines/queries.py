@@ -5703,6 +5703,70 @@ def q_kll_quantiles(sf_dir: str):
     )
 
 
+def q_windowed_hll(sf_dir: str, window_sec: int = 86400):
+    """Distinct users per tumbling event-time window via per-window
+    HyperLogLog registers — the streaming-analytics shape where exact
+    per-window COUNT(DISTINCT) would shuffle every (window, user) pair:
+    here each batch emits ONE constant-size register row per window it
+    touches, the only exchange is a groupby(window) over those ~4 KB
+    rows, and the driver estimates from W merged rows. Registers are a
+    pure function of each window's value SET (CRC→splitmix hash,
+    elementwise max-merge — associative/commutative/idempotent), so the
+    result is batch/partition/order-invariant with NO canonicalization
+    needed, and the sequential oracle
+    (oracle_expected.expected_windowed_hll) agrees bit-for-bit."""
+    from ..stages.sketch import hll_estimate, hll_merge, hll_registers
+    from ..util.io import drop_schemaless_empties
+
+    ds = _t(sf_dir, "events", columns=["user_id", "ts"])
+    size_us = window_sec * 1_000_000
+
+    def partials(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(t["ts"], pa.int64())
+        wstart = pc.multiply(pc.divide(epoch, size_us), size_us)
+        tt = t.append_column("w", wstart)
+        wins, regs = [], []
+        for w in pc.unique(wstart).to_pylist():
+            sub = tt.filter(pc.equal(tt["w"], w))
+            wins.append(w // 1_000_000)  # epoch seconds
+            regs.append(hll_registers(sub["user_id"]).tolist())
+        return pa.table(
+            {
+                "window_start": pa.array(wins, pa.int64()),
+                "registers": pa.array(regs, pa.list_(pa.uint8())),
+            }
+        )
+
+    def merge_group(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.schema(
+                [("window_start", pa.int64()), ("registers", pa.list_(pa.uint8()))]
+            ).empty_table()
+        regs = hll_merge([np.asarray(r, np.uint8) for r in t["registers"].to_pylist()])
+        return pa.table(
+            {
+                "window_start": pa.array([t["window_start"][0].as_py()], pa.int64()),
+                "registers": pa.array([regs.tolist()], pa.list_(pa.uint8())),
+            }
+        )
+
+    merged = drop_schemaless_empties(
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("window_start")
+        .map_groups(merge_group, batch_format="pyarrow")
+    ).take_all()  # one ~4 KB row per window — statistics, never the corpus
+    merged.sort(key=lambda r: r["window_start"])
+    return pa.table(
+        {
+            "window_start": pa.array([r["window_start"] for r in merged], pa.int64()),
+            "est_distinct": pa.array(
+                [hll_estimate(np.asarray(r["registers"], np.uint8)) for r in merged],
+                pa.int64(),
+            ),
+        }
+    )
+
+
 def q_rocchio_classify(sf_dir: str):
     """Nearest-class-mean (Rocchio) classification over the labeled
     embedding table — the centroid classifier / label-propagation
@@ -5935,6 +5999,7 @@ QUERIES = {
     "kll_quantiles": q_kll_quantiles,
     "mp4_codec_routing": q_mp4_codec_routing,
     "rocchio_classify": q_rocchio_classify,
+    "windowed_hll": q_windowed_hll,
 }
 
 

@@ -34,6 +34,31 @@ def test_kll_rank_error_bound(seed, n):
         assert abs(r - q * n) <= tol, (q, r, q * n, tol)
 
 
+def test_kll_fold_preserves_rank_bound():
+    """The sharded-and-folded sketch (the graded plan's shape) must
+    keep the same deterministic rank-error bound as a single sketch:
+    merging cannot silently degrade accuracy beyond the level-count
+    growth the bound already prices in."""
+    from nifi_ray.stages.sketch import KLL_K, KLLSketch
+
+    rng = np.random.default_rng(23)
+    n = 80000
+    vals = rng.exponential(size=n) * 50.0  # skewed, not normal
+    acc = KLLSketch()
+    for shard in np.array_split(vals, 20):  # 20 shard sketches, folded
+        sk = KLLSketch()
+        sk.add_many(np.sort(shard))
+        acc.merge(sk)
+    assert acc.n == n
+    s = np.sort(vals)
+    levels = max(2, len(acc.levels))
+    tol = (n / KLL_K) * np.log2(levels) + 1
+    for q in (0.05, 0.25, 0.5, 0.75, 0.95, 0.99):
+        e = acc.quantiles([q])[0]
+        r = _exact_rank(s, e)
+        assert abs(r - q * n) <= tol, (q, r, q * n, tol)
+
+
 def test_kll_serialization_roundtrip():
     from nifi_ray.stages.sketch import KLLSketch
 
