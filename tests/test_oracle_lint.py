@@ -123,3 +123,39 @@ def test_no_duplicate_toplevel_defs_or_dict_keys():
                 keys = [k.value for k in node.keys if isinstance(k, ast.Constant)]
                 bad.extend((f, k) for k in {k for k in keys if keys.count(k) > 1})
     assert not bad, bad
+
+
+def test_expected_builder_failure_isolated_per_name(monkeypatch, capsys):
+    """r5: one raising expected builder un-grades ONLY its own query
+    (loud traceback), never the whole ☆ family — before the fix the
+    entire expected group shared one try/except and a single broken
+    fixture silently downgraded every expected-table query to
+    rows-only grading."""
+    import shutil
+    import tempfile
+
+    from nifi_ray import oracle_expected as oe
+
+    def boom(_sf):
+        raise RuntimeError("fixture exploded")
+
+    monkeypatch.setattr(
+        oe,
+        "EXPECTED_BUILDERS",
+        {
+            "broken_fixture": boom,
+            "fine_fixture": lambda _sf: pa.table({"x": pa.array([1], pa.int64())}),
+        },
+    )
+    # unique sf tag → cold cache, so builders genuinely run
+    sf_dir = tempfile.mkdtemp(prefix="nifi_ray_isol_sf_")
+    try:
+        sqls = oe.expected_oracle_sql(sf_dir)
+        assert "broken_fixture" not in sqls
+        assert "fine_fixture" in sqls  # neighbor survives the explosion
+        err = capsys.readouterr().err
+        assert "broken_fixture" in err and "fixture exploded" in err
+    finally:
+        shutil.rmtree(sf_dir, ignore_errors=True)
+        tag = oe.os.path.basename(sf_dir)
+        shutil.rmtree(f"/tmp/nifi_ray_expected_{tag}_r{oe._REV}", ignore_errors=True)
